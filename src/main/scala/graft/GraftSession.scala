@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * The reference (spark_app/main.py:994-1010) enables AQE +
+  * coalescePartitions + skewJoin and runs `local[4]`. We keep those
+  * semantics, but size shuffle parallelism to the actual core count
+  * instead of Spark's default 200 — on a real cluster this would come
+  * from `spark.sql.shuffle.partitions` sized to ~2-3× total cores with
+  * AQE coalescing down, which is exactly what AQE does for us here.
+  */
+object GraftSession {
+  def getOrCreate(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Schemas are fixed by the generator; we read them as-is so Catalyst
+  * can push projection/predicates into the parquet scan. At cluster
+  * scale the same calls read a partitioned table — nothing here
+  * assumes single-file layout.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view, runs every oracle in
+<verifyOutDir>/oracle_sql.json, and compares against the Spark-written
+parquet in <verifyOutDir>/<name>/. Compare semantics mirror the driver:
+column-name sets must match, row counts must match, then values are
+compared after sorting columns by name and rows by all columns.
+
+Exact equality is required for every cell (floats included) — queries
+are designed so both engines land on bit-identical doubles.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = Path(out_dir) / name
+        status, detail = compare(con, sql, spark_dir)
+        print(f"[{status}] {name}{(' — ' + detail) if detail else ''}")
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+    # queries without an oracle: rows-only check
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracles:
+            n = duckdb.sql(f"SELECT count(*) FROM parquet_scan('{d}/*.parquet')").fetchone()[0]
+            print(f"[{'PASS' if n > 0 else 'FAIL'}] {d.name} — rows-only: {n}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def compare(con, sql, spark_dir):
+    try:
+        oracle = con.execute(sql)
+        ocols = [d[0] for d in oracle.description]
+        orows = oracle.fetchall()
+    except Exception as e:
+        return "FAIL", f"oracle error: {e}"
+    try:
+        got = con.execute(f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+    except Exception as e:
+        return "FAIL", f"spark result unreadable: {e}"
+    if sorted(ocols) != sorted(gcols):
+        return "FAIL", f"schema: oracle={sorted(ocols)} spark={sorted(gcols)}"
+    if len(orows) != len(grows):
+        return "FAIL", f"rows: oracle={len(orows)} spark={len(grows)}"
+    operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    gperm = sorted(range(len(gcols)), key=lambda i: gcols[i])
+    okey = sorted(tuple(norm(r[i]) for i in operm) for r in orows)
+    gkey = sorted(tuple(norm(r[i]) for i in gperm) for r in grows)
+    for i, (a, b) in enumerate(zip(okey, gkey)):
+        if a != b:
+            return "FAIL", f"first diff at sorted-row {i}:\n  oracle: {a}\n  spark:  {b}"
+    return "PASS", f"{len(orows)} rows"
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
