@@ -48,7 +48,15 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 only
+    * reads as a nanos BIGINT under this legacy flag (runtime-settable;
+    * applied here so it holds in any session the driver hands us).
+    * Downstream code treats `ts` as epoch-nanos.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, sfDir, "events")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

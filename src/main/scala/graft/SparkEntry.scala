@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def catalog: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ flow.BatchFlowFeaturizer.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
