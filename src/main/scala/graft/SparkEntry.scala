@@ -11,7 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def catalog: Seq[Q] =
-    operators.Relational.all ++ flow.BatchFlowFeaturizer.all
+    operators.Relational.all ++
+      flow.BatchFlowFeaturizer.all ++
+      flow.FlowFeaturizer.all ++
+      operators.Cleaning.all ++
+      operators.Detection.all ++
+      operators.Sessionize.all ++
+      operators.Joins.all ++
+      ml.RfDetector.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -307,7 +307,12 @@ object FlowFeatureSql {
   )
 
   /** Complete oracle SQL (DuckDB dialect) for the batch featurizer. */
-  def oracleSql: String = {
+  def oracleSql: String = s"$oracleBody ORDER BY flow_id"
+
+  /** Oracle body without the final sort — reusable as a CTE by
+    * downstream queries (detection, ML feature source).
+    */
+  def oracleBody: String = {
     s"""WITH p0 AS (SELECT ${packetStage0(DuckDialect).mkString(", ")} FROM events),
 packets AS (SELECT ${packetStage1.mkString(", ")} FROM p0),
 keyed AS (SELECT *, ${canonicalKeyExprs.mkString(", ")} FROM packets),
@@ -316,6 +321,6 @@ directed AS (SELECT *, $isFwdExpr FROM oriented),
 prev AS (SELECT *, ${prevTsExprs.mkString(", ")} FROM directed),
 iat AS (SELECT *, ${iatExprs.mkString(", ")} FROM prev),
 agg AS (SELECT ${keyCols.mkString(", ")}, ${aggExprs.mkString(", ")} FROM iat GROUP BY ${keyCols.mkString(", ")})
-SELECT ${finalExprs.mkString(", ")} FROM agg ORDER BY flow_id"""
+SELECT ${finalExprs.mkString(", ")} FROM agg"""
   }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multi-way join queries over the TPC-H-ish tables. The reference has
+  * no joins (SURVEY.md §2.5) — these cover the join surface a complete
+  * engine needs, shaped for scale:
+  *
+  *  - fact-to-fact (lineitem ⋈ orders) is a shuffle hash join on the
+  *    order key; AQE re-plans/coalesces at runtime;
+  *  - dimensions (customer, nation, region) are explicitly
+  *    `broadcast()` — no fact-table shuffle for them at any scale;
+  *  - money sums use the exact-cents pattern (BIGINT sums of
+  *    round(x*100)) so results are bit-deterministic regardless of
+  *    partition/summation order — float sums would drift at 100 TB.
+  */
+object Joins {
+
+  private val revCents =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+  /** TPC-H Q3/Q10-flavoured: revenue per customer, top 100. */
+  val qTopCustomers = Q(
+    "q_top_customers",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+        .agg(
+          (sum(expr(revCents)) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(100)
+    },
+    Some(s"""SELECT c_custkey, c_name, c_mktsegment,
+       CAST(sum($revCents) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 100""")
+  )
+
+  /** TPC-H Q5-flavoured: revenue by nation/region through the broadcast
+    * dimension chain, with a region filter that prunes before the join.
+    */
+  val qRevenueByNation = Q(
+    "q_revenue_by_nation",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      val nat = Tables.nation(spark, dir)
+      val reg = Tables.region(spark, dir)
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg((sum(expr(revCents)) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""SELECT r_name, n_name,
+       CAST(sum($revCents) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name""")
+  )
+
+  /** Semi/anti join surface: customers with orders but no high-priority
+    * ones (left_semi + left_anti composition).
+    */
+  val qSemiAnti = Q(
+    "q_semi_anti_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      val withOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      val urgent = ord.filter($"o_orderpriority" === "1-URGENT")
+      withOrders
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey""")
+  )
+
+  val all: Seq[Q] = Seq(qTopCustomers, qRevenueByNation, qSemiAnti)
+}

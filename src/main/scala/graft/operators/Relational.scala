@@ -28,23 +28,24 @@ object Relational {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * ($"l_discount" - 1) * -1), 2).as("sum_disc_price"),
+          // exact-cents sums: bit-deterministic under any partitioning
+          (sum(expr("CAST(round(l_quantity * 100, 0) AS BIGINT)")) / 100.0).as("sum_qty"),
+          (sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")) / 100.0).as("sum_base_price"),
+          (sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)")) / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
-      .withColumn("avg_qty", $"sum_qty" / $"count_order")
+        .withColumn("avg_qty", $"sum_qty" / $"count_order")
         .withColumn("avg_price", $"sum_base_price" / $"count_order")
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (l_discount - 1) * -1), 2) AS sum_disc_price,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
              count(*) AS count_order,
-             round(sum(l_quantity), 2) / count(*) AS avg_qty,
-             round(sum(l_extendedprice), 2) / count(*) AS avg_price
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus

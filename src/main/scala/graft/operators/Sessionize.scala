@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch sessionization — the windowed analog of the streaming session
+  * (gap-based, like the featurizer's 60 s processing-time timeout but on
+  * event time): lag → gap flag → running session index → per-session
+  * aggregates. Demonstrates the window-function surface the reference
+  * keeps inside its stateful op (SURVEY.md §2.5).
+  *
+  * Scale: both windows and the groupBy cluster on user_id — one shuffle
+  * total; session aggregates use the exact-cents pattern so sums stay
+  * deterministic at any scale.
+  */
+object Sessionize {
+
+  val GapUs: Long = 30L * 60 * 1000000 // 30 min
+
+  val qSessionize = Q(
+    "q_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(spark, dir)
+        .selectExpr("event_id", "user_id", "event_type", "value",
+          "CAST(ts DIV 1000 AS BIGINT) AS ts_us")
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > GapUs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"),
+          max($"ts_us").as("end_us"),
+          (max($"ts_us") - min($"ts_us")).as("duration_us"),
+          (sum(expr("CAST(round(value * 100, 0) AS BIGINT)")) / 100.0).as("total_value"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"))
+        .orderBy($"user_id", $"session_idx")
+    },
+    Some(s"""WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > $GapUs
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qSessionize)
+}

@@ -1,0 +1,59 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+
+/** Sink surface (K1-K5 in SURVEY.md §2.2).
+  *
+  * The reference references `foreach_batch_function` without defining it
+  * (spark_app/main.py:1096 — latent NameError); this is that sink done
+  * properly: completed flows only, per-batch append as line JSON (the
+  * indexer's input contract, indexer/indexer.py:26-45), Kafka variant
+  * when a broker exists.
+  *
+  * Scale: `df.write.json` is distributed — no driver collect (the
+  * reference's predict_rf.py:43 `toPandas()` is the anti-pattern we
+  * replace, K3).
+  */
+object Sinks {
+
+  /** K1: foreachBatch sink writing each micro-batch of finalized flows
+    * as line JSON under outDir/batch=<id>/, with the reference's
+    * trigger/output-mode/checkpoint settings (main.py:1093-1099).
+    */
+  def jsonFlowSink[T](flows: Dataset[T], outDir: String, checkpoint: String,
+      triggerInterval: String = "5 seconds"): StreamingQuery =
+    flows.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
+        batch.toDF().write.mode("overwrite").json(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** K1 (Kafka variant): labeled flows → topic `ddos_result`
+    * (main.py:1020, indexer/indexer.py:7).
+    */
+  def kafkaFlowSink(flows: DataFrame, bootstrap: String, checkpoint: String,
+      topic: String = "ddos_result"): StreamingQuery =
+    flows.selectExpr("flow_id AS key", "to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  /** K2: console debugging sink (ml_model/README.md:161-165). */
+  def consoleSink[T](ds: Dataset[T]): DataStreamWriter[T] =
+    ds.writeStream.outputMode(OutputMode.Update()).format("console")
+
+  /** K3: batch NDJSON writer — distributed replacement for
+    * predict_rf.py:43-52's toPandas()+to_json.
+    */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
