@@ -18,6 +18,10 @@ object SparkEntry {
       operators.Detection.all ++
       operators.Sessionize.all ++
       operators.Joins.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all ++
+      operators.Multimodal.all ++
       ml.RfDetector.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication operators for the training-data pipeline (BASELINE.json
+  * north star): exact, word-5-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Each query is one SQL template rendered
+  * into both Spark and DuckDB (SqlDialect), so the oracle is the same
+  * computation by construction.
+  *
+  * Hashing is md5-based (available and identical in both engines):
+  * MinHash uses the lexicographic min of md5(seed:shingle) strings —
+  * a valid min-wise hash family; SimHash packs the first 8 md5 hex
+  * nibbles into a 32-bit token hash.
+  *
+  * Scale design: everything is candidate-generation-by-join — shingle
+  * bands, LSH band hashes, simhash byte bands, embedding sign buckets —
+  * never an O(n²) cross join. The verify stage touches candidate pairs
+  * only. At 100 TB the band joins shuffle (band, hash) keys; skewed
+  * bands (stop-shingles) are the known risk, bounded here by 5-gram
+  * rarity and in production by frequency-capping bands before the join.
+  */
+object Dedup {
+
+  /** Self-union with shifted ids — simulates a re-ingested corpus so
+    * dedup has true positives (the driver corpus is dup-free).
+    */
+  private val IdShift = 10000000L
+
+  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(sql)
+  }
+
+  // ---- exact dedup (hash-groupBy) ----
+
+  private def exactSql(d: SqlDialect): String = s"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + $IdShift AS doc_id, text FROM documents
+)
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY text
+ORDER BY text_hash"""
+
+  val qExact = Q("q_dedup_exact", run(exactSql(SparkSql)), Some(exactSql(DuckSql)))
+
+  // ---- shared shingle CTEs (word 5-grams) ----
+
+  private def shingleCtes(d: SqlDialect): String = s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
+idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx),
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT doc_a, doc_b,
+               CAST(ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - ic AS DOUBLE) AS jaccard
+        FROM it JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)"""
+
+  // ---- n-gram Jaccard near-dup ----
+
+  private def ngramSql(d: SqlDialect): String = s"""
+WITH ${shingleCtes(d)}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b"""
+
+  val qNgram = Q("q_dedup_ngram_jaccard", run(ngramSql(SparkSql)), Some(ngramSql(DuckSql)))
+
+  // ---- MinHash + LSH (12 hashes, 3 bands × 4 rows) ----
+
+  private def minhashSql(d: SqlDialect): String = {
+    val band = "CAST((k - 1 - (k - 1) % 4) / 4 AS BIGINT)"
+    val bandHash = (0 to 3)
+      .map(r => s"min(CASE WHEN (k - 1) % 4 = $r THEN h END)")
+      .mkString("md5(", " || ", ")")
+    s"""
+WITH ${shingleCtes(d)},
+ks AS (${d.seriesTable("12", "k")}),
+sig AS (SELECT doc_id, k, min(md5(CAST(k AS STRING) || ':' || shingle)) AS h
+        FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+bands AS (SELECT doc_id, $band AS band, $bandHash AS bh
+          FROM sig GROUP BY doc_id, $band),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+ORDER BY j.doc_a, j.doc_b"""
+  }
+
+  val qMinhash = Q("q_dedup_minhash_lsh", run(minhashSql(SparkSql)), Some(minhashSql(DuckSql)))
+
+  // ---- SimHash (32-bit, 4 byte-bands, hamming ≤ 6) ----
+
+  private def simhashSql(d: SqlDialect): String = {
+    // token hash: first 8 md5 nibbles → 32-bit int
+    val nibble = (1 to 8)
+      .map { i =>
+        val c = s"substr(md5(t), $i, 1)"
+        s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (8 - i))} AS BIGINT)"
+      }
+      .mkString(" + ")
+    val bitSums = (0 to 31)
+      .map(j => s"sum(CASE WHEN (${d.shr("v", j.toString)} & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val pack = (0 to 31)
+      .map(j => s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""
+WITH dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
+ti AS (${d.series("doc_id, w", "nw", "j", "dwa")}),
+tok AS (SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti),
+vh AS (SELECT t, $nibble AS v FROM (SELECT DISTINCT t FROM tok)),
+bits AS (SELECT doc_id, $bitSums FROM tok JOIN vh USING (t) GROUP BY doc_id),
+sim AS (SELECT doc_id, $pack AS simhash FROM bits),
+bs AS (${d.seriesTable("2", "bseq")}),
+bb AS (SELECT doc_id, simhash, bseq - 1 AS band,
+              (${d.shr("simhash", "(bseq - 1) * 16")}) & 65535 AS bv
+       FROM sim CROSS JOIN bs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bb a JOIN bb b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(${d.xor("sa.simhash", "sb.simhash")}) AS BIGINT) AS hamming
+FROM cand c JOIN sim sa ON c.doc_a = sa.doc_id JOIN sim sb ON c.doc_b = sb.doc_id
+WHERE bit_count(${d.xor("sa.simhash", "sb.simhash")}) <= 2
+ORDER BY c.doc_a, c.doc_b"""
+  }
+
+  val qSimhash = Q("q_dedup_simhash", run(simhashSql(SparkSql)), Some(simhashSql(DuckSql)))
+
+  // ---- embedding cosine near-dup (12-bit sign-bucket LSH) ----
+
+  private def embedSql(d: SqlDialect): String = {
+    val bucket = (1 to 12)
+      .map(i => s"(CASE WHEN ${d.el("embedding", i.toString)} >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    val (normExpr, dotExpr) = d match {
+      case SparkSql => (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))",
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+      case DuckSql => (
+        "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
+        "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i))")
+    }
+    s"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings
+),
+meta AS (SELECT vec_id, embedding, $normExpr AS nrm, $bucket AS bucket FROM corpus),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+          FROM meta a JOIN meta b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b FROM pairs
+WHERE $dotExpr / (na * nb) >= 0.995
+ORDER BY vec_a, vec_b"""
+  }
+
+  val qEmbed = Q("q_dedup_embedding", run(embedSql(SparkSql)), Some(embedSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed)
+}

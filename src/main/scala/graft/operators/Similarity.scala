@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exactness baseline; per-query scan
+  *    of the corpus (the 100 TB path would shard the corpus and merge
+  *    per-shard top-k, which is exactly what Spark's window-rank over a
+  *    hash-partitioned join does);
+  *  - IVF: deterministic coarse centroids (every 200th vector), each
+  *    vector assigned to its nearest list, queries probe the top-2
+  *    lists — the classic inverted-file trade: ~nprobe/nlists of the
+  *    scan cost.
+  *
+  * Outputs are (query, rank, neighbor) only — integer-exact across
+  * engines; cosine doubles stay internal so cross-engine summation-order
+  * ulps cannot surface (ordering flips would need two cosines within
+  * ~1e-15, measure-zero for random embeddings).
+  */
+object Similarity {
+
+  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    spark.sql(sql)
+  }
+
+  private def normDot(d: SqlDialect): (String, String) = d match {
+    case SparkSql => (
+      "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))",
+      "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+    case DuckSql => (
+      "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
+      "(SELECT sum(CAST(list_extract(qe, i) AS DOUBLE) * CAST(list_extract(ne, i) AS DOUBLE)) FROM range(1, 65) t(i))")
+  }
+
+  // ---- brute-force cosine top-k ----
+
+  private def bruteSql(d: SqlDialect): String = {
+    val (norm, dot) = normDot(d)
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+          FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+scored AS (SELECT query_id, neighbor_id, $dot / (qn * nn) AS cos FROM pairs),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked
+WHERE rank <= 10
+ORDER BY query_id, rank"""
+  }
+
+  val qBrute = Q("q_ann_cosine_topk", run(bruteSql(SparkSql)), Some(bruteSql(DuckSql)))
+
+  // ---- IVF (nlists = n/200, nprobe = 2, top-5) ----
+
+  private def ivfSql(d: SqlDialect): String = {
+    val (norm, dot) = normDot(d)
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta WHERE vec_id % 200 = 0),
+ac AS (SELECT m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
+              m.nrm AS qn, c.nrm AS nn
+       FROM meta m CROSS JOIN cent c),
+acs AS (SELECT vec_id, cid, $dot / (qn * nn) AS cos FROM ac),
+asg AS (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+        FROM acs),
+members AS (SELECT vec_id, cid FROM asg WHERE rnk = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < 20 AND rnk <= 2),
+cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
+         FROM probes p JOIN members m ON p.cid = m.cid AND m.vec_id <> p.query_id),
+pairs AS (SELECT c.query_id, c.neighbor_id,
+                 q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+          FROM cand c JOIN meta q ON c.query_id = q.vec_id
+                      JOIN meta n ON c.neighbor_id = n.vec_id),
+scored AS (SELECT query_id, neighbor_id, $dot / (qn * nn) AS cos FROM pairs),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank"""
+  }
+
+  val qIvf = Q("q_ann_ivf", run(ivfSql(SparkSql)), Some(ivfSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qBrute, qIvf)
+}
