@@ -114,11 +114,18 @@ object RfDetector {
   val qRfScore = Q(
     "q_rf_train_score",
     (spark, dir) => {
+      // cache the assembled training table: RF makes O(depth × trees)
+      // passes and must not re-run the featurizer windows each time;
+      // flow tables are tiny relative to the packet stream, so a few
+      // partitions suffice
       val flows = withLabel(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
-      val res = train(flows)
-      score(res.model, flows)
-        .select("flow_id", "binary_label", "prediction", "Label")
-        .orderBy("flow_id")
+        .repartition(4).cache()
+      try {
+        val res = train(flows)
+        score(res.model, flows)
+          .select("flow_id", "binary_label", "prediction", "Label")
+          .orderBy("flow_id")
+      } finally flows.unpersist(blocking = false)
     },
     None
   )

@@ -127,14 +127,15 @@ bs AS (${d.seriesTable("2", "bseq")}),
 bb AS (SELECT doc_id, simhash, bseq - 1 AS band,
               (${d.shr("simhash", "(bseq - 1) * 16")}) & 65535 AS bv
        FROM sim CROSS JOIN bs),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
          FROM bb a JOIN bb b
            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(${d.xor("sa.simhash", "sb.simhash")}) AS BIGINT) AS hamming
-FROM cand c JOIN sim sa ON c.doc_a = sa.doc_id JOIN sim sb ON c.doc_b = sb.doc_id
-WHERE bit_count(${d.xor("sa.simhash", "sb.simhash")}) <= 2
-ORDER BY c.doc_a, c.doc_b"""
+SELECT doc_a, doc_b,
+       CAST(bit_count(${d.xor("sa", "sb")}) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(${d.xor("sa", "sb")}) <= 2
+ORDER BY doc_a, doc_b"""
   }
 
   val qSimhash = Q("q_dedup_simhash", run(simhashSql(SparkSql)), Some(simhashSql(DuckSql)))

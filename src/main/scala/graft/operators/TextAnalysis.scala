@@ -26,14 +26,14 @@ object TextAnalysis {
 WITH docs AS (SELECT doc_id, lang, text, length(text) AS nc FROM documents),
 bg AS (${d.series("doc_id, lang, text", "nc - 1", "i", "docs")}),
 bigr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bigram FROM bg),
--- per-language profile: top-20 bigrams by corpus frequency
-prof0 AS (SELECT lang, bigram, count(*) AS n FROM bigr GROUP BY lang, bigram),
+-- one distinct pass feeds both the profiles and the scoring join
+db AS (SELECT DISTINCT doc_id, lang, bigram FROM bigr),
+-- per-language profile: top-20 bigrams by document frequency
+prof0 AS (SELECT lang, bigram, count(*) AS n FROM db GROUP BY lang, bigram),
 prof AS (SELECT lang, bigram,
                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS r
          FROM prof0),
 top AS (SELECT lang AS plang, bigram FROM prof WHERE r <= 20),
--- score each doc against each profile by distinct-bigram overlap
-db AS (SELECT DISTINCT doc_id, bigram FROM bigr),
 score AS (SELECT db.doc_id, top.plang, count(*) AS hits
           FROM db JOIN top ON db.bigram = top.bigram
           GROUP BY db.doc_id, top.plang),
