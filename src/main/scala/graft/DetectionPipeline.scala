@@ -1,0 +1,64 @@
+package graft
+
+import graft.flow.{FlowFeaturizer, PacketRow}
+import graft.ingest.PacketIngest
+import graft.sink.Sinks
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's full streaming lifecycle (SURVEY.md §3.1), composed
+  * end-to-end from the engine's operators:
+  *
+  *   packet JSON stream → from_json decode (S2) → canonical flow key
+  *   (P1) → stateful featurizer with 60 s session timeout (A1) →
+  *   completed-flow filter (P3) → RF scoring (stateless transform) →
+  *   DDoS/Normal label (P2) → foreachBatch JSON sink (K1)
+  *
+  * vs the reference: no Arrow/Python boundary, only-final emission (the
+  * reference emits every-batch rows it immediately filters out,
+  * main.py:990/:1077), and the sink actually exists (main.py:1096
+  * references an undefined function).
+  */
+object DetectionPipeline {
+
+  /** Decode + featurize a raw `value`-column JSON frame. */
+  def flowsOf(raw: DataFrame, timeoutMs: Long = FlowFeaturizer.DefaultTimeoutMs)
+      : Dataset[graft.flow.FlowFeatures] = {
+    import raw.sparkSession.implicits._
+    val packets = PacketIngest.toPacketRows(PacketIngest.decodePackets(raw))
+      .na.drop(Seq("src_ip", "dst_ip", "ts_us")) // malformed JSON rows
+      .as[PacketRow]
+    FlowFeaturizer.featurize(packets, timeoutMs)
+  }
+
+  /** Score finalized flows and attach the P2 label. */
+  def scored(flows: DataFrame, model: PipelineModel): DataFrame =
+    model.transform(flows.filter(instr(col("flow_id"), "_TIMEOUT") > 0))
+      .withColumn("Label", when(col("prediction") === 1.0, "DDoS").otherwise("Normal"))
+      .select("flow_id", "source_ip", "destination_ip", "timestamp_us",
+        "prediction", "Label")
+
+  /** Full pipeline: raw JSON stream → labeled completed flows → JSON
+    * files under outDir (one dir per micro-batch).
+    */
+  def start(raw: DataFrame, model: PipelineModel, outDir: String,
+      checkpoint: String, timeoutMs: Long = FlowFeaturizer.DefaultTimeoutMs,
+      triggerInterval: String = "5 seconds"): StreamingQuery = {
+    val flows = flowsOf(raw, timeoutMs)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    flows.toDF
+      .writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = scored(batch, model)
+        if (!out.isEmpty) Sinks.writeNdjson(out, s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+}

@@ -24,9 +24,11 @@ object SparkEntry {
       operators.Multimodal.all ++
       ml.RfDetector.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The engine's core: the 82-column flow featurization.
+    */
   def entry(spark: SparkSession): DataFrame =
-    catalog.head.run(spark, "/root/testdata/sf0.001")
+    flow.BatchFlowFeaturizer.qFlowFeatures.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

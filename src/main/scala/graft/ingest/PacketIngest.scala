@@ -70,7 +70,10 @@ object PacketIngest {
     */
   def toPacketRows(decoded: DataFrame): DataFrame =
     decoded.selectExpr(
-      "monotonically_increasing_id() AS event_id",
+      // deterministic per-row id (streaming-safe, unlike
+      // monotonically_increasing_id): only used as a stable sort
+      // tiebreak for identical timestamps within a flow
+      "xxhash64(src_ip, dst_ip, src_port, dst_port, timestamp, length) AS event_id",
       "unix_micros(timestamp) AS ts_us",
       "CAST(protocol AS BIGINT) AS protocol",
       "CAST(length AS BIGINT) AS length",
