@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Cleaning.all ++
       operators.Detection.all ++
       operators.Sessionize.all ++
+      operators.RateWindow.all ++
       operators.Joins.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

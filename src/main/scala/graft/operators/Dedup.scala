@@ -29,6 +29,7 @@ object Dedup {
   private val IdShift = 10000000L
 
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(sql)
@@ -146,13 +147,15 @@ ORDER BY doc_a, doc_b"""
     val bucket = (1 to 12)
       .map(i => s"(CASE WHEN ${d.el("embedding", i.toString)} >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
       .mkString(" + ")
-    val (normExpr, dotExpr) = d match {
+    // Spark side: native codegen'd expression; oracle: identical
+    // sequential math (see Similarity.normCos)
+    val (normExpr, cosExpr) = d match {
       case SparkSql => (
-        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))",
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+        "CAST(0 AS DOUBLE)",
+        "cosine_similarity(ea, eb)")
       case DuckSql => (
         "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
-        "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i))")
+        "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i)) / (na * nb)")
     }
     s"""
 WITH corpus AS (
@@ -166,7 +169,7 @@ pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           FROM meta a JOIN meta b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b FROM pairs
-WHERE $dotExpr / (na * nb) >= 0.995
+WHERE $cosExpr >= 0.995
 ORDER BY vec_a, vec_b"""
   }
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.flow.PacketRow
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window packet-rate detection — the windowed-aggregation
+  * formulation of DDoS detection (BASELINE.json spark_approach): packets
+  * per source per minute, alert when the rate crosses a threshold.
+  *
+  * Batch version is oracle-checked (window start = integer floor of the
+  * µs timestamp); the streaming version uses real event-time
+  * `window()` + watermark — the surface the reference never exercised
+  * (it hand-rolls sessions in state instead, SURVEY.md §2.6).
+  *
+  * Scale: tumbling windows are a single map-side-combinable hash
+  * aggregate on (src_ip, window) — no state beyond the open windows,
+  * bounded by the watermark.
+  */
+object RateWindow {
+
+  val WindowUs: Long = 60L * 1000000
+  val AlertPackets = 8L
+
+  val qRateWindow = Q(
+    "q_rate_window",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.flow.BatchFlowFeaturizer
+        .packetsFromEvents(Tables.events(spark, dir))
+        .groupBy($"src_ip",
+          ($"ts_us" - ($"ts_us" % WindowUs)).as("window_start_us"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          sum($"length").as("n_bytes"),
+          sum($"syn_flag").as("n_syn"))
+        .withColumn("alert", $"n_packets" >= AlertPackets)
+        .orderBy($"src_ip", $"window_start_us")
+    },
+    Some {
+      import graft.flow.FlowFeatureSql._
+      s"""WITH p0 AS (SELECT ${packetStage0(DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${packetStage1.mkString(", ")} FROM p0)
+SELECT src_ip, ts_us - (ts_us % $WindowUs) AS window_start_us,
+       count(*) AS n_packets,
+       CAST(sum(length) AS BIGINT) AS n_bytes,
+       CAST(sum(syn_flag) AS BIGINT) AS n_syn,
+       count(*) >= $AlertPackets AS alert
+FROM packets
+GROUP BY src_ip, ts_us - (ts_us % $WindowUs)
+ORDER BY src_ip, window_start_us"""
+    }
+  )
+
+  /** Streaming variant: event-time tumbling window with a watermark
+    * bounding open-window state; append mode emits each window once,
+    * when the watermark passes its end.
+    */
+  def streamingRates(packets: Dataset[PacketRow], watermark: String = "2 minutes"): DataFrame = {
+    import packets.sparkSession.implicits._
+    packets
+      .withColumn("event_time", timestamp_micros($"ts_us"))
+      .withWatermark("event_time", watermark)
+      .groupBy($"src_ip", window($"event_time", "1 minute"))
+      .agg(count(lit(1)).as("n_packets"), sum($"length").as("n_bytes"))
+      .withColumn("alert", $"n_packets" >= AlertPackets)
+      .select($"src_ip", $"window.start".as("window_start"),
+        $"n_packets", $"n_bytes", $"alert")
+  }
+
+  val all: Seq[Q] = Seq(qRateWindow)
+}

@@ -53,5 +53,26 @@ object Relational {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1)
+  /** Distinct aggregation (absent in the reference, SURVEY.md §2.4 —
+    * part of a complete engine surface): exact distinct counts shuffle
+    * on (group, distinct-key) with partial aggregation.
+    */
+  val qDistinct = Q(
+    "q_distinct_users",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1, qDistinct)
 }

@@ -23,29 +23,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Similarity {
 
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
     spark.sql(sql)
   }
 
-  private def normDot(d: SqlDialect): (String, String) = d match {
+  /** (norm expr, cosine expr over pair cols qe/ne/qn/nn). The Spark side
+    * uses the native codegen'd expression
+    * (graft.functions.CosineSimilarity) — one fused loop, no per-row
+    * lambda interpretation or intermediate arrays; the oracle spells out
+    * the same sequential float→double math, so doubles stay bit-equal.
+    */
+  private[operators] def normCos(d: SqlDialect): (String, String) = d match {
     case SparkSql => (
-      "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))",
-      "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+      "CAST(0 AS DOUBLE)", // norm column unused on this side (pruned)
+      "cosine_similarity(qe, ne)")
     case DuckSql => (
       "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
-      "(SELECT sum(CAST(list_extract(qe, i) AS DOUBLE) * CAST(list_extract(ne, i) AS DOUBLE)) FROM range(1, 65) t(i))")
+      "(SELECT sum(CAST(list_extract(qe, i) AS DOUBLE) * CAST(list_extract(ne, i) AS DOUBLE)) FROM range(1, 65) t(i)) / (qn * nn)")
   }
 
   // ---- brute-force cosine top-k ----
 
   private def bruteSql(d: SqlDialect): String = {
-    val (norm, dot) = normDot(d)
+    val (norm, cos) = normCos(d)
     s"""
 WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
 pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
           FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
-scored AS (SELECT query_id, neighbor_id, $dot / (qn * nn) AS cos FROM pairs),
+scored AS (SELECT query_id, neighbor_id, $cos AS cos FROM pairs),
 ranked AS (SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
@@ -59,14 +66,14 @@ ORDER BY query_id, rank"""
   // ---- IVF (nlists = n/200, nprobe = 2, top-5) ----
 
   private def ivfSql(d: SqlDialect): String = {
-    val (norm, dot) = normDot(d)
+    val (norm, cos) = normCos(d)
     s"""
 WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
 cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta WHERE vec_id % 200 = 0),
 ac AS (SELECT m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
               m.nrm AS qn, c.nrm AS nn
        FROM meta m CROSS JOIN cent c),
-acs AS (SELECT vec_id, cid, $dot / (qn * nn) AS cos FROM ac),
+acs AS (SELECT vec_id, cid, $cos AS cos FROM ac),
 asg AS (SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
         FROM acs),
@@ -78,7 +85,7 @@ pairs AS (SELECT c.query_id, c.neighbor_id,
                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
           FROM cand c JOIN meta q ON c.query_id = q.vec_id
                       JOIN meta n ON c.neighbor_id = n.vec_id),
-scored AS (SELECT query_id, neighbor_id, $dot / (qn * nn) AS cos FROM pairs),
+scored AS (SELECT query_id, neighbor_id, $cos AS cos FROM pairs),
 ranked AS (SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
