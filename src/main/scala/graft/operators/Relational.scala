@@ -74,5 +74,51 @@ object Relational {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1, qDistinct)
+  /** Skew-aware two-phase aggregation: salt the hot key space, partial-
+    * aggregate per (key, salt), then finalize per key. Result is
+    * identical to a direct groupBy (the oracle), but the first exchange
+    * spreads a heavy-hitter key over 16 reducers — the pattern for
+    * skewed keys at scale (AQE handles join skew; aggregation skew needs
+    * this).
+    */
+  val qSalted = Q(
+    "q_heavy_hitters_salted",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+        .groupBy($"user_id", $"salt")
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("pv"))
+        .groupBy($"user_id")
+        .agg(
+          sum($"pn").as("n_events"),
+          (sum($"pv") / 100.0).as("total_value"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id
+    """)
+  )
+
+  /** Sketch-based distinct (HLL): approximate result differs across
+    * engines by construction — rows-only check; exactness is covered by
+    * q_distinct_users.
+    */
+  val qApproxDistinct = Q(
+    "q_approx_distinct_users",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .orderBy($"event_type")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q1, qDistinct, qSalted, qApproxDistinct)
 }
