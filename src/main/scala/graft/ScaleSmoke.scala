@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicates the sf0.1 events table N× with
+  * shifted user ids (→ N× distinct flows, N× packets) and times the
+  * batch featurizer at each multiple. Near-linear growth here is the
+  * local evidence that the one-shuffle featurizer plan scales with data
+  * rather than with anything quadratic.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [multiples...]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val multiples = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val spark = GraftSession.getOrCreate()
+    val packets = flow.BatchFlowFeaturizer
+      .packetsFromEvents(Tables.events(spark, sfDir)).cache()
+    val baseRows = packets.count()
+    val results = multiples.map { m =>
+      // remap the ip space per replica: flows AND packets scale ×m
+      val multiplied = packets
+        .crossJoin(spark.range(m).toDF("rep"))
+        .withColumn("src_ip", concat(col("rep"), lit("."), col("src_ip")))
+        .withColumn("dst_ip", concat(col("rep"), lit("."), col("dst_ip")))
+        .withColumn("event_id", col("event_id") + col("rep") * lit(100000000L))
+        .drop("rep")
+      val t0 = System.nanoTime()
+      val flows = flow.BatchFlowFeaturizer.features(multiplied).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] x$m%-3d packets=${baseRows * m}%9d flows=$flows%8d  $sec%7.2f s  (${baseRows * m / sec / 1e6}%.2f Mpkt/s)")
+      (m, sec)
+    }
+    val (m0, t0) = results.head
+    val (mN, tN) = results.last
+    println(f"[scale] growth: input x${mN / m0} -> time x${tN / t0}%.1f")
+    spark.stop()
+  }
+}

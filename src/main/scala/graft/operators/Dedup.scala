@@ -53,18 +53,24 @@ ORDER BY text_hash"""
 
   // ---- shared shingle CTEs (word 5-grams) ----
 
-  private def shingleCtes(d: SqlDialect): String = s"""
+  private def shingleBase(d: SqlDialect): String = s"""
 dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
 dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
 idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
 sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx),
-sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+
+  /** Exact pairwise Jaccard over a shingle relation. */
+  private def jacCtes(shRel: String): String = s"""
 it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       FROM $shRel a JOIN $shRel b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id),
 jac AS (SELECT doc_a, doc_b,
                CAST(ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - ic AS DOUBLE) AS jaccard
         FROM it JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)"""
+
+  private def shingleCtes(d: SqlDialect): String =
+    s"${shingleBase(d)},${jacCtes("sh")}"
 
   // ---- n-gram Jaccard near-dup ----
 
@@ -83,8 +89,8 @@ ORDER BY doc_a, doc_b"""
     val bandHash = (0 to 3)
       .map(r => s"min(CASE WHEN (k - 1) % 4 = $r THEN h END)")
       .mkString("md5(", " || ", ")")
-    s"""
-WITH ${shingleCtes(d)},
+    // LSH core: signatures → bands → candidate pairs
+    val lsh = s"""
 ks AS (${d.seriesTable("12", "k")}),
 sig AS (SELECT doc_id, k, min(md5(CAST(k AS STRING) || ':' || shingle)) AS h
         FROM sh CROSS JOIN ks GROUP BY doc_id, k),
@@ -92,11 +98,30 @@ bands AS (SELECT doc_id, $band AS band, $bandHash AS bh
           FROM sig GROUP BY doc_id, $band),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+    d match {
+      case SparkSql =>
+        // the engine verifies ONLY candidate pairs: shingles are first
+        // semi-joined to candidate docs, so the exact-Jaccard pass costs
+        // O(candidates), not O(all sharing pairs) — the LSH payoff
+        s"""
+WITH ${shingleBase(d)},$lsh,
+cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b AS doc_id FROM cand),
+sh_c AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs ON sh.doc_id = cdocs.doc_id),${jacCtes("sh_c")}
 SELECT j.doc_a, j.doc_b, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= 0.5
 ORDER BY j.doc_a, j.doc_b"""
+      case DuckSql =>
+        // oracle keeps the simple brute-force shape; inner-joining cand
+        // against all-pair Jaccard yields identical rows
+        s"""
+WITH ${shingleCtes(d)},$lsh
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+ORDER BY j.doc_a, j.doc_b"""
+    }
   }
 
   val qMinhash = Q("q_dedup_minhash_lsh", run(minhashSql(SparkSql)), Some(minhashSql(DuckSql)))
