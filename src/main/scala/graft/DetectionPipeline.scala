@@ -40,6 +40,15 @@ object DetectionPipeline {
       .select("flow_id", "source_ip", "destination_ip", "timestamp_us",
         "prediction", "Label")
 
+  /** Switch streaming state to RocksDB: at production scale the flow
+    * state (one entry per live flow) must spill instead of living in
+    * executor heap like the default HDFS-backed provider. Session-level
+    * conf — call before starting queries.
+    */
+  def useRocksDbState(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Full pipeline: raw JSON stream → labeled completed flows → JSON
     * files under outDir (one dir per micro-batch).
     */

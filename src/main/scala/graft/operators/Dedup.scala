@@ -35,6 +35,21 @@ object Dedup {
     spark.sql(sql)
   }
 
+  /** Spark side only: materialize the shingle relation once as a cached
+    * view. SQL CTEs are inlined per reference — without this, the
+    * explode+distinct subtree re-executes for every mention (sig, both
+    * sides of the pair join, sizes): ~6 recomputations in the LSH query.
+    * The cache manager dedupes by plan, so all shingle-based queries in
+    * a session share one materialization per table.
+    */
+  private def runWithShingles(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val sh = spark.sql(s"WITH ${shingleCore(SparkSql)} SELECT doc_id, shingle FROM sh")
+    sh.cache().createOrReplaceTempView("sh_v")
+    spark.sql(sql)
+  }
+
   // ---- exact dedup (hash-groupBy) ----
 
   private def exactSql(d: SqlDialect): String = s"""
@@ -53,12 +68,20 @@ ORDER BY text_hash"""
 
   // ---- shared shingle CTEs (word 5-grams) ----
 
-  private def shingleBase(d: SqlDialect): String = s"""
+  private[operators] def shingleCore(d: SqlDialect): String = s"""
 dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
 dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
 idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
-sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx)"""
+
+  private def shingleBase(d: SqlDialect): String = d match {
+    // Spark: read the cached materialization (see runWithShingles)
+    case SparkSql => """
+sh AS (SELECT doc_id, shingle FROM sh_v),
 sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+    case DuckSql => s"""${shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+  }
 
   /** Exact pairwise Jaccard over a shingle relation. */
   private def jacCtes(shRel: String): String = s"""
@@ -80,7 +103,7 @@ SELECT doc_a, doc_b, jaccard FROM jac
 WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b"""
 
-  val qNgram = Q("q_dedup_ngram_jaccard", run(ngramSql(SparkSql)), Some(ngramSql(DuckSql)))
+  val qNgram = Q("q_dedup_ngram_jaccard", runWithShingles(ngramSql(SparkSql)), Some(ngramSql(DuckSql)))
 
   // ---- MinHash + LSH (12 hashes, 3 bands × 4 rows) ----
 
@@ -124,7 +147,7 @@ ORDER BY j.doc_a, j.doc_b"""
     }
   }
 
-  val qMinhash = Q("q_dedup_minhash_lsh", run(minhashSql(SparkSql)), Some(minhashSql(DuckSql)))
+  val qMinhash = Q("q_dedup_minhash_lsh", runWithShingles(minhashSql(SparkSql)), Some(minhashSql(DuckSql)))
 
   // ---- SimHash (32-bit, 4 byte-bands, hamming ≤ 6) ----
 
@@ -142,10 +165,15 @@ ORDER BY j.doc_a, j.doc_b"""
     val pack = (0 to 31)
       .map(j => s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    s"""
-WITH dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
+    val tokCte = d match {
+      // Spark: cached materialization (tok feeds both vh and the join)
+      case SparkSql => "tok AS (SELECT doc_id, t FROM tok_v)"
+      case DuckSql => s"""dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
 ti AS (${d.series("doc_id, w", "nw", "j", "dwa")}),
-tok AS (SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti),
+tok AS (SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti)"""
+    }
+    s"""
+WITH $tokCte,
 vh AS (SELECT t, $nibble AS v FROM (SELECT DISTINCT t FROM tok)),
 bits AS (SELECT doc_id, $bitSums FROM tok JOIN vh USING (t) GROUP BY doc_id),
 sim AS (SELECT doc_id, $pack AS simhash FROM bits),
@@ -164,7 +192,17 @@ WHERE bit_count(${d.xor("sa", "sb")}) <= 2
 ORDER BY doc_a, doc_b"""
   }
 
-  val qSimhash = Q("q_dedup_simhash", run(simhashSql(SparkSql)), Some(simhashSql(DuckSql)))
+  private def runWithTokens(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val d = SparkSql
+    val tok = spark.sql(s"""WITH dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
+ti AS (${d.series("doc_id, w", "nw", "j", "dwa")})
+SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti""")
+    tok.cache().createOrReplaceTempView("tok_v")
+    spark.sql(sql)
+  }
+
+  val qSimhash = Q("q_dedup_simhash", runWithTokens(simhashSql(SparkSql)), Some(simhashSql(DuckSql)))
 
   // ---- embedding cosine near-dup (12-bit sign-bucket LSH) ----
 

@@ -22,12 +22,21 @@ object TextAnalysis {
 
   // ---- language ID (Cavnar-Trenkle-style char-bigram profiles) ----
 
-  private def langidSql(d: SqlDialect): String = s"""
-WITH docs AS (SELECT doc_id, lang, text, length(text) AS nc FROM documents),
+  private def dbCore(d: SqlDialect): String = s"""
+docs AS (SELECT doc_id, lang, text, length(text) AS nc FROM documents),
 bg AS (${d.series("doc_id, lang, text", "nc - 1", "i", "docs")}),
 bigr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bigram FROM bg),
--- one distinct pass feeds both the profiles and the scoring join
-db AS (SELECT DISTINCT doc_id, lang, bigram FROM bigr),
+db AS (SELECT DISTINCT doc_id, lang, bigram FROM bigr)"""
+
+  private def langidSql(d: SqlDialect): String = {
+    // db feeds both the profiles and the scoring join; Spark reads the
+    // cached materialization (CTEs are inlined per reference)
+    val head = d match {
+      case SparkSql => "docs AS (SELECT doc_id, lang FROM documents),\ndb AS (SELECT doc_id, lang, bigram FROM db_v),"
+      case DuckSql  => s"${dbCore(d)},"
+    }
+    s"""
+WITH $head
 -- per-language profile: top-20 bigrams by document frequency
 prof0 AS (SELECT lang, bigram, count(*) AS n FROM db GROUP BY lang, bigram),
 prof AS (SELECT lang, bigram,
@@ -43,8 +52,16 @@ best AS (SELECT doc_id, plang, hits,
 SELECT d.doc_id, d.lang AS actual_lang, b.plang AS predicted_lang, b.hits
 FROM docs d JOIN best b ON d.doc_id = b.doc_id AND b.r = 1
 ORDER BY d.doc_id"""
+  }
 
-  val qLangId = Q("q_text_langid", run(langidSql(SparkSql)), Some(langidSql(DuckSql)))
+  private def runWithBigrams(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val db = spark.sql(s"WITH ${dbCore(SparkSql)} SELECT doc_id, lang, bigram FROM db")
+    db.cache().createOrReplaceTempView("db_v")
+    spark.sql(sql)
+  }
+
+  val qLangId = Q("q_text_langid", runWithBigrams(langidSql(SparkSql)), Some(langidSql(DuckSql)))
 
   // ---- quality scoring ----
 
