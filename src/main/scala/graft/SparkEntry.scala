@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Sessionize.all ++
       operators.RateWindow.all ++
       operators.Joins.all ++
+      operators.AsOfJoin.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
