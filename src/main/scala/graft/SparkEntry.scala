@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Detection.all ++
       operators.Sessionize.all ++
       operators.RateWindow.all ++
+      operators.MultiDimAgg.all ++
       operators.Joins.all ++
       operators.AsOfJoin.all ++
       operators.Dedup.all ++

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation surface: rollup hierarchies, pivot,
+  * and Spark's native session_window (the declarative alternative to
+  * the reference's hand-rolled stateful sessions).
+  *
+  * Scale: rollup/pivot are single-pass hash aggregates (rollup expands
+  * grouping sets map-side); session_window is a gap-merge aggregation
+  * clustering on the user key — same single shuffle as q_sessionize.
+  */
+object MultiDimAgg {
+
+  private val revCents =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+  /** Rollup over the region→nation hierarchy; grouping nulls are
+    * coalesced to 'ALL' so cross-engine null-ordering never matters.
+    */
+  val qRollup = Q(
+    "q_rollup_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg((sum(expr(revCents)) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .select(
+          coalesce($"r_name", lit("ALL")).as("region"),
+          coalesce($"n_name", lit("ALL")).as("nation"),
+          $"revenue", $"n_items")
+        .orderBy("region", "nation")
+    },
+    Some(s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       CAST(sum($revCents) AS BIGINT) / 10000.0 AS revenue, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation""")
+  )
+
+  /** Pivot: events per (user bucket) × event_type, fixed pivot values so
+    * columns are stable; oracle is the CASE-sum spelling.
+    */
+  val qPivot = Q(
+    "q_pivot_event_types",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("bucket", $"user_id" % 10)
+        .groupBy($"bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("bucket")
+    },
+    Some("""SELECT user_id % 10 AS bucket,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id % 10 ORDER BY bucket""")
+  )
+
+  /** Native session_window gap-merge (30 min), equivalent to the
+    * hand-rolled lag/cumsum sessionization — the oracle derives session
+    * bounds the manual way; end = last event + gap per Spark semantics.
+    */
+  val qSessionWindow = Q(
+    "q_session_window",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(spark, dir)
+        .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
+          "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
+        .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .selectExpr("user_id",
+          "unix_micros(session_window.start) AS session_start_us",
+          "unix_micros(session_window.end) AS session_end_us",
+          "n_events")
+        .orderBy("user_id", "session_start_us")
+    },
+    Some(s"""WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > ${Sessionize.GapUs}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) + ${Sessionize.GapUs} AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us""")
+  )
+
+  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow)
+}
