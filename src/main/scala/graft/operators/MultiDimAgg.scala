@@ -108,5 +108,38 @@ FROM sess GROUP BY user_id, sid
 ORDER BY user_id, session_start_us""")
   )
 
-  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow)
+  /** Discrete percentiles (p50/p90/p99) per group via row_number — the
+    * element-picking formulation is integer-deterministic across
+    * engines, unlike interpolated quantiles whose fp path differs.
+    */
+  val qPercentiles = Q(
+    "q_percentiles_disc",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      val ranked = Tables.events(spark, dir)
+        .select($"event_type", $"value", $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      def pick(p: Double, name: String) =
+        max(when($"rn" === ceil(lit(p) * $"n").cast("int"), $"value")).as(name)
+      ranked.groupBy($"event_type")
+        .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS INT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS INT) THEN value END) AS p99
+FROM ranked GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles)
 }
