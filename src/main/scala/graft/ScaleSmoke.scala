@@ -35,6 +35,36 @@ object ScaleSmoke {
     val (m0, t0) = results.head
     val (mN, tN) = results.last
     println(f"[scale] growth: input x${mN / m0} -> time x${tN / t0}%.1f")
+
+    // streaming path: same multiplied packets through the stateful
+    // operator (state store + typed encoders are the extra cost vs the
+    // batch window plan)
+    if (sys.env.get("SPARK_GRAFT_SCALE_STREAM").forall(_ == "1")) {
+      import spark.implicits._
+      val m = multiples.last
+      val dir = java.nio.file.Files.createTempDirectory("scale_stream").toString
+      packets
+        .crossJoin(spark.range(m).toDF("rep"))
+        .withColumn("src_ip", concat(col("rep"), lit("."), col("src_ip")))
+        .withColumn("dst_ip", concat(col("rep"), lit("."), col("dst_ip")))
+        .withColumn("event_id", col("event_id") + col("rep") * lit(100000000L))
+        .drop("rep")
+        .write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[graft.flow.PacketRow]].schema)
+        .parquet(dir).as[graft.flow.PacketRow]
+      val t0s = System.nanoTime()
+      val q = graft.flow.FlowFeaturizer
+        .featurize(stream, timeoutMs = 0, emitOnUpdate = true)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("scale_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0s) / 1e9
+      val flows = spark.table("scale_stream").count()
+      println(f"[scale] streaming x$m%-3d packets=${baseRows * m}%9d flows=$flows%8d  $sec%7.2f s  (${baseRows * m / sec / 1e6}%.2f Mpkt/s)")
+    }
     spark.stop()
   }
 }
