@@ -39,48 +39,58 @@ object FlowFeaturizer {
   def foldBatch(init: Option[FlowState], packets: Seq[PacketRow]): FlowState = {
     require(packets.nonEmpty)
     val sorted = packets.sortBy(p => (p.ts_us, p.event_id))
-    var s = init.getOrElse(FlowState.init(sorted.head))
+    val s0 = init.getOrElse(FlowState.init(sorted.head))
+    // mutable mirror for the hot loop; same math, no per-packet copies
+    val fwdLen = MutAcc.of(s0.fwdLen); val bwdLen = MutAcc.of(s0.bwdLen)
+    val fwdIat = MutAcc.of(s0.fwdIat); val bwdIat = MutAcc.of(s0.bwdIat)
+    val flowIat = MutAcc.of(s0.flowIat)
+    var lastUs = s0.lastUs
+    var prevFwdUs = s0.prevFwdUs; var prevBwdUs = s0.prevBwdUs
+    var prevFlowUs = s0.prevFlowUs
+    var fin = s0.fin; var syn = s0.syn; var rst = s0.rst; var psh = s0.psh
+    var ack = s0.ack; var urg = s0.urg; var cwr = s0.cwr; var ece = s0.ece
+    var fwdPsh = s0.fwdPsh; var bwdPsh = s0.bwdPsh
+    var fwdUrg = s0.fwdUrg; var bwdUrg = s0.bwdUrg
+    var fwdHdr = s0.fwdHdr; var bwdHdr = s0.bwdHdr
+    var actDataFwd = s0.actDataFwd
+    var fwdBulkBytes = s0.fwdBulkBytes; var fwdBulkPkts = s0.fwdBulkPkts
+    var bwdBulkBytes = s0.bwdBulkBytes; var bwdBulkPkts = s0.bwdBulkPkts
     var fwdBulk = false
     var bwdBulk = false
     for (p <- sorted) {
-      val fwd = isFwd(s, p)
+      val fwd = isFwd(s0, p)
       val hdr = if (p.protocol == 6) 20L else 8L
       // whole-flow IAT seam (main.py:807-819)
-      val flowIat = if (s.prevFlowUs != FlowState.Unset) s.flowIat.add(p.ts_us - s.prevFlowUs) else s.flowIat
-      s = s.copy(
-        lastUs = math.max(s.lastUs, p.ts_us),
-        prevFlowUs = p.ts_us,
-        flowIat = flowIat,
-        fin = s.fin + p.fin_flag, syn = s.syn + p.syn_flag,
-        rst = s.rst + p.rst_flag, psh = s.psh + p.psh_flag,
-        ack = s.ack + p.ack_flag, urg = s.urg + p.urg_flag,
-        cwr = s.cwr + p.cwr_flag, ece = s.ece + p.ece_flag)
+      if (prevFlowUs != FlowState.Unset) flowIat.add(p.ts_us - prevFlowUs)
+      if (p.ts_us > lastUs) lastUs = p.ts_us
+      prevFlowUs = p.ts_us
+      fin += p.fin_flag; syn += p.syn_flag; rst += p.rst_flag; psh += p.psh_flag
+      ack += p.ack_flag; urg += p.urg_flag; cwr += p.cwr_flag; ece += p.ece_flag
       if (fwd) {
-        val iat = if (s.prevFwdUs != FlowState.Unset) s.fwdIat.add(p.ts_us - s.prevFwdUs) else s.fwdIat
+        if (prevFwdUs != FlowState.Unset) fwdIat.add(p.ts_us - prevFwdUs)
         if (p.length > 1000) {
-          fwdBulk = true
-          s = s.copy(fwdBulkBytes = s.fwdBulkBytes + p.length, fwdBulkPkts = s.fwdBulkPkts + 1)
+          fwdBulk = true; fwdBulkBytes += p.length; fwdBulkPkts += 1
         }
-        s = s.copy(
-          fwdLen = s.fwdLen.add(p.length), fwdIat = iat, prevFwdUs = p.ts_us,
-          fwdPsh = s.fwdPsh + p.psh_flag, fwdUrg = s.fwdUrg + p.urg_flag,
-          fwdHdr = s.fwdHdr + hdr,
-          actDataFwd = s.actDataFwd + (if (p.tcp_len > 0 || p.udp_len > 0) 1L else 0L))
+        fwdLen.add(p.length); prevFwdUs = p.ts_us
+        fwdPsh += p.psh_flag; fwdUrg += p.urg_flag; fwdHdr += hdr
+        if (p.tcp_len > 0 || p.udp_len > 0) actDataFwd += 1
       } else {
-        val iat = if (s.prevBwdUs != FlowState.Unset) s.bwdIat.add(p.ts_us - s.prevBwdUs) else s.bwdIat
+        if (prevBwdUs != FlowState.Unset) bwdIat.add(p.ts_us - prevBwdUs)
         if (p.length > 1000) {
-          bwdBulk = true
-          s = s.copy(bwdBulkBytes = s.bwdBulkBytes + p.length, bwdBulkPkts = s.bwdBulkPkts + 1)
+          bwdBulk = true; bwdBulkBytes += p.length; bwdBulkPkts += 1
         }
-        s = s.copy(
-          bwdLen = s.bwdLen.add(p.length), bwdIat = iat, prevBwdUs = p.ts_us,
-          bwdPsh = s.bwdPsh + p.psh_flag, bwdUrg = s.bwdUrg + p.urg_flag,
-          bwdHdr = s.bwdHdr + hdr)
+        bwdLen.add(p.length); prevBwdUs = p.ts_us
+        bwdPsh += p.psh_flag; bwdUrg += p.urg_flag; bwdHdr += hdr
       }
     }
-    s.copy(
-      fwdBulkCount = s.fwdBulkCount + (if (fwdBulk) 1L else 0L),
-      bwdBulkCount = s.bwdBulkCount + (if (bwdBulk) 1L else 0L))
+    FlowState(
+      s0.flowSrcIp, s0.flowDstIp, s0.flowSrcPort, s0.flowDstPort, s0.protocol,
+      s0.firstUs, lastUs, prevFwdUs, prevBwdUs, prevFlowUs,
+      fwdLen.toAcc, bwdLen.toAcc, fwdIat.toAcc, bwdIat.toAcc, flowIat.toAcc,
+      fin, syn, rst, psh, ack, urg, cwr, ece,
+      fwdPsh, bwdPsh, fwdUrg, bwdUrg, fwdHdr, bwdHdr, actDataFwd,
+      fwdBulkBytes, fwdBulkPkts, s0.fwdBulkCount + (if (fwdBulk) 1L else 0L),
+      bwdBulkBytes, bwdBulkPkts, s0.bwdBulkCount + (if (bwdBulk) 1L else 0L))
   }
 
   // ---- feature emission (mirrors FlowFeatureSql.finalExprs bit-for-bit) ----

@@ -40,9 +40,8 @@ object FlowKey {
   */
 case class Acc(n: Long, sum: Long, sqHi: Long, sqLo: Long, mn: Long, mx: Long) {
   def add(x: Long): Acc = {
-    val sq = BigInt(x) * BigInt(x)
     Acc(n + 1, sum + x,
-      sqHi + (sq >> 30).toLong, sqLo + (sq & Acc.Mask).toLong,
+      sqHi + Acc.sqHiOf(x), sqLo + Acc.sqLoOf(x),
       math.min(mn, x), math.max(mx, x))
   }
   def sumsqD: Double = ((BigInt(sqHi) << 30) + BigInt(sqLo)).toDouble
@@ -52,6 +51,37 @@ case class Acc(n: Long, sum: Long, sqHi: Long, sqLo: Long, mn: Long, mx: Long) {
 object Acc {
   val Mask: Long = (1L << 30) - 1
   val empty: Acc = Acc(0L, 0L, 0L, 0L, Long.MaxValue, Long.MinValue)
+
+  /** allocation-free exact x² split: the 128-bit square via
+    * multiplyHigh, shifted into the (hi<<30 | lo) accumulator words.
+    * Valid for x ≥ 0 (lengths and IATs are non-negative).
+    */
+  def sqHiOf(x: Long): Long = {
+    val lo64 = x * x // low 64 bits (wrapping)
+    val hi64 = java.lang.Math.multiplyHigh(x, x)
+    (hi64 << 34) | (lo64 >>> 30)
+  }
+  def sqLoOf(x: Long): Long = (x * x) & Mask
+}
+
+/** Mutable fold mirror of the five Acc families + counters — the
+  * per-packet hot loop must not copy the 40-field immutable state
+  * (2-4 case-class copies per packet showed up as the dominant
+  * streaming cost). Converted to/from the immutable FlowState at
+  * micro-batch boundaries only.
+  */
+private[flow] final class MutAcc(var n: Long, var sum: Long, var sqHi: Long,
+    var sqLo: Long, var mn: Long, var mx: Long) {
+  def add(x: Long): Unit = {
+    n += 1; sum += x
+    sqHi += Acc.sqHiOf(x); sqLo += Acc.sqLoOf(x)
+    if (x < mn) mn = x
+    if (x > mx) mx = x
+  }
+  def toAcc: Acc = Acc(n, sum, sqHi, sqLo, mn, mx)
+}
+private[flow] object MutAcc {
+  def of(a: Acc): MutAcc = new MutAcc(a.n, a.sum, a.sqHi, a.sqLo, a.mn, a.mx)
 }
 
 /** Per-flow state: orientation from the first observed packet, exact
