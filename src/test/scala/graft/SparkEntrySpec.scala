@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants — cheap guards against a future round
+  * silently breaking the t1/t2 gates.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("query names are unique and every oracle key has a query") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.toSeq)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every oracle ends in a total ORDER BY (hash-compare determinism)") {
+    for ((n, sql) <- SparkEntry.oracleSql)
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$n lacks ORDER BY")
+  }
+
+  test("entry (flagship smoke) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("catalog covers the north-star operator families") {
+    val names = SparkEntry.queries.keySet
+    for (required <- Seq("q_flow_features", "q_flow_features_stream",
+        "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+        "q_dedup_ngram_jaccard", "q_dedup_embedding",
+        "q_ann_cosine_topk", "q_ann_ivf",
+        "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
+        "q_multimodal_decode", "q_rf_train_score"))
+      assert(names.contains(required), s"missing $required")
+  }
+}
