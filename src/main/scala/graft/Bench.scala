@@ -27,13 +27,24 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a broken query must not bench silently
+          System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt wraps program stdout in [info] prefixes, so ALSO persist the
+    // metric line to a file the driver can read verbatim
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(line)
   }
 }

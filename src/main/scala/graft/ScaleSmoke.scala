@@ -39,7 +39,7 @@ object ScaleSmoke {
     // streaming path: same multiplied packets through the stateful
     // operator (state store + typed encoders are the extra cost vs the
     // batch window plan)
-    if (sys.env.get("SPARK_GRAFT_SCALE_STREAM").forall(_ == "1")) {
+    if (sys.env.get("SPARK_GRAFT_SCALE_STREAM").contains("1")) { // opt-in
       import spark.implicits._
       val m = multiples.last
       val dir = java.nio.file.Files.createTempDirectory("scale_stream").toString

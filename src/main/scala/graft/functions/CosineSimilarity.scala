@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd cosine similarity over two float-array columns.
   *
@@ -17,13 +18,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * float→double casts, sequential left-to-right summation, IEEE sqrt —
   * so DuckDB oracles built on the sequential form stay bit-compatible.
   * Null if either side is null; 0.0 if either norm is 0.
+  *
+  * Documented deviation from the `aggregate(zip_with(...))` spelling:
+  * unequal-length arrays are truncated to the shorter length here,
+  * whereas zip_with null-pads and the aggregate then returns NULL. All
+  * engine embeddings are fixed 64-dim, so the branch is unreachable in
+  * catalog queries; non-array or non-float inputs are rejected at
+  * analysis time by checkInputDataTypes.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
-  // inputs are array<float> (ArrayData of floats); declared loosely
-  // because AbstractDataType/ExpectsInputTypes are private[sql]
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -5,21 +5,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deduplication operators for the training-data pipeline (BASELINE.json
   * north star): exact, word-5-gram Jaccard, MinHash+LSH, SimHash, and
-  * embedding-cosine near-dup. Each query is one SQL template rendered
-  * into both Spark and DuckDB (SqlDialect), so the oracle is the same
-  * computation by construction.
+  * embedding-cosine near-dup. Each query's semantics are stated once as
+  * a SQL template; DuckDB runs the WITH-CTE rendering as the oracle,
+  * while the Spark side restates the same computation as nested
+  * subqueries over cached stage views (see [[StageViews]]: Spark 4.1
+  * performs no cache substitution inside WITH queries, so a CTE
+  * spelling would re-execute the corpus scan once per CTE mention).
   *
   * Hashing is md5-based (available and identical in both engines):
-  * MinHash uses the lexicographic min of md5(seed:shingle) strings —
-  * a valid min-wise hash family; SimHash packs the first 8 md5 hex
-  * nibbles into a 32-bit token hash.
+  * MinHash computes ONE md5 per shingle and derives its 12 min-wise
+  * orderings as hex rotations of the 64-bit digest prefix (see [[rot]]);
+  * SimHash packs the first 8 md5 hex nibbles into a 32-bit token hash.
   *
   * Scale design: everything is candidate-generation-by-join — shingle
   * bands, LSH band hashes, simhash byte bands, embedding sign buckets —
   * never an O(n²) cross join. The verify stage touches candidate pairs
   * only. At 100 TB the band joins shuffle (band, hash) keys; skewed
-  * bands (stop-shingles) are the known risk, bounded here by 5-gram
-  * rarity and in production by frequency-capping bands before the join.
+  * bands (stop-shingles / mega-duplicate clusters) are frequency-capped
+  * ([[BandCap]]) before the self-join, so no single band key can emit a
+  * quadratic pair blow-up. Shared stages (shingles, sizes, signatures,
+  * candidates) are materialized once per corpus and reused across all
+  * dedup queries in the session — the local cache stands in for the
+  * persisted intermediate table a cluster run would write.
   */
 object Dedup {
 
@@ -28,29 +35,79 @@ object Dedup {
     */
   private val IdShift = 10000000L
 
-  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    spark.sql(sql)
-  }
-
-  /** Spark side only: materialize the shingle relation once as a cached
-    * view. SQL CTEs are inlined per reference — without this, the
-    * explode+distinct subtree re-executes for every mention (sig, both
-    * sides of the pair join, sizes): ~6 recomputations in the LSH query.
-    * The cache manager dedupes by plan, so all shingle-based queries in
-    * a session share one materialization per table.
+  /** Skew bound for LSH: a band hash shared by more than this many docs
+    * (a stop-shingle band / mega-duplicate cluster) is dropped BEFORE the
+    * candidate self-join, capping any band's join contribution at
+    * BandCap² pairs instead of letting one hot key emit billions at
+    * 100 TB. Trade-off: clusters larger than the cap must be caught by
+    * exact dedup instead. The cap appears identically in the Spark SQL
+    * and the DuckDB oracle.
     */
-  private def runWithShingles(sql: String)(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    val sh = spark.sql(s"WITH ${shingleCore(SparkSql)} SELECT doc_id, shingle FROM sh")
-    sh.cache().createOrReplaceTempView("sh_v")
-    spark.sql(sql)
+  private[operators] val BandCap = 50L
+
+  // ================= shared stage views (Spark side) =================
+
+  /** Register documents + the cached shingle/size relations for `key`
+    * (a testdata dir, or a unique tag for synthetic test frames).
+    */
+  private[operators] def ensureShingles(spark: SparkSession, key: String,
+      docs: => DataFrame): Unit = {
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    StageViews.ensureCached(spark, "sh_v", key)(
+      spark.sql(s"WITH ${shingleCore(SparkSql)} SELECT doc_id, shingle FROM sh"))
+    StageViews.ensureCached(spark, "sz_v", key)(
+      spark.sql("SELECT doc_id, count(*) AS nsh FROM sh_v GROUP BY doc_id"))
   }
 
-  // ---- exact dedup (hash-groupBy) ----
+  // ================= shingles =================
+
+  /** Word-5-gram shingle relation, per-doc distinct. The Spark form
+    * dedupes map-side (array_distinct over a transform) so NO shuffle of
+    * the multi-million-row shingle relation is needed — at 100 TB a
+    * global DISTINCT over shingle strings is the single widest exchange
+    * this family would otherwise pay. The DuckDB oracle keeps the
+    * explode+DISTINCT spelling; both produce the same set because
+    * shingle dedup is per-document by construction (doc_id is in the
+    * DISTINCT key).
+    */
+  private[operators] def shingleCore(d: SqlDialect): String = d match {
+    case SparkSql => """
+dwf AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 5),
+sh AS (SELECT doc_id,
+              explode(array_distinct(transform(sequence(1, size(w) - 4),
+                i -> concat_ws(' ', slice(w, i, 5))))) AS shingle
+       FROM dwf)"""
+    case DuckSql => s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
+idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx)"""
+  }
+
+  /** Oracle-side shingle + size CTE list. */
+  private def shingleBase(d: SqlDialect): String = s"""${shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
+
+  /** Exact pairwise Jaccard over a shingle relation (oracle CTE form). */
+  private def jacCtes(shRel: String): String = s"""
+it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+       FROM $shRel a JOIN $shRel b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+jac AS (SELECT doc_a, doc_b,
+               CAST(ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - ic AS DOUBLE) AS jaccard
+        FROM it JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)"""
+
+  /** Same Jaccard as nested subqueries over the cached views (Spark). */
+  private def jacSub(shRel: String): String = s"""
+SELECT it.doc_a, it.doc_b,
+       CAST(it.ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - it.ic AS DOUBLE) AS jaccard
+FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+      FROM $shRel a JOIN $shRel b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id) it
+JOIN sz_v sa ON it.doc_a = sa.doc_id
+JOIN sz_v sb ON it.doc_b = sb.doc_id"""
+
+  // ================= exact dedup (hash-groupBy) =================
 
   private def exactSql(d: SqlDialect): String = s"""
 WITH corpus AS (
@@ -64,92 +121,126 @@ FROM corpus
 GROUP BY text
 ORDER BY text_hash"""
 
-  val qExact = Q("q_dedup_exact", run(exactSql(SparkSql)), Some(exactSql(DuckSql)))
+  val qExact = Q(
+    "q_dedup_exact",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      // single-pass CTE (corpus referenced once) — no cached stage needed
+      spark.sql(exactSql(SparkSql))
+    },
+    Some(exactSql(DuckSql)))
 
-  // ---- shared shingle CTEs (word 5-grams) ----
-
-  private[operators] def shingleCore(d: SqlDialect): String = s"""
-dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
-dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
-idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
-sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx)"""
-
-  private def shingleBase(d: SqlDialect): String = d match {
-    // Spark: read the cached materialization (see runWithShingles)
-    case SparkSql => """
-sh AS (SELECT doc_id, shingle FROM sh_v),
-sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
-    case DuckSql => s"""${shingleCore(d)},
-sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)"""
-  }
-
-  /** Exact pairwise Jaccard over a shingle relation. */
-  private def jacCtes(shRel: String): String = s"""
-it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-       FROM $shRel a JOIN $shRel b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       GROUP BY a.doc_id, b.doc_id),
-jac AS (SELECT doc_a, doc_b,
-               CAST(ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - ic AS DOUBLE) AS jaccard
-        FROM it JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)"""
-
-  private def shingleCtes(d: SqlDialect): String =
-    s"${shingleBase(d)},${jacCtes("sh")}"
-
-  // ---- n-gram Jaccard near-dup ----
+  // ================= n-gram Jaccard near-dup =================
 
   private def ngramSql(d: SqlDialect): String = s"""
-WITH ${shingleCtes(d)}
+WITH ${shingleBase(d)},${jacCtes("sh")}
 SELECT doc_a, doc_b, jaccard FROM jac
 WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b"""
 
-  val qNgram = Q("q_dedup_ngram_jaccard", runWithShingles(ngramSql(SparkSql)), Some(ngramSql(DuckSql)))
+  val qNgram = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => {
+      ensureShingles(spark, dir, Tables.documents(spark, dir))
+      spark.sql(s"""
+SELECT doc_a, doc_b, jaccard FROM (${jacSub("sh_v")}) j
+WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b""")
+    },
+    Some(ngramSql(DuckSql)))
 
-  // ---- MinHash + LSH (12 hashes, 3 bands × 4 rows) ----
+  // ================= MinHash + LSH (12 hashes, 3 bands × 4 rows) =================
 
-  private def minhashSql(d: SqlDialect): String = {
-    val band = "CAST((k - 1 - (k - 1) % 4) / 4 AS BIGINT)"
-    val bandHash = (0 to 3)
-      .map(r => s"min(CASE WHEN (k - 1) % 4 = $r THEN h END)")
-      .mkString("md5(", " || ", ")")
-    // LSH core: signatures → bands → candidate pairs
-    val lsh = s"""
-ks AS (${d.seriesTable("12", "k")}),
-sig AS (SELECT doc_id, k, min(md5(CAST(k AS STRING) || ':' || shingle)) AS h
-        FROM sh CROSS JOIN ks GROUP BY doc_id, k),
-bands AS (SELECT doc_id, $band AS band, $bandHash AS bh
-          FROM sig GROUP BY doc_id, $band),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
-    d match {
-      case SparkSql =>
-        // the engine verifies ONLY candidate pairs: shingles are first
-        // semi-joined to candidate docs, so the exact-Jaccard pass costs
-        // O(candidates), not O(all sharing pairs) — the LSH payoff
-        s"""
-WITH ${shingleBase(d)},$lsh,
-cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b AS doc_id FROM cand),
-sh_c AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs ON sh.doc_id = cdocs.doc_id),${jacCtes("sh_c")}
-SELECT j.doc_a, j.doc_b, j.jaccard
-FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= 0.5
-ORDER BY j.doc_a, j.doc_b"""
-      case DuckSql =>
-        // oracle keeps the simple brute-force shape; inner-joining cand
-        // against all-pair Jaccard yields identical rows
-        s"""
-WITH ${shingleCtes(d)},$lsh
-SELECT j.doc_a, j.doc_b, j.jaccard
-FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= 0.5
-ORDER BY j.doc_a, j.doc_b"""
-    }
+  /** The 12-hash min-wise family costs ONE md5 per shingle: hash k is
+    * the 16-hex-char (64-bit) digest prefix rotated left by k-1 chars.
+    * Rotation is a bijection on prefixes, so min-of-rotation-k ranks
+    * shingles by an ordering dominated by independent digest positions —
+    * 12 distinct min-wise orderings for the price of one hash (vs 12 md5
+    * string hashes per shingle and a 12× row explosion through a
+    * (doc, k) shuffle). All 12 mins fold in a single map-side-combinable
+    * groupBy(doc_id) over 16-char strings.
+    */
+  private def rot(k: Int): String =
+    if (k == 1) "h" else s"(substr(h, $k, ${17 - k}) || substr(h, 1, ${k - 1}))"
+
+  private def bandCase: String = (0 to 2)
+    .map(b => s"WHEN ${b + 1} THEN md5(${(1 to 4).map(r => s"m${b * 4 + r}").mkString(" || ")})")
+    .mkString("CASE bseq ", " ", " END")
+
+  /** Oracle CTE list: signatures → bands. Bands are unpivoted with a
+    * tiny series cross join (not a UNION ALL of three selects, which
+    * would re-run the signature aggregation thrice when inlined).
+    */
+  private def bandCtes(d: SqlDialect): String = {
+    val mins = (1 to 12).map(k => s"min(${rot(k)}) AS m$k").mkString(",\n               ")
+    s"""
+hs AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h FROM sh),
+sigs AS (SELECT doc_id, $mins
+         FROM hs GROUP BY doc_id),
+bs AS (${d.seriesTable("3", "bseq")}),
+bands AS (SELECT doc_id, bseq - 1 AS band, $bandCase AS bh
+          FROM sigs CROSS JOIN bs)"""
   }
 
-  val qMinhash = Q("q_dedup_minhash_lsh", runWithShingles(minhashSql(SparkSql)), Some(minhashSql(DuckSql)))
+  /** Oracle rendering (DuckDB): the full pipeline as CTEs. */
+  private def minhashSql(d: SqlDialect): String = s"""
+WITH ${shingleBase(d)},${bandCtes(d)},
+bfreq AS (SELECT band, bh, count(*) AS nb FROM bands GROUP BY band, bh),
+bandsf AS (SELECT b.doc_id, b.band, b.bh
+           FROM bands b JOIN bfreq f ON b.band = f.band AND b.bh = f.bh
+           WHERE f.nb <= $BandCap),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandsf a JOIN bandsf b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),${jacCtes("sh")}
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+ORDER BY j.doc_a, j.doc_b"""
 
-  // ---- SimHash (32-bit, 4 byte-bands, hamming ≤ 6) ----
+  /** Spark side: the same pipeline over cached stage views. The band
+    * relation (3 rows/doc) and the candidate pairs are cached because
+    * each is consumed by several downstream mentions; the exact-Jaccard
+    * verify then touches ONLY candidate docs' shingles — O(candidates),
+    * not O(all sharing pairs) — which is the LSH payoff.
+    */
+  private[operators] def minhashOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    ensureShingles(spark, key, docs)
+    StageViews.ensureCached(spark, "bands_v", key) {
+      // DataFrame-API build (equivalent to bandCtes; a nested-WITH view
+      // here would trip Spark 4.1's InlineCTE on the cached input)
+      val minExprs = (1 to 12).map(k => expr(s"min(${rot(k)})").as(s"m$k"))
+      spark.table("sh_v")
+        .selectExpr("doc_id", "substr(md5(shingle), 1, 16) AS h")
+        .groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+        .crossJoin(spark.range(1, 4).selectExpr("CAST(id AS INT) AS bseq"))
+        .selectExpr("doc_id", "bseq - 1 AS band", s"$bandCase AS bh")
+    }
+    val bandsf = s"""(SELECT b.doc_id, b.band, b.bh
+      FROM bands_v b JOIN (SELECT band, bh, count(*) AS nb FROM bands_v GROUP BY band, bh) f
+        ON b.band = f.band AND b.bh = f.bh
+      WHERE f.nb <= $BandCap)"""
+    StageViews.ensureCached(spark, "cand_v", key)(spark.sql(s"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM $bandsf a JOIN $bandsf b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""))
+    val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
+      JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
+        ON s.doc_id = cd.doc_id)"""
+    spark.sql(s"""
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand_v c JOIN (${jacSub(shC)}) j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+ORDER BY c.doc_a, c.doc_b""")
+  }
+
+  val qMinhash = Q(
+    "q_dedup_minhash_lsh",
+    (spark, dir) => minhashOn(spark, dir, Tables.documents(spark, dir)),
+    Some(minhashSql(DuckSql)))
+
+  // ================= SimHash (32-bit, 2 byte-bands, hamming ≤ 2) =================
 
   private def simhashSql(d: SqlDialect): String = {
     // token hash: first 8 md5 nibbles → 32-bit int
@@ -166,7 +257,6 @@ ORDER BY j.doc_a, j.doc_b"""
       .map(j => s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     val tokCte = d match {
-      // Spark: cached materialization (tok feeds both vh and the join)
       case SparkSql => "tok AS (SELECT doc_id, t FROM tok_v)"
       case DuckSql => s"""dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
 ti AS (${d.series("doc_id, w", "nw", "j", "dwa")}),
@@ -192,19 +282,50 @@ WHERE bit_count(${d.xor("sa", "sb")}) <= 2
 ORDER BY doc_a, doc_b"""
   }
 
-  private def runWithTokens(sql: String)(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+  /** Spark side: cached distinct-token relation (map-side per-doc dedup)
+    * and a cached (doc_id, simhash) relation; the band self-join then
+    * reads 5k tiny rows per mention instead of re-folding 32 bit-sums
+    * over the corpus-wide token join.
+    */
+  private def runSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = SparkSql
-    val tok = spark.sql(s"""WITH dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
-ti AS (${d.series("doc_id, w", "nw", "j", "dwa")})
-SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti""")
-    tok.cache().createOrReplaceTempView("tok_v")
-    spark.sql(sql)
+    StageViews.documents(spark, dir)
+    StageViews.ensureCached(spark, "tok_v", dir)(spark.sql(
+      "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS t FROM documents"))
+    val nibble = (1 to 8)
+      .map { i =>
+        val c = s"substr(md5(t), $i, 1)"
+        s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (8 - i))} AS BIGINT)"
+      }
+      .mkString(" + ")
+    val bitSums = (0 to 31)
+      .map(j => s"sum(CASE WHEN (${d.shr("v", j.toString)} & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val pack = (0 to 31)
+      .map(j => s"(CASE WHEN b$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    StageViews.ensureCached(spark, "sim_v", dir)(spark.sql(s"""
+SELECT doc_id, $pack AS simhash FROM (
+  SELECT doc_id, $bitSums
+  FROM tok_v JOIN (SELECT t, $nibble AS v FROM (SELECT DISTINCT t FROM tok_v)) vh USING (t)
+  GROUP BY doc_id)"""))
+    val bb = s"""(SELECT doc_id, simhash, bseq - 1 AS band,
+        (${d.shr("simhash", "(bseq - 1) * 16")}) & 65535 AS bv
+      FROM sim_v CROSS JOIN (${d.seriesTable("2", "bseq")}))"""
+    spark.sql(s"""
+SELECT doc_a, doc_b,
+       CAST(bit_count(${d.xor("sa", "sb")}) AS BIGINT) AS hamming
+FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM $bb a JOIN $bb b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) cand
+WHERE bit_count(${d.xor("sa", "sb")}) <= 2
+ORDER BY doc_a, doc_b""")
   }
 
-  val qSimhash = Q("q_dedup_simhash", runWithTokens(simhashSql(SparkSql)), Some(simhashSql(DuckSql)))
+  val qSimhash = Q("q_dedup_simhash", runSimhash _, Some(simhashSql(DuckSql)))
 
-  // ---- embedding cosine near-dup (12-bit sign-bucket LSH) ----
+  // ================= embedding cosine near-dup (12-bit sign-bucket LSH) =================
 
   private def embedSql(d: SqlDialect): String = {
     val bucket = (1 to 12)
@@ -236,7 +357,14 @@ WHERE $cosExpr >= 0.995
 ORDER BY vec_a, vec_b"""
   }
 
-  val qEmbed = Q("q_dedup_embedding", run(embedSql(SparkSql)), Some(embedSql(DuckSql)))
+  val qEmbed = Q(
+    "q_dedup_embedding",
+    (spark, dir) => {
+      graft.functions.CosineSimilarity.register(spark)
+      StageViews.embeddings(spark, dir)
+      spark.sql(embedSql(SparkSql))
+    },
+    Some(embedSql(DuckSql)))
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed)
 }

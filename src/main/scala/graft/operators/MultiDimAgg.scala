@@ -73,6 +73,12 @@ FROM events GROUP BY user_id % 10 ORDER BY bucket""")
   /** Native session_window gap-merge (30 min), equivalent to the
     * hand-rolled lag/cumsum sessionization — the oracle derives session
     * bounds the manual way; end = last event + gap per Spark semantics.
+    *
+    * Boundary semantics: Spark's session merge treats the window as
+    * CLOSED at start+gap for merging — an event exactly gap-separated
+    * from its predecessor is merged into the same session (proved on an
+    * exact-boundary fixture in ExtensionOpsSpec), so the oracle's
+    * new-session predicate is strict `> gap`.
     */
   val qSessionWindow = Q(
     "q_session_window",

@@ -104,9 +104,12 @@ object Relational {
     """)
   )
 
-  /** Sketch-based distinct (HLL): approximate result differs across
-    * engines by construction — rows-only check; exactness is covered by
-    * q_distinct_users.
+  /** Sketch-based distinct (HLL, rsd=0.02): the raw sketch value differs
+    * across engines by construction, so the oracle checks a TOLERANCE
+    * instead — the query emits the exact distinct count plus a boolean
+    * asserting |approx − exact| ≤ 3σ (3 × rsd × exact), and the oracle
+    * expects that boolean to be true for every group. A wildly-wrong
+    * sketch flips the boolean and fails the hash gate.
     */
   val qApproxDistinct = Q(
     "q_approx_distinct_users",
@@ -114,10 +117,18 @@ object Relational {
       import spark.implicits._
       Tables.events(spark, dir)
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .agg(
+          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          countDistinct($"user_id").as("n_users_exact"))
+        .select($"event_type", $"n_users_exact",
+          (abs($"approx_users" - $"n_users_exact") <= lit(3 * 0.02) * $"n_users_exact")
+            .as("within_bound"))
         .orderBy($"event_type")
     },
-    None
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users_exact, true AS within_bound
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
   )
 
   val all: Seq[Q] = Seq(q1, qDistinct, qSalted, qApproxDistinct)

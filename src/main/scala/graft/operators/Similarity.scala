@@ -10,10 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    of the corpus (the 100 TB path would shard the corpus and merge
   *    per-shard top-k, which is exactly what Spark's window-rank over a
   *    hash-partitioned join does);
-  *  - IVF: deterministic coarse centroids (every 200th vector), each
-  *    vector assigned to its nearest list, queries probe the top-2
-  *    lists — the classic inverted-file trade: ~nprobe/nlists of the
-  *    scan cost.
+  *  - IVF: a fixed 64-list inverted file (broadcast centroid table,
+  *    O(n·64) assignment), each vector assigned to its nearest list,
+  *    queries probe the top-2 lists — the classic inverted-file trade:
+  *    ~nprobe/nlists of the scan cost.
   *
   * Outputs are (query, rank, neighbor) only — integer-exact across
   * engines; cosine doubles stay internal so cross-engine summation-order
@@ -24,7 +24,9 @@ object Similarity {
 
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    // widened view: parallelizes the cosine loops across the session's
+    // shuffle partitions instead of one task per parquet split
+    StageViews.embeddings(spark, dir)
     spark.sql(sql)
   }
 
@@ -63,14 +65,24 @@ ORDER BY query_id, rank"""
 
   val qBrute = Q("q_ann_cosine_topk", run(bruteSql(SparkSql)), Some(bruteSql(DuckSql)))
 
-  // ---- IVF (nlists = n/200, nprobe = 2, top-5) ----
+  // ---- IVF (fixed nlists = 64, nprobe = 2, top-5) ----
 
+  /** Inverted-file ANN with a CONSTANT number of coarse lists: 64
+    * deterministic centroids (first 64 vectors by id — a k-means|| seed
+    * stand-in that both engines reproduce exactly). Assignment is
+    * O(n · nlists) with the 64-row centroid table broadcast to every
+    * executor — no shuffle of the corpus, and the cost per vector is a
+    * constant 64 cosines regardless of corpus size. (The r1 version
+    * derived nlists from the corpus (n/200), making assignment O(n²/200)
+    * — correct locally, quadratic at scale.)
+    */
   private def ivfSql(d: SqlDialect): String = {
     val (norm, cos) = normCos(d)
+    val hint = d match { case SparkSql => "/*+ BROADCAST(c) */ "; case DuckSql => "" }
     s"""
 WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
-cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta WHERE vec_id % 200 = 0),
-ac AS (SELECT m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
+cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta ORDER BY vec_id LIMIT 64),
+ac AS (SELECT ${hint}m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
               m.nrm AS qn, c.nrm AS nn
        FROM meta m CROSS JOIN cent c),
 acs AS (SELECT vec_id, cid, $cos AS cos FROM ac),

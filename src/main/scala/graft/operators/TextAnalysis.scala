@@ -1,43 +1,51 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators for the training-data pipeline: n-gram
   * language ID, quality scoring, token counting, and document
   * fingerprinting — each over the `documents` table with a DuckDB
-  * oracle from the same SQL template.
+  * oracle stating the same computation.
   *
   * Scale: langid builds per-language char-bigram profiles with one
-  * aggregation over the corpus (a broadcastable ~langs×20 table) and
-  * scores documents with a semi-join against it; quality/token/
-  * fingerprint are narrow per-row projections or single groupBys.
+  * aggregation over the corpus (a broadcast ~langs×20 table) and scores
+  * documents with a broadcast join against it; quality/token are narrow
+  * per-row projections or single groupBys; fingerprint reuses the
+  * cached shingle relation shared with the dedup family. The bigram
+  * relation is cached once per corpus (see [[StageViews]] for why the
+  * Spark side avoids WITH-CTE spellings on hot paths).
   */
 object TextAnalysis {
 
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    StageViews.documents(spark, dir)
     spark.sql(sql)
   }
 
   // ---- language ID (Cavnar-Trenkle-style char-bigram profiles) ----
 
-  private def dbCore(d: SqlDialect): String = s"""
+  /** Per-doc-distinct char bigrams. Spark dedupes map-side
+    * (array_distinct over transform — no DISTINCT shuffle of the
+    * ~chars-per-doc × corpus bigram relation); DuckDB keeps the
+    * explode+DISTINCT spelling. Same set: dedup is per-document.
+    */
+  private def dbCore(d: SqlDialect): String = d match {
+    case SparkSql => """
+db AS (SELECT doc_id, lang,
+              explode(array_distinct(transform(sequence(1, length(text) - 1),
+                i -> substring(text, i, 2)))) AS bigram
+       FROM documents WHERE length(text) >= 2)"""
+    case DuckSql => s"""
 docs AS (SELECT doc_id, lang, text, length(text) AS nc FROM documents),
 bg AS (${d.series("doc_id, lang, text", "nc - 1", "i", "docs")}),
 bigr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bigram FROM bg),
 db AS (SELECT DISTINCT doc_id, lang, bigram FROM bigr)"""
+  }
 
-  private def langidSql(d: SqlDialect): String = {
-    // db feeds both the profiles and the scoring join; Spark reads the
-    // cached materialization (CTEs are inlined per reference)
-    val head = d match {
-      case SparkSql => "docs AS (SELECT doc_id, lang FROM documents),\ndb AS (SELECT doc_id, lang, bigram FROM db_v),"
-      case DuckSql  => s"${dbCore(d)},"
-    }
-    s"""
-WITH $head
--- per-language profile: top-20 bigrams by document frequency
+  /** Oracle rendering (DuckDB CTEs). */
+  private def langidSql(d: SqlDialect): String = s"""
+WITH ${dbCore(d)},
 prof0 AS (SELECT lang, bigram, count(*) AS n FROM db GROUP BY lang, bigram),
 prof AS (SELECT lang, bigram,
                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS r
@@ -50,18 +58,38 @@ best AS (SELECT doc_id, plang, hits,
                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS r
          FROM score)
 SELECT d.doc_id, d.lang AS actual_lang, b.plang AS predicted_lang, b.hits
-FROM docs d JOIN best b ON d.doc_id = b.doc_id AND b.r = 1
+FROM (SELECT doc_id, lang FROM documents) d
+JOIN best b ON d.doc_id = b.doc_id AND b.r = 1
 ORDER BY d.doc_id"""
+
+  /** Spark side: the cached bigram relation feeds both the profile
+    * aggregation and the scoring join (two mentions — the reason it is
+    * cached); the ~langs×20 profile table is broadcast so scoring needs
+    * no shuffle of the bigram relation.
+    */
+  private def runLangid(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    StageViews.ensureCached(spark, "db_v", dir)(spark.sql(
+      s"WITH ${dbCore(SparkSql)} SELECT doc_id, lang, bigram FROM db"))
+    spark.sql("""
+SELECT d.doc_id, d.lang AS actual_lang, b.plang AS predicted_lang, b.hits
+FROM (SELECT doc_id, lang FROM documents) d
+JOIN (SELECT doc_id, plang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS r
+      FROM (SELECT /*+ BROADCAST(top) */ db.doc_id, top.plang, count(*) AS hits
+            FROM db_v db
+            JOIN (SELECT lang AS plang, bigram
+                  FROM (SELECT lang, bigram,
+                               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS r
+                        FROM (SELECT lang, bigram, count(*) AS n FROM db_v GROUP BY lang, bigram))
+                  WHERE r <= 20) top
+              ON db.bigram = top.bigram
+            GROUP BY db.doc_id, top.plang)) b
+  ON d.doc_id = b.doc_id AND b.r = 1
+ORDER BY d.doc_id""")
   }
 
-  private def runWithBigrams(sql: String)(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    val db = spark.sql(s"WITH ${dbCore(SparkSql)} SELECT doc_id, lang, bigram FROM db")
-    db.cache().createOrReplaceTempView("db_v")
-    spark.sql(sql)
-  }
-
-  val qLangId = Q("q_text_langid", runWithBigrams(langidSql(SparkSql)), Some(langidSql(DuckSql)))
+  val qLangId = Q("q_text_langid", runLangid _, Some(langidSql(DuckSql)))
 
   // ---- quality scoring ----
 
@@ -93,7 +121,26 @@ FROM m JOIN swc ON m.doc_id = swc.doc_id
 ORDER BY m.doc_id"""
   }
 
-  val qQuality = Q("q_text_quality", run(qualitySql(SparkSql)), Some(qualitySql(DuckSql)))
+  /** Spark side: one narrow projection per document — the stopword
+    * count folds map-side with a size(filter(...)) HOF instead of an
+    * explode + groupBy + join back, so the whole query is a single
+    * shuffle-free scan plus the final sort.
+    */
+  private def qualitySparkSql: String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    s"""
+SELECT doc_id, lang, size(w) AS n_words,
+       CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+       CAST(size(filter(w, x -> x IN $stop)) AS DOUBLE) / CAST(size(w) AS DOUBLE) AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / CAST(size(w) AS DOUBLE) AS chars_per_word,
+       CASE WHEN size(w) >= 40 AND size(filter(w, x -> x IN $stop)) > 0 THEN 'keep'
+            WHEN size(w) >= 20 THEN 'review'
+            ELSE 'drop' END AS quality_band
+FROM (SELECT doc_id, lang, n_chars, text, split(text, ' ') AS w FROM documents)
+ORDER BY doc_id"""
+  }
+
+  val qQuality = Q("q_text_quality", run(qualitySparkSql), Some(qualitySql(DuckSql)))
 
   // ---- token counting (whitespace + regex + bytes-per-token estimate) ----
 
@@ -117,10 +164,7 @@ ORDER BY doc_id"""
   // ---- document fingerprint (min-hash of word 5-grams, 2 seeds) ----
 
   private def fingerprintSql(d: SqlDialect): String = s"""
-WITH dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
-dwf AS (SELECT doc_id, w, ${d.len("w")} AS nw FROM dw WHERE ${d.len("w")} >= 5),
-idx AS (${d.series("doc_id, w", "nw - 4", "i", "dwf")}),
-sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ${(0 to 4).map(k => d.el("w", s"i + $k")).mkString(", ")}) AS shingle FROM idx)
+WITH ${Dedup.shingleCore(d)}
 SELECT doc_id,
        min(md5('1:' || shingle)) AS fp1,
        min(md5('2:' || shingle)) AS fp2,
@@ -128,7 +172,20 @@ SELECT doc_id,
 FROM sh GROUP BY doc_id
 ORDER BY doc_id"""
 
-  val qFingerprint = Q("q_text_fingerprint", run(fingerprintSql(SparkSql)), Some(fingerprintSql(DuckSql)))
+  val qFingerprint = Q(
+    "q_text_fingerprint",
+    (spark, dir) => {
+      // reuses the dedup family's cached shingle relation
+      Dedup.ensureShingles(spark, dir, graft.Tables.documents(spark, dir))
+      spark.sql("""
+SELECT doc_id,
+       min(md5('1:' || shingle)) AS fp1,
+       min(md5('2:' || shingle)) AS fp2,
+       count(*) AS n_shingles
+FROM sh_v GROUP BY doc_id
+ORDER BY doc_id""")
+    },
+    Some(fingerprintSql(DuckSql)))
 
   val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint)
 }

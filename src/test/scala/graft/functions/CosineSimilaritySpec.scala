@@ -57,4 +57,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .selectExpr("cosine_similarity(a, b) AS c").collect()
     assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("non-array<float> inputs are rejected at analysis time") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq(("x", Seq(1.0, 2.0))).toDF("s", "d")
+    val e1 = intercept[Exception](df.selectExpr("cosine_similarity(s, s)").collect())
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    // array<double> is also rejected (no implicit downcast)
+    val e2 = intercept[Exception](df.selectExpr("cosine_similarity(d, d)").collect())
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+  }
+
+  test("ragged arrays truncate to the shorter length (documented deviation)") {
+    import spark.implicits._
+    val df = Seq(VecPair(Seq(3f, 4f, 99f), Seq(3f, 4f))).toDF()
+    val got = df.select(CosineSimilarity(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    // dot AND both norms run over min(len) elements, so the extra 99f is
+    // ignored entirely and the truncated vectors are identical -> 1.0
+    // (zip_with null-pad would return NULL here instead)
+    assert(got == 1.0)
+  }
 }

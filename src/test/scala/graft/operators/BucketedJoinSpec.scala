@@ -1,42 +1,57 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
 
 /** Bucketing for co-located joins: both sides bucketed on the join key
   * join WITHOUT a shuffle — the plan-level proof of the technique that
   * turns repeated 100 TB fact-fact joins from shuffle-bound into local
   * merge work.
+  *
+  * Uses the shared session: per-suite builder configs are silently
+  * ignored once another suite's session exists in the sbt JVM, so
+  * broadcast is disabled via runtime conf (and restored after), and
+  * stale warehouse locations from a previous JVM run are deleted before
+  * saveAsTable — a fresh in-memory catalog pointing at an occupied
+  * location otherwise fails with LOCATION_ALREADY_EXISTS on re-runs.
   */
 class BucketedJoinSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("bucket_wh").toString
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
   }
 
   test("join of two tables bucketed on the key plans with zero exchanges") {
-    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
-    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
-    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("ord_bucketed")
-    val joined = spark.table("li_bucketed")
-      .join(spark.table("ord_bucketed"),
-        spark.table("li_bucketed")("l_orderkey") === spark.table("ord_bucketed")("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-    // and it still computes the right thing
-    val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
-    assert(joined.count() == expected)
+    val spark = graft.GraftSession.getOrCreate()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tables = Seq("li_bucketed", "ord_bucketed")
+    def dropAll(): Unit = tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) deleteRec(loc)
+    }
+    dropAll()
+    try {
+      val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          spark.table("li_bucketed")("l_orderkey") === spark.table("ord_bucketed")("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it still computes the right thing
+      val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      dropAll()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }

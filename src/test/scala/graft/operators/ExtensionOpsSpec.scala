@@ -68,6 +68,35 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[String]("predicted_lang") != null))
   }
 
+  test("session_window MERGES an event at the EXACT gap boundary (oracle uses > gap)") {
+    // Empirically (Spark 4.1): an event exactly gap-separated from its
+    // predecessor is merged into the SAME session — the merge treats the
+    // window as closed at start+gap. Only a strictly-larger gap splits.
+    // The DuckDB oracle's new-session predicate is therefore `diff > gap`;
+    // this fixture pins Spark's side so a future semantics change is loud.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gapUs = Sessionize.GapUs // 30 min in µs
+    val t0 = 1700000000000000L
+    val events = Seq(
+      (1L, t0),                 // session A
+      (1L, t0 + gapUs),         // exactly gap later -> merged, still A
+      (1L, t0 + gapUs + 1000L), // inside A's extension
+      (2L, t0),                 // session B
+      (2L, t0 + 2 * gapUs + 1L) // strictly beyond gap from t0+gap -> NEW session C
+    ).toDF("user_id", "ts_us")
+    val sessions = events
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(sessions.toSeq == Seq((1L, 3L), (2L, 1L), (2L, 1L)),
+      s"unexpected session split: ${sessions.toSeq}")
+  }
+
   test("multimodal decode: md5 matches, batching preserves all rows") {
     val rows = Multimodal.qDecode.run(spark, dir).collect()
     val docs = graft.Tables.documents(spark, dir)

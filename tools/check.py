@@ -46,11 +46,15 @@ def main(sf_dir, out_dir):
             n_pass += 1
         else:
             n_fail += 1
-    # queries without an oracle: rows-only check
+    # queries without an oracle: rows-only check (counted like the driver's)
     for d in sorted(Path(out_dir).iterdir()):
         if d.is_dir() and d.name not in oracles:
             n = duckdb.sql(f"SELECT count(*) FROM parquet_scan('{d}/*.parquet')").fetchone()[0]
             print(f"[{'PASS' if n > 0 else 'FAIL'}] {d.name} — rows-only: {n}")
+            if n > 0:
+                n_pass += 1
+            else:
+                n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
