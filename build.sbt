@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to sbt's LoggedOutput, which wraps every program
+// line in "[info] " — breaking the driver's parse of Bench's single
+// JSON metric line. StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Multimodal.all ++
-      ml.RfDetector.all
+      ml.RfDetector.all ++
+      ml.PretrainedRf.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's core: the 82-column flow featurization.

@@ -106,14 +106,21 @@ object RfDetector {
       .withColumn("Label", when($"prediction" === 1.0, "DDoS").otherwise("Normal"))
   }
 
-  /** Full train+score cycle on the driver tables. RF predictions depend
-    * on partition-level sampling, so this query has no SQL oracle
-    * (rows-only check); determinism of the *label rule* is covered by
-    * q_detect_label's oracle.
+  /** Full train+score cycle on the driver tables. Per-row RF
+    * predictions depend on partition-level sampling (randomSplit +
+    * feature subsampling are partition-order-sensitive), so no
+    * cross-engine oracle can pin them row-by-row. Instead the query
+    * emits the model-quality invariant that IS deterministic: the flow
+    * count and a boolean asserting scored-vs-rule agreement ≥ 0.9 over
+    * the full table — a wildly wrong model (or a broken feature/label
+    * chain) flips the boolean and fails the hash gate, the same
+    * tolerance-oracle pattern as q_approx_distinct_users. Per-row
+    * deterministic scoring coverage lives in q_rf_pretrained_score.
     */
   val qRfScore = Q(
     "q_rf_train_score",
     (spark, dir) => {
+      import spark.implicits._
       // cache the assembled training table: RF makes O(depth × trees)
       // passes and must not re-run the featurizer windows each time;
       // flow tables are tiny relative to the packet stream, so a few
@@ -122,12 +129,20 @@ object RfDetector {
         .repartition(4).cache()
       try {
         val res = train(flows)
-        score(res.model, flows)
-          .select("flow_id", "binary_label", "prediction", "Label")
-          .orderBy("flow_id")
+        val agg = score(res.model, flows)
+          .agg(
+            count(lit(1)).as("n_flows"),
+            (avg(when($"prediction" === $"binary_label", 1.0).otherwise(0.0)) >= 0.9)
+              .as("agree_ok"))
+        // materialize the 1-row summary while the training cache is
+        // still alive — returning it lazily would re-run the whole
+        // featurizer chain after the finally-unpersist below
+        val row = agg.collect().toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(row, 1), agg.schema)
       } finally flows.unpersist(blocking = false)
     },
-    None
+    Some(s"""WITH feats AS (${graft.flow.FlowFeatureSql.oracleBody})
+SELECT count(*) AS n_flows, true AS agree_ok FROM feats""")
   )
 
   val all: Seq[Q] = Seq(qRfScore)
