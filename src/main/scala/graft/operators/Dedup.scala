@@ -13,9 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * spelling would re-execute the corpus scan once per CTE mention).
   *
   * Hashing is md5-based (available and identical in both engines):
-  * MinHash computes ONE md5 per shingle and derives its 12 min-wise
-  * orderings as hex rotations of the 64-bit digest prefix (see [[rot]]);
-  * SimHash packs the first 8 md5 hex nibbles into a 32-bit token hash.
+  * MinHash computes ONE md5 per shingle, reduces it to a 31-bit integer
+  * and derives 16 pairwise-independent min-wise orderings from the
+  * Carter-Wegman family (a·x+b) mod 2³¹−1 (see [[HashAB]]); SimHash
+  * packs the first 8 md5 hex nibbles into a 32-bit token hash.
   *
   * Scale design: everything is candidate-generation-by-join — shingle
   * bands, LSH band hashes, simhash byte bands, embedding sign buckets —
@@ -149,35 +150,71 @@ ORDER BY doc_a, doc_b""")
     },
     Some(ngramSql(DuckSql)))
 
-  // ================= MinHash + LSH (12 hashes, 3 bands × 4 rows) =================
+  // ======== MinHash + LSH (16 universal hashes, 4 bands × 4 rows) ========
 
-  /** The 12-hash min-wise family costs ONE md5 per shingle: hash k is
-    * the 16-hex-char (64-bit) digest prefix rotated left by k-1 chars.
-    * Rotation is a bijection on prefixes, so min-of-rotation-k ranks
-    * shingles by an ordering dominated by independent digest positions —
-    * 12 distinct min-wise orderings for the price of one hash (vs 12 md5
-    * string hashes per shingle and a 12× row explosion through a
-    * (doc, k) shuffle). All 12 mins fold in a single map-side-combinable
-    * groupBy(doc_id) over 16-char strings.
+  /** Mersenne prime 2³¹−1 — the modulus of the min-wise hash family. */
+  private val P31 = 2147483647L
+
+  /** 16 fixed (a, b) pairs, a ∈ [1, p), b ∈ [0, p): the Carter-Wegman
+    * universal family h_k(x) = (a_k·x + b_k) mod p over the 31-bit
+    * shingle hash. Unlike the earlier rotated-digest scheme (whose 12
+    * orderings were rotations of ONE 64-bit prefix and therefore
+    * correlated), these are pairwise-independent draws — the standard
+    * min-wise guarantee P[min h_k(A) = min h_k(B)] ≈ J(A,B) holds per
+    * hash, independently. Products stay < 2⁶² so the arithmetic is
+    * overflow-free BIGINT in both engines.
     */
-  private def rot(k: Int): String =
-    if (k == 1) "h" else s"(substr(h, $k, ${17 - k}) || substr(h, 1, ${k - 1}))"
+  private val HashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 374441281L),
+    (1203248318L, 987654321L), (1777654321L, 471687345L),
+    (907633385L, 135797531L), (1294968261L, 246813579L),
+    (1864412297L, 864209753L), (621007383L, 975318642L),
+    (1476291629L, 192837465L), (1840922461L, 546372819L),
+    (533470973L, 918273645L), (1203432069L, 102938475L),
+    (1651780949L, 829384756L), (794921987L, 657483921L),
+    (1059673667L, 314159265L), (1945674827L, 271828182L))
 
-  private def bandCase: String = (0 to 2)
-    .map(b => s"WHEN ${b + 1} THEN md5(${(1 to 4).map(r => s"m${b * 4 + r}").mkString(" || ")})")
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  /** 32-bit integer from the first 8 hex nibbles of an md5 column —
+    * identical arithmetic in Spark and DuckDB (same trick as SimHash's
+    * token hash). `hexCol` must hold md5(...) so the digest is computed
+    * once per row, not once per nibble.
+    */
+  private def nibble32(d: SqlDialect, hexCol: String): String = (1 to 8)
+    .map { i =>
+      val c = s"substr($hexCol, $i, 1)"
+      s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (8 - i))} AS BIGINT)"
+    }
+    .mkString(" + ")
+
+  private def minExprsSql: Seq[String] = HashAB.zipWithIndex.map {
+    case ((a, b), k) => s"min(($a * x + $b) % $P31) AS m${k + 1}"
+  }
+
+  private def bandCase: String = (0 until Bands)
+    .map { b =>
+      val ms = (1 to RowsPerBand)
+        .map(r => s"CAST(m${b * RowsPerBand + r} AS STRING)")
+        .mkString(" || '_' || ")
+      s"WHEN ${b + 1} THEN md5($ms)"
+    }
     .mkString("CASE bseq ", " ", " END")
 
-  /** Oracle CTE list: signatures → bands. Bands are unpivoted with a
-    * tiny series cross join (not a UNION ALL of three selects, which
-    * would re-run the signature aggregation thrice when inlined).
+  /** Oracle CTE list: shingle-hash → signatures → bands. Bands are
+    * unpivoted with a tiny series cross join (not a UNION ALL of four
+    * selects, which would re-run the signature aggregation when
+    * inlined). All 16 mins fold in ONE map-side-combinable
+    * groupBy(doc_id) over BIGINTs.
     */
   private def bandCtes(d: SqlDialect): String = {
-    val mins = (1 to 12).map(k => s"min(${rot(k)}) AS m$k").mkString(",\n               ")
     s"""
-hs AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h FROM sh),
-sigs AS (SELECT doc_id, $mins
+hs AS (SELECT doc_id, (${nibble32(d, "mh")}) % $P31 AS x
+       FROM (SELECT doc_id, md5(shingle) AS mh FROM sh) mhs),
+sigs AS (SELECT doc_id, ${minExprsSql.mkString(",\n               ")}
          FROM hs GROUP BY doc_id),
-bs AS (${d.seriesTable("3", "bseq")}),
+bs AS (${d.seriesTable(Bands.toString, "bseq")}),
 bands AS (SELECT doc_id, bseq - 1 AS band, $bandCase AS bh
           FROM sigs CROSS JOIN bs)"""
   }
@@ -198,7 +235,7 @@ WHERE j.jaccard >= 0.5
 ORDER BY j.doc_a, j.doc_b"""
 
   /** Spark side: the same pipeline over cached stage views. The band
-    * relation (3 rows/doc) and the candidate pairs are cached because
+    * relation (4 rows/doc) and the candidate pairs are cached because
     * each is consumed by several downstream mentions; the exact-Jaccard
     * verify then touches ONLY candidate docs' shingles — O(candidates),
     * not O(all sharing pairs) — which is the LSH payoff.
@@ -210,11 +247,12 @@ ORDER BY j.doc_a, j.doc_b"""
     StageViews.ensureCached(spark, "bands_v", key) {
       // DataFrame-API build (equivalent to bandCtes; a nested-WITH view
       // here would trip Spark 4.1's InlineCTE on the cached input)
-      val minExprs = (1 to 12).map(k => expr(s"min(${rot(k)})").as(s"m$k"))
+      val minExprs = minExprsSql.map(expr)
       spark.table("sh_v")
-        .selectExpr("doc_id", "substr(md5(shingle), 1, 16) AS h")
+        .selectExpr("doc_id", "md5(shingle) AS mh")
+        .selectExpr("doc_id", s"(${nibble32(SparkSql, "mh")}) % $P31 AS x")
         .groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
-        .crossJoin(spark.range(1, 4).selectExpr("CAST(id AS INT) AS bseq"))
+        .crossJoin(spark.range(1, Bands + 1).selectExpr("CAST(id AS INT) AS bseq"))
         .selectExpr("doc_id", "bseq - 1 AS band", s"$bandCase AS bh")
     }
     val bandsf = s"""(SELECT b.doc_id, b.band, b.bh
