@@ -35,6 +35,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // evict shared stage caches (logs how much storage the run held)
+    operators.StageViews.unpersistAll(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -19,12 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * so DuckDB oracles built on the sequential form stay bit-compatible.
   * Null if either side is null; 0.0 if either norm is 0.
   *
-  * Documented deviation from the `aggregate(zip_with(...))` spelling:
-  * unequal-length arrays are truncated to the shorter length here,
-  * whereas zip_with null-pads and the aggregate then returns NULL. All
-  * engine embeddings are fixed 64-dim, so the branch is unreachable in
-  * catalog queries; non-array or non-float inputs are rejected at
-  * analysis time by checkInputDataTypes.
+  * Documented deviations from the `aggregate(zip_with(...))` spelling
+  * (both pinned by CosineSimilaritySpec, both unreachable in catalog
+  * queries whose embeddings are non-null fixed 64-dim):
+  *  - unequal-length arrays are truncated to the shorter length,
+  *    whereas zip_with null-pads and the aggregate then returns NULL;
+  *  - a null ELEMENT is read as 0.0f (ArrayData.getFloat of a null slot
+  *    in both eval paths), whereas the HOF form returns NULL.
+  * Non-array or non-float inputs are rejected at analysis time by
+  * checkInputDataTypes.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {

@@ -44,8 +44,12 @@ object PacketIngest {
     StructField("syn_flag", IntegerType),
     StructField("fin_flag", IntegerType)))
 
-  /** S1: the Kafka stream source (needs a live broker; config parity
-    * with main.py:1023-1028).
+  /** S1: the Kafka stream source (config parity with
+    * main.py:1023-1028). Needs a live broker to START, but everything
+    * downstream of the socket — the source's frame schema, the decode,
+    * the typed packet path into the featurizer — is proven broker-less
+    * by KafkaContractSpec, which drives a MemoryStream shaped exactly
+    * like this source's output.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String,
       topic: String = "ddos_packets_raw",

@@ -278,7 +278,19 @@ ORDER BY c.doc_a, c.doc_b""")
     (spark, dir) => minhashOn(spark, dir, Tables.documents(spark, dir)),
     Some(minhashSql(DuckSql)))
 
-  // ================= SimHash (32-bit, 2 byte-bands, hamming ≤ 2) =================
+  // ================= SimHash (32-bit, 2 16-bit bands, hamming ≤ 2) =================
+  //
+  // Documented recall gap (the band-cardinality trade): 2 bands over a
+  // 32-bit fingerprint cannot GUARANTEE candidacy at hamming ≤ 2 — a
+  // pair differing by one bit in each half matches neither band and is
+  // missed. Guaranteeing h ≤ 2 needs ≥ 3 bands, but 32/3 ≈ 11-bit band
+  // values have only 2k distinct values — at large corpus sizes every
+  // band bucket goes quadratic (the same reason 4×8-bit bands are worse
+  // still). 2×16-bit keeps 65k-value buckets and catches pairs whose ≤2
+  // differing bits fall in one half; both engines band identically, so
+  // the oracle stays exact about what IS reported. For guaranteed-recall
+  // near-dup at scale, use q_dedup_minhash_lsh (independent hashes) or
+  // widen the fingerprint before adding bands.
 
   private def simhashSql(d: SqlDialect): String = {
     // token hash: first 8 md5 nibbles → 32-bit int

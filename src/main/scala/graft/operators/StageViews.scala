@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 
 /** Once-per-(session, key) registry for temp views and cached stage
   * relations.
@@ -22,37 +22,84 @@ import scala.collection.concurrent.TrieMap
   *     subqueries instead (the DuckDB oracle keeps the WITH spelling
   *     of the same computation).
   *
+  * Lifecycle: sessions are weak keys (a GC'd session can never alias a
+  * later one), registration is atomic per session (no double-build
+  * under concurrent catalog queries), a relation superseded by a new
+  * corpus key is unpersisted before its replacement is cached, and
+  * [[unpersistAll]] evicts everything at end of run (Bench/Verify call
+  * it) so one long session cannot accumulate stage caches across
+  * corpora.
+  *
   * At 100 TB the same structure holds: the "cache" becomes a persisted
   * intermediate table (memory-and-disk here, DFS there); shared
-  * candidate-generation stages are materialized once and every
-  * downstream pass reads the materialization instead of recomputing
-  * the corpus scan.
+  * candidate-generation stages are materialized once, every downstream
+  * pass reads the materialization, and the eviction point is the
+  * retention policy on the intermediate table.
   */
-private[operators] object StageViews {
+private[graft] object StageViews {
 
-  private val registered = TrieMap[(Int, String), String]()
+  private final case class Entry(key: String, df: DataFrame, cached: Boolean)
+
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, Entry]]()
+
+  private def registry(spark: SparkSession): mutable.Map[String, Entry] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = mutable.Map.empty; sessions.put(spark, m) }
+      m
+    }
+
+  private def ensure0(spark: SparkSession, name: String, key: String, cache: Boolean)(
+      build: => DataFrame): DataFrame = {
+    val reg = registry(spark)
+    reg.synchronized {
+      reg.get(name) match {
+        case Some(e) if e.key == key => () // already registered for this corpus
+        case prior =>
+          prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+          val df = build
+          if (cache) df.cache()
+          df.createOrReplaceTempView(name)
+          reg(name) = Entry(key, df, cache)
+      }
+    }
+    spark.table(name)
+  }
 
   /** Register `name` from `build` unless this session already holds it
     * for the same key. Returns the (possibly pre-existing) view.
     */
-  def ensure(spark: SparkSession, name: String, key: String)(build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(spark), name)
-    if (!registered.get(k).contains(key)) {
-      build.createOrReplaceTempView(name)
-      registered(k) = key
-    }
-    spark.table(name)
-  }
+  def ensure(spark: SparkSession, name: String, key: String)(build: => DataFrame): DataFrame =
+    ensure0(spark, name, key, cache = false)(build)
 
   /** ensure + mark the relation for in-memory caching (materialized on
     * first use, reused by every later catalog query in the session).
     */
   def ensureCached(spark: SparkSession, name: String, key: String)(build: => DataFrame): DataFrame =
-    ensure(spark, name, key) {
-      val df = build
-      df.cache()
-      df
+    ensure0(spark, name, key, cache = true)(build)
+
+  /** Evict every stage relation registered for `spark`, logging the
+    * storage the cached ones held. Called at end of a catalog run; a
+    * later query transparently rebuilds what it needs.
+    */
+  def unpersistAll(spark: SparkSession): Unit = {
+    val reg = registry(spark)
+    reg.synchronized {
+      if (reg.nonEmpty) {
+        val cachedNames = reg.collect { case (n, e) if e.cached => n }.toSeq.sorted
+        val held = scala.util.Try(
+          spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+        ).getOrElse(-1L)
+        System.err.println(
+          s"[stageviews] evicting ${reg.size} stage views " +
+            s"(${cachedNames.size} cached: ${cachedNames.mkString(", ")}; " +
+            s"storage held ≈ ${held / (1 << 20)} MiB)")
+        reg.values.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+        reg.clear()
+      }
     }
+  }
 
   /** Widen a narrow scan to the session's shuffle parallelism before
     * CPU-heavy per-row work (shingle/token/bigram explodes, cosine

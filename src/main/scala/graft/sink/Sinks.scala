@@ -33,12 +33,24 @@ object Sinks {
       }
       .start()
 
+  /** K1b serialization contract: one Kafka record per finalized flow —
+    * key = flow_id bytes, value = UTF-8 JSON object of the full row.
+    * This is exactly what the reference's indexer consumes from the
+    * `ddos_result` topic (indexer/indexer.py:26-34: json.loads of each
+    * message value). Factored out of the sink so the wire format is
+    * testable without a broker (KafkaContractSpec).
+    */
+  def toKafkaRecords(flows: DataFrame): DataFrame =
+    flows.selectExpr(
+      "CAST(flow_id AS BINARY) AS key",
+      "CAST(to_json(struct(*)) AS BINARY) AS value")
+
   /** K1 (Kafka variant): labeled flows → topic `ddos_result`
     * (main.py:1020, indexer/indexer.py:7).
     */
   def kafkaFlowSink(flows: DataFrame, bootstrap: String, checkpoint: String,
       topic: String = "ddos_result"): StreamingQuery =
-    flows.selectExpr("flow_id AS key", "to_json(struct(*)) AS value")
+    toKafkaRecords(flows)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)

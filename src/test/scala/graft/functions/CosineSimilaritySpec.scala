@@ -79,4 +79,25 @@ class CosineSimilaritySpec extends AnyFunSuite {
     // (zip_with null-pad would return NULL here instead)
     assert(got == 1.0)
   }
+
+  test("null elements read as 0.0f (documented deviation), both eval paths") {
+    import spark.implicits._
+    // codegen path: [3, null, 4] · [3, 0, 4] — the null contributes 0 to
+    // dot and norm, so similarity is exactly 1.0. The HOF spelling would
+    // return NULL (null poisons zip_with/aggregate); engine embeddings
+    // are non-null 64-dim so catalog queries never hit the branch.
+    val df = Seq((Seq[java.lang.Float](3f, null, 4f), Seq[java.lang.Float](3f, 0f, 4f)))
+      .toDF("a", "b")
+      .selectExpr("CAST(a AS ARRAY<FLOAT>) AS a", "CAST(b AS ARRAY<FLOAT>) AS b")
+    val got = df.select(CosineSimilarity(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    assert(got == 1.0)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val withNull = Literal.create(Array[java.lang.Float](3f, null, 4f),
+      ArrayType(FloatType, containsNull = true))
+    val dense = Literal.create(Array(3f, 0f, 4f), ArrayType(FloatType))
+    assert(CosineSimilarity(withNull, dense).eval(null).asInstanceOf[Double] == 1.0)
+  }
 }
