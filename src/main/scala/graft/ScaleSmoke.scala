@@ -36,6 +36,44 @@ object ScaleSmoke {
     val (mN, tN) = results.last
     println(f"[scale] growth: input x${mN / m0} -> time x${tN / t0}%.1f")
 
+    // ---- dedup family (minhash-LSH): the candidate-generation probe ----
+    // Replica texts are made DISTINCT (per-replica word prefix) so the
+    // corpus grows ×m with the SAME near-dup structure per replica.
+    // Replicating identical text instead would grow duplicate clusters
+    // ×m and the true candidate-pair count would grow quadratically by
+    // construction of the DATA — masking whether the ALGORITHM scales.
+    val docs = Tables.documents(spark, sfDir).cache()
+    val nDocs = docs.count()
+    val dedupResults = multiples.map { m =>
+      val corpus = docs
+        .crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          "doc_id + rep * 100000000 AS doc_id",
+          "array_join(transform(split(text, ' '), w -> concat('r', CAST(rep AS STRING), w)), ' ') AS text")
+      val t0d = System.nanoTime()
+      val pairs = operators.Dedup.minhashOn(spark, s"scale-minhash-$m", corpus).count()
+      val sec = (System.nanoTime() - t0d) / 1e9
+      println(f"[scale] minhash x$m%-3d docs=${nDocs * m}%8d pairs=$pairs%8d  $sec%7.2f s")
+      (m, sec)
+    }
+    println(f"[scale] minhash growth: input x${dedupResults.last._1 / dedupResults.head._1} -> time x${dedupResults.last._2 / dedupResults.head._2}%.1f")
+
+    // ---- IVF ANN: assignment is O(n·64), probes scan ~nprobe/nlists ----
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val nVec = emb.count()
+    val ivfResults = multiples.map { m =>
+      val corpus = emb
+        .crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("vec_id + rep * 100000000 AS vec_id", "embedding")
+      val t0v = System.nanoTime()
+      val rows = operators.Similarity.ivfOn(spark, s"scale-ivf-$m", corpus).count()
+      val sec = (System.nanoTime() - t0v) / 1e9
+      println(f"[scale] ivf     x$m%-3d vecs=${nVec * m}%8d rows=$rows%8d  $sec%7.2f s")
+      (m, sec)
+    }
+    println(f"[scale] ivf growth: input x${ivfResults.last._1 / ivfResults.head._1} -> time x${ivfResults.last._2 / ivfResults.head._2}%.1f")
+    operators.StageViews.unpersistAll(spark)
+
     // streaming path: same multiplied packets through the stateful
     // operator (state store + typed encoders are the extra cost vs the
     // batch window plan)

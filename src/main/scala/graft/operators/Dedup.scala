@@ -240,7 +240,7 @@ ORDER BY j.doc_a, j.doc_b"""
     * verify then touches ONLY candidate docs' shingles — O(candidates),
     * not O(all sharing pairs) — which is the LSH payoff.
     */
-  private[operators] def minhashOn(spark: SparkSession, key: String,
+  private[graft] def minhashOn(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
     ensureShingles(spark, key, docs)

@@ -108,5 +108,13 @@ ORDER BY query_id, rank"""
 
   val qIvf = Q("q_ann_ivf", run(ivfSql(SparkSql)), Some(ivfSql(DuckSql)))
 
+  /** IVF over an arbitrary embeddings frame (ScaleSmoke's ×m probe). */
+  private[graft] def ivfOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(ivfSql(SparkSql))
+  }
+
   val all: Seq[Q] = Seq(qBrute, qIvf)
 }
