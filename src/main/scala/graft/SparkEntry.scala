@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Sampling.all ++
+      operators.CorpusFilter.all ++
       operators.Multimodal.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Composed corpus-cleaning decisions — the "run your whole cleaning
+  * pipeline as one query" surface an LLM-data user actually executes:
+  * per document, the quality gate (length + stopword evidence), the
+  * repetition gate (duplicate-5-gram ratio), exact-duplicate
+  * canonicalization (keep the lowest doc_id per identical text), and
+  * the conjunction as the final keep decision, with every reason
+  * emitted so drops are auditable.
+  *
+  * Also: PII detection/redaction counts (emails, URLs) over a corpus
+  * with deterministically injected PII — the driver corpus is clean, so
+  * the query plants synthetic addresses first (same trick as the
+  * cleaning chain's injected infs) and the oracle must find exactly
+  * those.
+  *
+  * Scale: the quality and PII stages are shuffle-free scans; repetition
+  * reuses the dedup family's cached shingle aggregate; canonicalization
+  * is one window over the text hash (at 100 TB: hash-partition by
+  * md5(text), which also co-locates the exact-dedup groupBy).
+  */
+object CorpusFilter {
+
+  private def filterSql(d: SqlDialect): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val (nWords, nStop) = d match {
+      case SparkSql => (
+        "size(split(text, ' '))",
+        s"size(filter(split(text, ' '), x -> x IN $stop))")
+      case DuckSql => (
+        s"${d.len(d.split("text"))}",
+        s"${d.len(s"list_filter(${d.split("text")}, x -> x IN $stop)")}")
+    }
+    s"""
+WITH ${Dedup.shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+q AS (SELECT doc_id, text, $nWords AS n_words, $nStop AS n_stop FROM documents),
+r AS (SELECT q.doc_id,
+             greatest(q.n_words - 4, 0) AS total_grams,
+             coalesce(sz.nsh, 0) AS distinct_grams
+      FROM q LEFT JOIN sz ON q.doc_id = sz.doc_id),
+c AS (SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+      FROM documents)
+SELECT q.doc_id,
+       (q.n_words >= 40 AND q.n_stop > 0) AS pass_quality,
+       (r.total_grams > 0 AND
+        CAST(r.total_grams - r.distinct_grams AS DOUBLE) / CAST(r.total_grams AS DOUBLE) <= CAST(0.2 AS DOUBLE)) AS pass_repetition,
+       c.is_canonical,
+       ((q.n_words >= 40 AND q.n_stop > 0)
+        AND (r.total_grams > 0 AND
+             CAST(r.total_grams - r.distinct_grams AS DOUBLE) / CAST(r.total_grams AS DOUBLE) <= CAST(0.2 AS DOUBLE))
+        AND c.is_canonical) AS keep
+FROM q JOIN r ON q.doc_id = r.doc_id JOIN c ON q.doc_id = c.doc_id
+ORDER BY q.doc_id"""
+  }
+
+  val qFilter = Q(
+    "q_corpus_filter",
+    (spark, dir) => {
+      Dedup.ensureShingles(spark, dir, graft.Tables.documents(spark, dir))
+      // same decision SQL, but the repetition input reads the session's
+      // cached shingle aggregate instead of re-deriving it
+      val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+      spark.sql(s"""
+SELECT q.doc_id,
+       (q.n_words >= 40 AND q.n_stop > 0) AS pass_quality,
+       (r.total_grams > 0 AND
+        CAST(r.total_grams - r.distinct_grams AS DOUBLE) / CAST(r.total_grams AS DOUBLE) <= CAST(0.2 AS DOUBLE)) AS pass_repetition,
+       c.is_canonical,
+       ((q.n_words >= 40 AND q.n_stop > 0)
+        AND (r.total_grams > 0 AND
+             CAST(r.total_grams - r.distinct_grams AS DOUBLE) / CAST(r.total_grams AS DOUBLE) <= CAST(0.2 AS DOUBLE))
+        AND c.is_canonical) AS keep
+FROM (SELECT doc_id, size(split(text, ' ')) AS n_words,
+             size(filter(split(text, ' '), x -> x IN $stop)) AS n_stop
+      FROM documents) q
+JOIN (SELECT d.doc_id, greatest(size(split(d.text, ' ')) - 4, 0) AS total_grams,
+             coalesce(sz.nsh, 0) AS distinct_grams
+      FROM documents d LEFT JOIN sz_v sz ON d.doc_id = sz.doc_id) r
+  ON q.doc_id = r.doc_id
+JOIN (SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+      FROM documents) c
+  ON q.doc_id = c.doc_id
+ORDER BY q.doc_id""")
+    },
+    Some(filterSql(DuckSql)))
+
+  /** Email/URL detection + redaction over deterministically planted
+    * PII. Patterns stay in the regex subset Java regex and RE2 agree
+    * on (char classes, +, literal dot); DuckDB's regexp_replace needs
+    * the explicit 'g' flag for global behavior (Spark is global by
+    * default).
+    */
+  private def piiSql(d: SqlDialect): String = {
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val url = "https?://[a-z0-9./]+"
+    val (nEmail, nUrl, redact) = d match {
+      case SparkSql => (
+        s"size(regexp_extract_all(body, '$email', 0))",
+        s"size(regexp_extract_all(body, '$url', 0))",
+        s"regexp_replace(regexp_replace(body, '$email', '<EMAIL>'), '$url', '<URL>')")
+      case DuckSql => (
+        s"len(regexp_extract_all(body, '$email'))",
+        s"len(regexp_extract_all(body, '$url'))",
+        s"regexp_replace(regexp_replace(body, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g')")
+    }
+    s"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+              WHEN doc_id % 11 = 0
+              THEN text || ' see https://example.com/d/' || CAST(doc_id AS STRING) || ' too'
+              ELSE text END AS body
+  FROM documents)
+SELECT doc_id,
+       CAST($nEmail AS BIGINT) AS n_emails,
+       CAST($nUrl AS BIGINT) AS n_urls,
+       length($redact) AS redacted_len,
+       md5($redact) AS redacted_md5
+FROM planted
+ORDER BY doc_id"""
+  }
+
+  val qPii = Q(
+    "q_pii_scrub",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(piiSql(SparkSql))
+    },
+    Some(piiSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qFilter, qPii)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic corpus splitting and sampling for the training-data
+  * pipeline: content-hash bucketing replaces `randomSplit` wherever
+  * reproducibility matters — the assignment is a pure function of the
+  * document id, so it is stable across engines, runs, partitionings and
+  * cluster sizes (randomSplit is none of those: it re-draws per
+  * partition layout, train_rf.py:68 included).
+  *
+  * Scale: both queries are a single narrow projection over the corpus
+  * (md5 + integer ops, fully codegen'd); the stratified variant adds
+  * one map-side-combinable groupBy(lang). No joins, no wide shuffle —
+  * the same plan at 100 TB.
+  */
+object Sampling {
+
+  /** md5-hex-prefix → 28-bit BIGINT, identical arithmetic in both
+    * engines (the dedup/simhash nibble trick); `h` must hold md5(...).
+    */
+  private def nibble28(d: SqlDialect, h: String): String = (1 to 7)
+    .map { i =>
+      val c = s"substr($h, $i, 1)"
+      s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }
+    .mkString(" + ")
+
+  /** 90/5/5 train/val/test assignment by hash bucket. */
+  private def splitSql(d: SqlDialect): String = s"""
+WITH mh AS (SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h FROM documents),
+b AS (SELECT doc_id, (${nibble28(d, "h")}) % 100 AS bucket FROM mh)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id"""
+
+  val qSplit = Q(
+    "q_split_assign",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(splitSql(SparkSql))
+    },
+    Some(splitSql(DuckSql)))
+
+  /** Per-language 20% sample by the same bucketing — stratified
+    * sampling whose per-group rates concentrate tightly around 0.20
+    * because the hash is uniform; emits sampled/total per stratum.
+    */
+  private def stratifiedSql(d: SqlDialect): String = s"""
+WITH mh AS (SELECT doc_id, lang, md5(CAST(doc_id AS STRING)) AS h FROM documents),
+b AS (SELECT doc_id, lang, (${nibble28(d, "h")}) % 100 AS bucket FROM mh)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM b
+GROUP BY lang
+ORDER BY lang"""
+
+  val qStratified = Q(
+    "q_stratified_sample",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(stratifiedSql(SparkSql))
+    },
+    Some(stratifiedSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qSplit, qStratified)
+}

@@ -187,5 +187,47 @@ ORDER BY doc_id""")
     },
     Some(fingerprintSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint)
+  // ---- repetition scoring (duplicate-n-gram ratio, Gopher-style) ----
+
+  /** Within-document repetition: 1 − distinct/total word-5-grams — the
+    * classic repeated-n-gram quality filter for LLM corpora. The
+    * distinct side is the SAME cached shingle aggregate the dedup
+    * family builds (sz_v), so on a warm session this costs one narrow
+    * projection and a tiny join; the total side is a length expression,
+    * no explode. Ratio is a division of exact BIGINTs — bit-identical
+    * across engines.
+    */
+  private def repetitionSql(d: SqlDialect): String = s"""
+WITH ${Dedup.shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+w AS (SELECT doc_id, greatest(${d.len(d.split("text"))} - 4, 0) AS total_grams FROM documents)
+SELECT w.doc_id, w.total_grams, coalesce(sz.nsh, 0) AS distinct_grams,
+       CASE WHEN w.total_grams > 0
+            THEN CAST(w.total_grams - coalesce(sz.nsh, 0) AS DOUBLE) / CAST(w.total_grams AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_gram_ratio,
+       CASE WHEN w.total_grams = 0 THEN 'short'
+            WHEN CAST(w.total_grams - coalesce(sz.nsh, 0) AS DOUBLE) / CAST(w.total_grams AS DOUBLE) > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+            ELSE 'ok' END AS repetition_band
+FROM w LEFT JOIN sz ON w.doc_id = sz.doc_id
+ORDER BY w.doc_id"""
+
+  val qRepetition = Q(
+    "q_text_repetition",
+    (spark, dir) => {
+      Dedup.ensureShingles(spark, dir, graft.Tables.documents(spark, dir))
+      spark.sql(s"""
+SELECT w.doc_id, w.total_grams, coalesce(sz.nsh, 0) AS distinct_grams,
+       CASE WHEN w.total_grams > 0
+            THEN CAST(w.total_grams - coalesce(sz.nsh, 0) AS DOUBLE) / CAST(w.total_grams AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS dup_gram_ratio,
+       CASE WHEN w.total_grams = 0 THEN 'short'
+            WHEN CAST(w.total_grams - coalesce(sz.nsh, 0) AS DOUBLE) / CAST(w.total_grams AS DOUBLE) > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+            ELSE 'ok' END AS repetition_band
+FROM (SELECT doc_id, greatest(size(split(text, ' ')) - 4, 0) AS total_grams FROM documents) w
+LEFT JOIN sz_v sz ON w.doc_id = sz.doc_id
+ORDER BY w.doc_id""")
+    },
+    Some(repetitionSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition)
 }
