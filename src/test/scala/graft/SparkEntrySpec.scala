@@ -22,6 +22,11 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("EVERY query has an oracle — no rows-only entries left") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
+  }
+
   test("every oracle ends in a total ORDER BY (hash-compare determinism)") {
     for ((n, sql) <- SparkEntry.oracleSql)
       assert(sql.toUpperCase.contains("ORDER BY"), s"$n lacks ORDER BY")
@@ -38,7 +43,9 @@ class SparkEntrySpec extends AnyFunSuite {
         "q_dedup_ngram_jaccard", "q_dedup_embedding",
         "q_ann_cosine_topk", "q_ann_ivf",
         "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
-        "q_multimodal_decode", "q_rf_train_score"))
+        "q_text_repetition", "q_split_assign", "q_stratified_sample",
+        "q_corpus_filter", "q_pii_scrub",
+        "q_multimodal_decode", "q_rf_train_score", "q_rf_pretrained_score"))
       assert(names.contains(required), s"missing $required")
   }
 }
