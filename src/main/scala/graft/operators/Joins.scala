@@ -104,5 +104,38 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey""")
   )
 
-  val all: Seq[Q] = Seq(qTopCustomers, qRevenueByNation, qSemiAnti)
+  /** Range (theta) join: events bucketed into value tiers by
+    * `value >= lo AND value < hi` — no equi-key exists, so Spark plans
+    * a nested-loop join; with the tier table broadcast (5 rows) that is
+    * the RIGHT plan at any scale: each event row scans 5 tiers
+    * in-memory, no shuffle of the fact side. The oracle states the same
+    * non-equi predicate.
+    */
+  val qRangeJoin = Q(
+    "q_range_join_tiers",
+    (spark, dir) => {
+      import spark.implicits._
+      val tiers = Seq(
+        ("t0", 0.0, 20.0), ("t1", 20.0, 40.0), ("t2", 40.0, 60.0),
+        ("t3", 60.0, 80.0), ("t4", 80.0, 1e9))
+        .toDF("tier", "lo", "hi")
+      Tables.events(spark, dir)
+        .join(broadcast(tiers), $"value" >= $"lo" && $"value" < $"hi")
+        .groupBy($"tier")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+        .orderBy($"tier")
+    },
+    Some("""
+      WITH tiers(tier, lo, hi) AS (VALUES
+        ('t0', 0.0, 20.0), ('t1', 20.0, 40.0), ('t2', 40.0, 60.0),
+        ('t3', 60.0, 80.0), ('t4', 80.0, 1e9))
+      SELECT tier, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events JOIN tiers ON value >= lo AND value < hi
+      GROUP BY tier ORDER BY tier
+    """))
+
+  val all: Seq[Q] = Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin)
 }
