@@ -63,4 +63,48 @@ class DetectionPipelineSpec extends AnyFunSuite {
       assert(r.getAs[String]("source_ip") == "10.0.0.1")
     } finally q.stop()
   }
+
+  test("streaming scoring with the reference's PRETRAINED model (main.py:1065-1090 parity)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the exact deployment shape: load the persisted 3.3.4 pipeline once
+    // on the driver, score the completed-flow stream statelessly with it
+    val model = ml.PretrainedRf.model
+    val outDir = Files.createTempDirectory("pipe_pre_out").toString
+    val ckpt = Files.createTempDirectory("pipe_pre_ckpt").toString
+    val input = MemoryStream[String]
+    val q = DetectionPipeline.start(
+      input.toDS().toDF("value"), model, outDir, ckpt,
+      timeoutMs = 500, triggerInterval = "250 milliseconds")
+    try {
+      val burst = (0 until 12).map { i =>
+        PacketReplay.toJson(PacketRow(i.toLong, 500000L * i, 17, 60 + i,
+          "10.1.0.1", "10.1.0.2", 5353, 53, 0, 12 + i,
+          0, 0, 0, 0, 0, 0, 0, 0))
+      }
+      input.addData(burst: _*)
+      val deadline = System.currentTimeMillis() + 60000
+      def files() = {
+        val d = new java.io.File(outDir)
+        Option(d.listFiles()).getOrElse(Array.empty).flatMap(b =>
+          Option(b.listFiles()).getOrElse(Array.empty)).filter(_.getName.endsWith(".json"))
+      }
+      while (files().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(files().nonEmpty, "no sink output within 60s")
+      val rows = spark.read.json(files().map(_.getAbsolutePath): _*).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("flow_id") == "10.1.0.1:5353-10.1.0.2:53-17_TIMEOUT")
+      // pretrained scoring must agree with the batch path on the same flow
+      val batchFlows = flow.FlowFeaturizer.features(
+        flow.FlowFeaturizer.foldBatch(None, (0 until 12).map { i =>
+          PacketRow(i.toLong, 500000L * i, 17, 60 + i,
+            "10.1.0.1", "10.1.0.2", 5353, 53, 0, 12 + i,
+            0, 0, 0, 0, 0, 0, 0, 0)
+        }), "_TIMEOUT")
+      val batchScored = ml.PretrainedRf.score(Seq(batchFlows).toDS().toDF()).collect().head
+      assert(r.getAs[String]("Label") == batchScored.getAs[String]("Label"))
+    } finally q.stop()
+  }
 }
