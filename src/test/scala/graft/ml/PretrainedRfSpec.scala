@@ -69,6 +69,41 @@ class PretrainedRfSpec extends AnyFunSuite {
     ()
   }
 
+  test("compiled SQL matches MLlib on 2000 synthetic off-corpus vectors") {
+    import spark.implicits._
+    // deterministic pseudo-random features spanning each split's
+    // threshold neighborhood (no Math.random: xxhash64-derived), so
+    // boundary behavior (<= vs <) is exercised away from the real
+    // corpus' value distribution
+    val cols = PretrainedRf.assembler.getInputCols
+    // per-feature scale spans 0.1×..10^5× so thresholds at any
+    // magnitude (packet counts vs byte rates vs µs IATs) get crossed
+    val featExprs = cols.zipWithIndex.map { case (c, k) =>
+      s"CAST(pmod(xxhash64(id, $k), 2000) AS DOUBLE) * CAST(pow(10.0, CAST(pmod(xxhash64(id, ${k + 100}), 7) AS DOUBLE) - 1.0) AS DOUBLE) AS `$c`"
+    }
+    val synth = spark.range(2000).selectExpr("id" +: featExprs: _*).cache()
+    synth.createOrReplaceTempView("prf_synth")
+    val compiled = spark.sql(s"""
+      SELECT id, v1, ${TreeSql.predictionSql()} AS prediction
+      FROM (SELECT id,
+                   ${TreeSql.votesSql(PretrainedRf.rf, 0, i => s"`${cols(i)}`")} AS v0,
+                   ${TreeSql.votesSql(PretrainedRf.rf, 1, i => s"`${cols(i)}`")} AS v1
+            FROM prf_synth)""")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val mllib = PretrainedRf.model.transform(synth)
+      .select($"id", org.apache.spark.ml.functions.vector_to_array($"rawPrediction").getItem(1), $"prediction")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(compiled.size == 2000)
+    assert(compiled == mllib)
+    // the sweep must route rows through many distinct leaf combinations
+    // (class diversity is covered on the real corpus, where the model
+    // flags 10/750 flows DDoS and still bit-matches)
+    val distinctVotes = compiled.values.map(_._1).toSet.size
+    assert(distinctVotes > 500, s"sweep too uniform: $distinctVotes distinct vote sums")
+    synth.unpersist(blocking = false)
+    ()
+  }
+
   test("vote margins are far above fp noise (cross-engine determinism headroom)") {
     import spark.implicits._
     val margins = PretrainedRf.score(flows)
