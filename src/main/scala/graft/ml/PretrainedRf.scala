@@ -78,6 +78,31 @@ object PretrainedRf {
         $"prediction", $"Label")
   }
 
+  /** Compiled-forest scoring: identical predictions to [[score]] but
+    * evaluated entirely as SQL expressions inside whole-stage codegen —
+    * no VectorAssembler, no MLlib transform, no model objects on the
+    * executors. This is the 100 TB deployment shape for a frozen model:
+    * the forest becomes a pure projection any Spark (or SQL) reader can
+    * run, and the scan/filter pushdown around it stays intact. At bench
+    * SF the row is dominated by fixed costs (Janino compiling the
+    * ~0.6 MB expression, plus whichever of the two RF queries runs
+    * first paying the one-off model load) — the per-row advantage only
+    * materializes once row count amortizes the compile, exactly like
+    * every whole-stage-codegen trade.
+    */
+  def scoreCompiled(flows: DataFrame): DataFrame = {
+    val cols = assembler.getInputCols
+    val feat = (i: Int) => cols(i)
+    cleaned(flows)
+      .selectExpr("flow_id",
+        s"${TreeSql.votesSql(rf, 0, feat)} AS v0",
+        s"${TreeSql.votesSql(rf, 1, feat)} AS v1")
+      .selectExpr("flow_id",
+        "v1 AS ddos_votes",
+        s"${TreeSql.predictionSql()} AS prediction",
+        s"CASE WHEN ${TreeSql.predCondition()} THEN 'DDoS' ELSE 'Normal' END AS Label")
+  }
+
   private def oracle: String = {
     val cols = assembler.getInputCols
     val feat = (i: Int) => cols(i)
@@ -99,5 +124,16 @@ FROM scored ORDER BY flow_id"""
         .orderBy("flow_id"),
     Some(oracle))
 
-  def all: Seq[Q] = Seq(qPretrained)
+  /** Same result through the compiled path — the DuckDB oracle is
+    * literally the same SQL, so this also proves the two engine-side
+    * scorers agree (MLlib transform vs codegen'd expression tree).
+    */
+  lazy val qCompiled: Q = Q(
+    "q_rf_compiled_score",
+    (spark, dir) =>
+      scoreCompiled(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+        .orderBy("flow_id"),
+    Some(oracle))
+
+  def all: Seq[Q] = Seq(qPretrained, qCompiled)
 }
