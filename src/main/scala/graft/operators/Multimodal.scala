@@ -8,6 +8,16 @@ case class MediaRow(
     doc_id: Long, mime: String, byte_len: Long, content_md5: String,
     width: Long, height: Long, n_frames: Long, decode_ok: Boolean)
 
+/** One sampled video frame (stub content hash). */
+case class FrameRow(doc_id: Long, n_frames: Long, frame_idx: Long, frame_md5: String)
+
+/** One fixed-width stub feature vector (8 dims + squared norm). */
+case class FeatureRow(
+    doc_id: Long, mime: String,
+    f0: Long, f1: Long, f2: Long, f3: Long,
+    f4: Long, f5: Long, f6: Long, f7: Long,
+    feat_norm_sq: Long)
+
 /** Multimodal-column plumbing: media as opaque binary columns with typed
   * metadata, decoded/feature-extracted via a typed `mapPartitions` stage
   * that processes partitions in fixed-size batches (the shape a real
@@ -75,5 +85,100 @@ ORDER BY doc_id"""
     Some(oracle)
   )
 
-  val all: Seq[Q] = Seq(qDecode)
+  // ---- frame sampling (video): one-to-many typed fan-out ----
+
+  /** Sample ≤4 evenly-strided frames per video asset. The STUB "frame"
+    * is md5(payload ++ "#idx"); the plumbing is the real shape — a
+    * batched mapPartitions that fans one asset row out to N frame rows
+    * with no shuffle (frames land in the asset's partition, which is
+    * what a real ffmpeg frame-grab stage needs for locality).
+    */
+  def sampleFramesBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[FrameRow] =
+    batch.flatMap { case (id, mime, bytes) =>
+      if (mime != "video/mp4") Nil
+      else {
+        val nFrames = 1 + bytes.length.toLong / 100
+        val stride = math.max(nFrames / 4, 1L)
+        (0 until 4)
+          .map(_ * stride)
+          .filter(_ < nFrames)
+          .map { idx =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes ++ s"#$idx".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            FrameRow(id, nFrames, idx, h)
+          }
+      }
+    }
+
+  def sampleFrames(media: DataFrame): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(sampleFramesBatch))
+  }
+
+  private def framesOracle(d: SqlDialect): String = s"""
+WITH v AS (SELECT doc_id, text,
+                  1 + CAST(octet_length(encode(text)) AS BIGINT) // 100 AS n_frames
+           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+vs AS (SELECT doc_id, text, n_frames,
+              CASE WHEN n_frames // 4 > 1 THEN n_frames // 4 ELSE 1 END AS stride
+       FROM v),
+f AS (${d.series("doc_id, text, n_frames, stride", "4", "j", "vs")})
+SELECT doc_id, n_frames, (j - 1) * stride AS frame_idx,
+       md5(text || '#' || CAST((j - 1) * stride AS STRING)) AS frame_md5
+FROM f
+WHERE (j - 1) * stride < n_frames
+ORDER BY doc_id, frame_idx"""
+
+  val qFrames = Q(
+    "q_multimodal_frames",
+    (spark, dir) => sampleFrames(mediaOf(spark, dir))
+      .orderBy("doc_id", "frame_idx").toDF(),
+    Some(framesOracle(DuckSql)))
+
+  // ---- feature extraction: fixed-width stub embedding ----
+
+  /** STUB feature extractor: 8 values from the payload's md5 nibbles
+    * (charset-proof — both engines hash the same bytes) plus their
+    * squared norm. Real plumbing: same batched typed mapPartitions as
+    * the decoder; swap the body for an ONNX/JNI encoder in production
+    * and the schema, batching, and partitioning stay identical.
+    */
+  def extractFeaturesBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[FeatureRow] =
+    batch.map { case (id, mime, bytes) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val f = (0 until 8).map(i => "0123456789abcdef".indexOf(hex(i)).toLong)
+      FeatureRow(id, mime, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7),
+        f.map(x => x * x).sum)
+    }
+
+  def extractFeatures(media: DataFrame): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(extractFeaturesBatch))
+  }
+
+  private def featuresOracle(d: SqlDialect): String = {
+    val fs = (1 to 8).map { i =>
+      s"(${d.strpos("'0123456789abcdef'", s"substr(md5(text), $i, 1)")} - 1)"
+    }
+    s"""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       ${fs.zipWithIndex.map { case (f, i) => s"CAST($f AS BIGINT) AS f$i" }.mkString(", ")},
+       CAST(${fs.map(f => s"$f * $f").mkString(" + ")} AS BIGINT) AS feat_norm_sq
+FROM documents
+ORDER BY doc_id"""
+  }
+
+  val qFeatures = Q(
+    "q_multimodal_features",
+    (spark, dir) => extractFeatures(mediaOf(spark, dir)).orderBy("doc_id").toDF(),
+    Some(featuresOracle(DuckSql)))
+
+  val all: Seq[Q] = Seq(qDecode, qFrames, qFeatures)
 }

@@ -45,7 +45,8 @@ class SparkEntrySpec extends AnyFunSuite {
         "q_text_langid", "q_text_quality", "q_text_tokens", "q_text_fingerprint",
         "q_text_repetition", "q_split_assign", "q_stratified_sample",
         "q_corpus_filter", "q_pii_scrub",
-        "q_multimodal_decode", "q_rf_train_score", "q_rf_pretrained_score",
+        "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_features",
+        "q_rf_train_score", "q_rf_pretrained_score",
         "q_rf_compiled_score", "q_range_join_tiers"))
       assert(names.contains(required), s"missing $required")
   }
