@@ -147,5 +147,58 @@ SELECT event_type,
 FROM ranked GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles)
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * map-side-expanded hash aggregate — completes the grouping-set
+    * family next to ROLLUP (the reference has neither; SURVEY §2.4).
+    */
+  val qCube = Q(
+    "q_cube_pricing",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          (sum(expr("CAST(round(l_quantity * 100, 0) AS BIGINT)")) / 100.0).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_items")
+        .orderBy("returnflag", "linestatus")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus""")
+  )
+
+  /** INTERSECT / EXCEPT (distinct set semantics) — the set-op family
+    * beyond UNION: users active in BOTH halves of the event window vs
+    * only the first half. One shuffle per set op on the distinct key.
+    */
+  val qSetOps = Q(
+    "q_set_ops_users",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .selectExpr("user_id", "event_id % 2 = 0 AS first_half")
+      val a = ev.filter($"first_half").select($"user_id")
+      val b = ev.filter(!$"first_half").select($"user_id")
+      val both = a.intersect(b).count()
+      val onlyA = a.except(b).count()
+      val onlyB = b.except(a).count()
+      Seq((both, onlyA, onlyB)).toDF("n_both", "n_only_first", "n_only_second")
+    },
+    Some("""WITH a AS (SELECT user_id FROM events WHERE event_id % 2 = 0),
+b AS (SELECT user_id FROM events WHERE event_id % 2 <> 0)
+SELECT (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_both,
+       (SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_only_first,
+       (SELECT count(*) FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)) AS n_only_second
+ORDER BY n_both""")
+  )
+
+  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube, qSetOps)
 }
