@@ -28,7 +28,8 @@ object SparkEntry {
       operators.CorpusFilter.all ++
       operators.Multimodal.all ++
       ml.RfDetector.all ++
-      ml.PretrainedRf.all
+      ml.PretrainedRf.all ++
+      Seq(ingest.CsvFlows.csvRoundtripQuery)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's core: the 82-column flow featurization.

@@ -50,4 +50,46 @@ object CsvFlows {
     df.withColumn("Label", upper(trim(col("Label"))))
       .withColumn("binary_label",
         when(col("Label") === "BENIGN", 0.0).otherwise(1.0))
+
+  /** S3 as an oracle-gated query: write the events table through the
+    * CSV sink (header, distributed), read it back through [[load]] with
+    * an explicit schema, and aggregate — the DuckDB oracle computes the
+    * same aggregate from the PARQUET table, so any loss in the CSV
+    * round trip (header handling, type parsing, double formatting —
+    * Spark writes shortest-round-trip decimals) breaks the hash. The
+    * timestamp rides as epoch-nano BIGINT, the one CSV-safe spelling of
+    * the nanos column.
+    */
+  def csvRoundtripQuery: graft.Q = graft.Q(
+    "q_csv_roundtrip",
+    (spark, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.Tables.events(spark, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      load(spark, tmp, Some(schema))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_ids"),
+          // nano timestamps: min/max, not sum (a sum of ~1.7e18-nano
+          // epochs overflows BIGINT in Spark while DuckDB widens);
+          // compared at µs — DuckDB reads parquet TIMESTAMP(NANOS) at
+          // µs precision, the same truncation every ts oracle uses
+          min(expr("ts DIV 1000")).as("min_ts_us"),
+          max(expr("ts DIV 1000")).as("max_ts_us"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type"""))
 }
