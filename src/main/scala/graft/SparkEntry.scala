@@ -29,7 +29,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
-      Seq(ingest.CsvFlows.csvRoundtripQuery)
+      ingest.CsvFlows.roundtripQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's core: the 82-column flow featurization.

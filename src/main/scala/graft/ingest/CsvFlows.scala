@@ -51,36 +51,37 @@ object CsvFlows {
       .withColumn("binary_label",
         when(col("Label") === "BENIGN", 0.0).otherwise(1.0))
 
-  /** S3 as an oracle-gated query: write the events table through the
-    * CSV sink (header, distributed), read it back through [[load]] with
-    * an explicit schema, and aggregate — the DuckDB oracle computes the
-    * same aggregate from the PARQUET table, so any loss in the CSV
-    * round trip (header handling, type parsing, double formatting —
+  /** Source/sink format gate as an oracle query family: write the
+    * events table through the given format's distributed sink, read it
+    * back with an explicit schema, and aggregate — the DuckDB oracle
+    * computes the same aggregate from the PARQUET table, so any loss in
+    * the round trip (header handling, type parsing, double formatting —
     * Spark writes shortest-round-trip decimals) breaks the hash. The
-    * timestamp rides as epoch-nano BIGINT, the one CSV-safe spelling of
-    * the nanos column.
+    * timestamp rides as epoch-nano BIGINT (the text-safe spelling);
+    * comparison is at µs because DuckDB reads parquet TIMESTAMP(NANOS)
+    * at µs precision, and min/max not sum because a BIGINT sum of nano
+    * epochs overflows in Spark where DuckDB silently widens.
     */
-  def csvRoundtripQuery: graft.Q = graft.Q(
-    "q_csv_roundtrip",
+  def roundtripQuery(fmt: String): graft.Q = graft.Q(
+    s"q_${fmt}_roundtrip",
     (spark, dir) => {
       import org.apache.spark.sql.types._
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.Tables.events(spark, dir)
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+        .write.mode("overwrite").option("header", "true").format(fmt).save(tmp)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      load(spark, tmp, Some(schema))
+      val back =
+        if (fmt == "csv") load(spark, tmp, Some(schema))
+        else spark.read.schema(schema).format(fmt).load(tmp)
+      back
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("event_id")).as("sum_ids"),
-          // nano timestamps: min/max, not sum (a sum of ~1.7e18-nano
-          // epochs overflows BIGINT in Spark while DuckDB widens);
-          // compared at µs — DuckDB reads parquet TIMESTAMP(NANOS) at
-          // µs precision, the same truncation every ts oracle uses
           min(expr("ts DIV 1000")).as("min_ts_us"),
           max(expr("ts DIV 1000")).as("max_ts_us"),
           sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
@@ -92,4 +93,10 @@ object CsvFlows {
        CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** csv (S3 proper) + orc + json — every bundled format a reference
+    * user could bring data in as. Parquet is every other query's scan.
+    */
+  def roundtripQueries: Seq[graft.Q] =
+    Seq("csv", "orc", "json").map(roundtripQuery)
 }
