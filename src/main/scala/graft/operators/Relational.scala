@@ -145,5 +145,44 @@ object Relational {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1, qDistinct, qSalted, qApproxDistinct)
+  /** Sketch-based quantiles (percentile_approx, accuracy 1000): like
+    * the HLL entry, the raw sketch value is engine-local, so the oracle
+    * checks a tolerance — the approximate p50/p90 must land within the
+    * exact [p45, p55] / [p85, p95] value bands (computed exactly in
+    * both engines). GK-sketch error at accuracy 1000 is ≤ 0.1% of rank,
+    * far inside the ±5pp band, so the booleans are stable on any
+    * corpus, not just the pinned ones.
+    */
+  val qApproxPercentiles = Q(
+    "q_approx_percentiles",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      val ranked = Tables.events(spark, dir)
+        .select($"event_type", $"value", $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      def exact(p: Double, name: String) =
+        max(when($"rn" === ceil(lit(p) * $"n").cast("int"), $"value")).as(name)
+      val bands = ranked.groupBy($"event_type")
+        .agg(exact(0.45, "lo50"), exact(0.55, "hi50"),
+          exact(0.85, "lo90"), exact(0.95, "hi90"))
+      val approx = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          percentile_approx($"value", lit(0.5), lit(1000)).as("a50"),
+          percentile_approx($"value", lit(0.9), lit(1000)).as("a90"))
+      approx.join(bands, "event_type")
+        .select($"event_type",
+          ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("p50_in_band"),
+          ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("p90_in_band"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, true AS p50_in_band, true AS p90_in_band
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles)
 }
