@@ -187,6 +187,9 @@ ORDER BY returnflag, linestatus""")
         .selectExpr("user_id", "event_id % 2 = 0 AS first_half")
       val a = ev.filter($"first_half").select($"user_id")
       val b = ev.filter(!$"first_half").select($"user_id")
+      // three distributed set-op aggregations; only the three scalar
+      // counts cross to the driver (not a data collect), composed into
+      // the single summary row the oracle states
       val both = a.intersect(b).count()
       val onlyA = a.except(b).count()
       val onlyB = b.except(a).count()
