@@ -133,5 +133,55 @@ ORDER BY doc_id"""
     },
     Some(piiSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qFilter, qPii)
+  /** Benchmark decontamination: for every training document, the
+    * fraction of its word-5-grams that appear ANYWHERE in the
+    * benchmark set (docs with doc_id % 10 = 0 stand in for the eval
+    * suite), and the drop decision at the standard ≥ 0.5 overlap
+    * threshold. Unlike the dedup family's self-join, this is the
+    * asymmetric shape real pipelines run: the benchmark n-gram set is
+    * small and broadcast — the training corpus never shuffles, at any
+    * scale. Reuses the session's cached shingle relation for both
+    * sides.
+    */
+  private def decontaminateSql(d: SqlDialect): String = s"""
+WITH ${Dedup.shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+hits AS (SELECT s.doc_id, count(*) AS n_hit
+         FROM sh s JOIN bench b ON s.shingle = b.shingle
+         WHERE s.doc_id % 10 <> 0
+         GROUP BY s.doc_id)
+SELECT z.doc_id,
+       coalesce(h.n_hit, 0) AS contaminated_grams,
+       z.nsh AS total_grams,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(z.nsh AS DOUBLE) AS overlap_ratio,
+       (CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(z.nsh AS DOUBLE) >= CAST(0.5 AS DOUBLE)) AS drop_contaminated
+FROM sz z LEFT JOIN hits h ON z.doc_id = h.doc_id
+WHERE z.doc_id % 10 <> 0
+ORDER BY z.doc_id"""
+
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (spark, dir) => {
+      Dedup.ensureShingles(spark, dir, graft.Tables.documents(spark, dir))
+      spark.sql("""
+SELECT z.doc_id,
+       coalesce(h.n_hit, 0) AS contaminated_grams,
+       z.nsh AS total_grams,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(z.nsh AS DOUBLE) AS overlap_ratio,
+       (CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(z.nsh AS DOUBLE) >= CAST(0.5 AS DOUBLE)) AS drop_contaminated
+FROM sz_v z
+LEFT JOIN (SELECT /*+ BROADCAST(b) */ s.doc_id, count(*) AS n_hit
+           FROM sh_v s
+           JOIN (SELECT DISTINCT shingle FROM sh_v WHERE doc_id % 10 = 0) b
+             ON s.shingle = b.shingle
+           WHERE s.doc_id % 10 <> 0
+           GROUP BY s.doc_id) h
+  ON z.doc_id = h.doc_id
+WHERE z.doc_id % 10 <> 0
+ORDER BY z.doc_id""")
+    },
+    Some(decontaminateSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate)
 }
