@@ -108,6 +108,31 @@ ORDER BY query_id, rank"""
 
   val qIvf = Q("q_ann_ivf", run(ivfSql(SparkSql)), Some(ivfSql(DuckSql)))
 
+  /** Grouped embedding centroids with exact arithmetic: per group, the
+    * per-dimension MEAN computed over milli-quantized components —
+    * `sum(round(x·1000))` is an exact BIGINT fold (map-side
+    * combinable, partition-order-free), and the final division is one
+    * deterministic double op. This is the scale-correct shape for
+    * centroid/cluster-mean updates (IVF training, k-means steps):
+    * a raw float sum would be partition-order-sensitive and
+    * non-reproducible across engines AND across runs. First 4 of 64
+    * dims emitted (the pattern is per-dimension identical).
+    */
+  private def centroidSql(d: SqlDialect): String = {
+    val dims = (1 to 4).map { i =>
+      val el = d.el("embedding", i.toString)
+      s"CAST(CAST(sum(CAST(round(CAST($el AS DOUBLE) * 1000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000.0e0 / CAST(count(*) AS DOUBLE) AS c$i"
+    }
+    s"""
+SELECT CAST(vec_id % 5 AS BIGINT) AS grp, count(*) AS n,
+       ${dims.mkString(",\n       ")}
+FROM embeddings
+GROUP BY vec_id % 5
+ORDER BY grp"""
+  }
+
+  val qCentroids = Q("q_embedding_centroids", run(centroidSql(SparkSql)), Some(centroidSql(DuckSql)))
+
   /** IVF over an arbitrary embeddings frame (ScaleSmoke's ×m probe). */
   private[graft] def ivfOn(spark: SparkSession, key: String,
       emb: => DataFrame): DataFrame = {
@@ -116,5 +141,5 @@ ORDER BY query_id, rank"""
     spark.sql(ivfSql(SparkSql))
   }
 
-  val all: Seq[Q] = Seq(qBrute, qIvf)
+  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids)
 }

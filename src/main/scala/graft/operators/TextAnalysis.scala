@@ -229,5 +229,41 @@ ORDER BY w.doc_id""")
     },
     Some(repetitionSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition)
+  // ---- keyword extraction (top-3 terms per document by frequency) ----
+
+  /** Integer-exact keyword extraction: per document, the 3 most
+    * frequent non-stopword terms (ties broken lexically). Counts and
+    * ranks are exact ints, so no tf-idf-style log (whose last-ulp
+    * differs between libm implementations) enters the compare. Term
+    * COUNTS need the non-distinct token relation (tok_v is per-doc
+    * distinct), so this derives frequencies directly from the split
+    * array — one explode + one count + one rank, all clustered on
+    * doc_id: a single shuffle.
+    */
+  private def topTermsSql(d: SqlDialect): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val termCte = d match {
+      case SparkSql => s"""
+tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+       WHERE NOT term IN $stop GROUP BY doc_id, term)"""
+      case DuckSql => s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+ti AS (${d.series("doc_id, w", d.len("w"), "i", "dw")}),
+tf AS (SELECT doc_id, ${d.el("w", "i")} AS term, count(*) AS tf
+       FROM ti WHERE NOT ${d.el("w", "i")} IN $stop GROUP BY doc_id, ${d.el("w", "i")})"""
+    }
+    s"""
+WITH $termCte,
+ranked AS (SELECT doc_id, term, tf,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+           FROM tf)
+SELECT doc_id, CAST(r AS BIGINT) AS rank, term, tf
+FROM ranked WHERE r <= 3
+ORDER BY doc_id, rank"""
+  }
+
+  val qTopTerms = Q("q_text_top_terms", run(topTermsSql(SparkSql)), Some(topTermsSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms)
 }
