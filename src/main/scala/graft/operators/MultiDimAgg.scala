@@ -203,5 +203,47 @@ SELECT (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FRO
 ORDER BY n_both""")
   )
 
-  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube, qSetOps)
+  /** The SAME session aggregation through Structured Streaming: file
+    * stream over the events table → session_window groupBy with a
+    * watermark → COMPLETE mode → AvailableNow. Session windows reject
+    * update mode (Spark 4.1, STREAMING_OUTPUT_MODE.UNSUPPORTED), and
+    * append would withhold each user's final session (its end lies
+    * beyond the last watermark), so complete mode is the one spelling
+    * whose output equals the batch result — which is why the batch
+    * lag/cumsum oracle applies verbatim. Cross-batch session MERGING is
+    * pinned separately by ExtensionOpsSpec's exact-boundary fixture.
+    * Streaming surface proven: session state store, watermark plumbing,
+    * gap-merge operator under IncrementalExecution.
+    */
+  val qSessionWindowStream = Q(
+    "q_session_window_stream",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.readStream
+        .schema(graft.flow.FlowFeaturizer.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val sinkName = s"session_stream_${System.nanoTime()}"
+      val q = events
+        .selectExpr("user_id",
+          "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
+        .withWatermark("event_time", "0 seconds")
+        .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .selectExpr("user_id",
+          "unix_micros(session_window.start) AS session_start_us",
+          "unix_micros(session_window.end) AS session_end_us",
+          "n_events")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy("user_id", "session_start_us")
+    },
+    qSessionWindow.oracle)
+
+  val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube,
+    qSetOps, qSessionWindowStream)
 }
