@@ -69,5 +69,45 @@ ORDER BY src_ip, window_start_us"""
         $"n_packets", $"n_bytes", $"alert")
   }
 
-  val all: Seq[Q] = Seq(qRateWindow)
+  /** The same rate aggregation through Structured Streaming with a REAL
+    * event-time `window()` + watermark, gated by the batch oracle: the
+    * single source file arrives as one micro-batch, update mode emits
+    * every window's final state, and epoch-aligned 1-minute windows
+    * floor timestamps exactly like the oracle's integer modulus. With
+    * q_flow_features_stream (custom stateful) and
+    * q_session_window_stream (gap-merge) this completes the
+    * oracle-gated streaming aggregation family.
+    */
+  val qRateWindowStream = Q(
+    "q_rate_window_stream",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.readStream
+        .schema(graft.flow.FlowFeaturizer.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val sinkName = s"rate_stream_${System.nanoTime()}"
+      val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
+        .withColumn("event_time", timestamp_micros($"ts_us"))
+        .withWatermark("event_time", "2 minutes")
+        .groupBy($"src_ip", window($"event_time", "1 minute"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          sum($"length").as("n_bytes"),
+          sum($"syn_flag").as("n_syn"))
+        .selectExpr("src_ip",
+          "unix_micros(window.start) AS window_start_us",
+          "n_packets", "n_bytes", "n_syn",
+          s"n_packets >= $AlertPackets AS alert")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy("src_ip", "window_start_us")
+    },
+    qRateWindow.oracle)
+
+  val all: Seq[Q] = Seq(qRateWindow, qRateWindowStream)
 }
