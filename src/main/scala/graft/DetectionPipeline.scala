@@ -58,7 +58,7 @@ object DetectionPipeline {
     val flows = flowsOf(raw, timeoutMs)
     val spark = raw.sparkSession
     import spark.implicits._
-    flows.toDF
+    flows.toDF()
       .writeStream
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
