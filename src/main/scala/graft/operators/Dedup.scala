@@ -219,20 +219,29 @@ bands AS (SELECT doc_id, bseq - 1 AS band, $bandCase AS bh
           FROM sigs CROSS JOIN bs)"""
   }
 
-  /** Oracle rendering (DuckDB): the full pipeline as CTEs. */
-  private def minhashSql(d: SqlDialect): String = s"""
-WITH ${shingleBase(d)},${bandCtes(d)},
+  /** Frequency-capped band relation (oracle CTE list). */
+  private def bandFilterCtes: String = s"""
 bfreq AS (SELECT band, bh, count(*) AS nb FROM bands GROUP BY band, bh),
 bandsf AS (SELECT b.doc_id, b.band, b.bh
            FROM bands b JOIN bfreq f ON b.band = f.band AND b.bh = f.bh
-           WHERE f.nb <= $BandCap),
+           WHERE f.nb <= $BandCap)"""
+
+  /** Oracle CTE chain ending in `dpairs`, the verified duplicate pairs
+    * (jaccard ≥ 0.5) — shared by the pair query and the cluster query.
+    */
+  private def minhashCtes(d: SqlDialect): String = s"""${shingleBase(d)},${bandCtes(d)},${bandFilterCtes},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bandsf a JOIN bandsf b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),${jacCtes("sh")}
-SELECT j.doc_a, j.doc_b, j.jaccard
-FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= 0.5
-ORDER BY j.doc_a, j.doc_b"""
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),${jacCtes("sh")},
+dpairs AS (SELECT j.doc_a, j.doc_b, j.jaccard
+           FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+           WHERE j.jaccard >= 0.5)"""
+
+  /** Oracle rendering (DuckDB): the full pipeline as CTEs. */
+  private def minhashSql(d: SqlDialect): String = s"""
+WITH ${minhashCtes(d)}
+SELECT doc_a, doc_b, jaccard FROM dpairs
+ORDER BY doc_a, doc_b"""
 
   /** Spark side: the same pipeline over cached stage views. The band
     * relation (4 rows/doc) and the candidate pairs are cached because
@@ -240,8 +249,11 @@ ORDER BY j.doc_a, j.doc_b"""
     * verify then touches ONLY candidate docs' shingles — O(candidates),
     * not O(all sharing pairs) — which is the LSH payoff.
     */
-  private[graft] def minhashOn(spark: SparkSession, key: String,
-      docs: => DataFrame): DataFrame = {
+  /** Register the cached minhash band relation (and its shingle
+    * prerequisites) for `key`.
+    */
+  private[graft] def ensureBands(spark: SparkSession, key: String,
+      docs: => DataFrame): Unit = {
     import org.apache.spark.sql.functions.expr
     ensureShingles(spark, key, docs)
     StageViews.ensureCached(spark, "bands_v", key) {
@@ -255,10 +267,21 @@ ORDER BY j.doc_a, j.doc_b"""
         .crossJoin(spark.range(1, Bands + 1).selectExpr("CAST(id AS INT) AS bseq"))
         .selectExpr("doc_id", "bseq - 1 AS band", s"$bandCase AS bh")
     }
-    val bandsf = s"""(SELECT b.doc_id, b.band, b.bh
+    ()
+  }
+
+  /** Frequency-capped band relation as a nested subquery over the
+    * cached view (Spark side of [[bandFilterCtes]]).
+    */
+  private def bandsfSub: String = s"""(SELECT b.doc_id, b.band, b.bh
       FROM bands_v b JOIN (SELECT band, bh, count(*) AS nb FROM bands_v GROUP BY band, bh) f
         ON b.band = f.band AND b.bh = f.bh
       WHERE f.nb <= $BandCap)"""
+
+  private[graft] def minhashOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureBands(spark, key, docs)
+    val bandsf = bandsfSub
     StageViews.ensureCached(spark, "cand_v", key)(spark.sql(s"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM $bandsf a JOIN $bandsf b
@@ -277,6 +300,113 @@ ORDER BY c.doc_a, c.doc_b""")
     "q_dedup_minhash_lsh",
     (spark, dir) => minhashOn(spark, dir, Tables.documents(spark, dir)),
     Some(minhashSql(DuckSql)))
+
+  // ================= duplicate clusters (connected components) =================
+
+  /** Pairs → clusters: the canonical-document step. The LSH family
+    * emits verified PAIRS; transitively-linked pairs are one duplicate
+    * group, so "keep one copy" means connected components over the
+    * pair graph. The Spark side runs the distributed
+    * large-star/small-star iteration ([[Graph.connectedComponents]]);
+    * the oracle states the same fixpoint as a recursive CTE (min id
+    * reachable from each doc). Every document appears in the output —
+    * unpaired docs are their own singleton cluster.
+    */
+  private def clustersSql(d: SqlDialect): String = s"""
+WITH RECURSIVE ${minhashCtes(d)},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+          UNION SELECT doc_b, doc_a FROM dpairs),
+reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u),
+csize AS (SELECT cluster_rep AS r, count(*) AS n FROM comp GROUP BY cluster_rep)
+SELECT comp.doc_id, comp.cluster_rep, CAST(csize.n AS BIGINT) AS cluster_size,
+       comp.doc_id = comp.cluster_rep AS keep
+FROM comp JOIN csize ON comp.cluster_rep = csize.r
+ORDER BY comp.doc_id"""
+
+  val qClusters = Q(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val pairs = minhashOn(spark, dir, Tables.documents(spark, dir))
+        .select($"doc_a".as("u"), $"doc_b".as("v"))
+      val cc = Graph.connectedComponents(pairs)
+      val comp = spark.table("documents").select($"doc_id")
+        .join(cc, $"doc_id" === cc("id"), "left")
+        .select($"doc_id", coalesce(cc("rep"), $"doc_id").as("cluster_rep"))
+      val sizes = comp.groupBy($"cluster_rep".as("r"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, $"cluster_rep" === sizes("r"))
+        .select($"doc_id", $"cluster_rep", $"cluster_size",
+          ($"doc_id" === $"cluster_rep").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(clustersSql(DuckSql)))
+
+  // ================= incremental dedup (new batch vs existing corpus) =================
+
+  /** The production shape of LSH dedup: dedupe an incoming batch
+    * AGAINST an already-ingested corpus, not all-pairs. Candidates come
+    * from an asymmetric band join (new × existing only — no new×new,
+    * no existing×existing), so at 100 TB the existing corpus
+    * contributes just its persisted band signatures while only the new
+    * batch is shingled at ingest. Here "existing" is the even doc_ids
+    * and "new" the odd (12 true cross-parity dups at sf0.01). Output:
+    * every new doc with its duplicate verdict and the smallest matching
+    * existing doc (−1 when none).
+    */
+  private def incrementalSql(d: SqlDialect): String = s"""
+WITH ${shingleBase(d)},${bandCtes(d)},${bandFilterCtes},
+candn AS (SELECT DISTINCT a.doc_id AS n_id, b.doc_id AS e_id
+          FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+icn AS (SELECT c.n_id, c.e_id, count(*) AS ic
+        FROM candn c
+        JOIN sh sa ON sa.doc_id = c.n_id
+        JOIN sh sb ON sb.doc_id = c.e_id AND sb.shingle = sa.shingle
+        GROUP BY c.n_id, c.e_id),
+jn AS (SELECT icn.n_id, icn.e_id,
+              CAST(icn.ic AS DOUBLE) / CAST(za.nsh + zb.nsh - icn.ic AS DOUBLE) AS jaccard
+       FROM icn JOIN sz za ON icn.n_id = za.doc_id
+                JOIN sz zb ON icn.e_id = zb.doc_id),
+dup AS (SELECT n_id, min(e_id) AS match_id FROM jn WHERE jaccard >= 0.5 GROUP BY n_id)
+SELECT d.doc_id, dup.n_id IS NOT NULL AS is_dup,
+       coalesce(dup.match_id, -1) AS match_id
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.n_id
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id"""
+
+  val qIncremental = Q(
+    "q_dedup_incremental",
+    (spark, dir) => {
+      ensureBands(spark, dir, Tables.documents(spark, dir))
+      spark.sql(s"""
+SELECT d.doc_id, dup.n_id IS NOT NULL AS is_dup,
+       coalesce(dup.match_id, -1) AS match_id
+FROM documents d LEFT JOIN (
+  SELECT n_id, min(e_id) AS match_id FROM (
+    SELECT icn.n_id, icn.e_id,
+           CAST(icn.ic AS DOUBLE) / CAST(za.nsh + zb.nsh - icn.ic AS DOUBLE) AS jaccard
+    FROM (SELECT c.n_id, c.e_id, count(*) AS ic
+          FROM (SELECT DISTINCT a.doc_id AS n_id, b.doc_id AS e_id
+                FROM $bandsfSub a JOIN $bandsfSub b
+                  ON a.band = b.band AND a.bh = b.bh
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) c
+          JOIN sh_v sa ON sa.doc_id = c.n_id
+          JOIN sh_v sb ON sb.doc_id = c.e_id AND sb.shingle = sa.shingle
+          GROUP BY c.n_id, c.e_id) icn
+    JOIN sz_v za ON icn.n_id = za.doc_id
+    JOIN sz_v zb ON icn.e_id = zb.doc_id) jn
+  WHERE jaccard >= 0.5 GROUP BY n_id) dup
+ON d.doc_id = dup.n_id
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id"""
+      )
+    },
+    Some(incrementalSql(DuckSql)))
 
   // ================= SimHash (32-bit, 2 16-bit bands, hamming ≤ 2) =================
   //
@@ -416,5 +546,6 @@ ORDER BY vec_a, vec_b"""
     },
     Some(embedSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed)
+  val all: Seq[Q] =
+    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qEmbed)
 }

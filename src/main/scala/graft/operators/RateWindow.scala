@@ -109,5 +109,47 @@ ORDER BY src_ip, window_start_us"""
     },
     qRateWindow.oracle)
 
-  val all: Seq[Q] = Seq(qRateWindow, qRateWindowStream)
+  /** Per-source rate anomaly: windows whose packet rate exceeds 2× the
+    * source's own mean windowed rate. The threshold compare is
+    * cross-multiplied to stay in BIGINT (n_packets · n_windows >
+    * 2 · total_packets) — no float mean ever enters the oracle compare.
+    * Scale: two map-side-combinable aggregations (per-window, then
+    * per-source) and a join of the window relation against the tiny
+    * per-source stats table — AQE broadcasts it; nothing is O(n²).
+    */
+  val qRateAnomaly = Q(
+    "q_rate_anomaly",
+    (spark, dir) => {
+      import spark.implicits._
+      val wins = graft.flow.BatchFlowFeaturizer
+        .packetsFromEvents(Tables.events(spark, dir))
+        .groupBy($"src_ip",
+          ($"ts_us" - ($"ts_us" % WindowUs)).as("window_start_us"))
+        .agg(count(lit(1)).as("n_packets"))
+      val tot = wins.groupBy($"src_ip".as("ip"))
+        .agg(count(lit(1)).as("n_windows"), sum($"n_packets").as("total_packets"))
+      wins.join(broadcast(tot), $"src_ip" === $"ip")
+        .where($"n_packets" * $"n_windows" > lit(2) * $"total_packets")
+        .select($"src_ip", $"window_start_us", $"n_packets",
+          $"n_windows", $"total_packets")
+        .orderBy($"src_ip", $"window_start_us")
+    },
+    Some {
+      import graft.flow.FlowFeatureSql._
+      s"""WITH p0 AS (SELECT ${packetStage0(DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${packetStage1.mkString(", ")} FROM p0),
+wins AS (SELECT src_ip, ts_us - (ts_us % $WindowUs) AS window_start_us,
+                count(*) AS n_packets
+         FROM packets GROUP BY 1, 2),
+tot AS (SELECT src_ip AS ip, count(*) AS n_windows,
+               CAST(sum(n_packets) AS BIGINT) AS total_packets
+        FROM wins GROUP BY src_ip)
+SELECT src_ip, window_start_us, n_packets, n_windows, total_packets
+FROM wins JOIN tot ON src_ip = ip
+WHERE n_packets * n_windows > 2 * total_packets
+ORDER BY src_ip, window_start_us"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(qRateWindow, qRateWindowStream, qRateAnomaly)
 }

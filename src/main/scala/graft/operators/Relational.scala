@@ -184,5 +184,45 @@ FROM (SELECT DISTINCT event_type FROM events)
 ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles)
+  /** Per-group top-k (top-3 users by event count per event_type) — the
+    * grouped counterpart of q_top_customers' global LIMIT. Two-phase:
+    * a map-side-combinable (event_type, user) count, then a per-group
+    * rank. The rank window partitions on event_type (5 values here),
+    * which at 100 TB is the canonical low-cardinality-window skew; the
+    * count relation it sorts is already reduced to |types|×|users|
+    * rows, so the window input is tiny relative to the scan — if even
+    * that skews, the salted-agg pattern (q_heavy_hitters_salted)
+    * pre-thins each group to its per-salt top-k first. rank is cast to
+    * BIGINT (Spark row_number is int32, DuckDB's int64).
+    */
+  val qTopkPerGroup = Q(
+    "q_topk_users_per_type",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val counts = Tables.events(spark, dir)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+      counts
+        .withColumn("rank",
+          row_number().over(Window.partitionBy($"event_type")
+            .orderBy($"n_events".desc, $"user_id")).cast("bigint"))
+        .where($"rank" <= 3)
+        .select($"event_type", $"rank", $"user_id", $"n_events")
+        .orderBy($"event_type", $"rank")
+    },
+    Some("""
+WITH uc AS (SELECT event_type, user_id, count(*) AS n_events
+            FROM events GROUP BY event_type, user_id),
+rk AS (SELECT event_type, user_id, n_events,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY n_events DESC, user_id) AS r
+       FROM uc)
+SELECT event_type, CAST(r AS BIGINT) AS rank, user_id, n_events
+FROM rk WHERE r <= 3
+ORDER BY event_type, rank""")
+  )
+
+  val all: Seq[Q] =
+    Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup)
 }

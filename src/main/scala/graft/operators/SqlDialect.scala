@@ -18,6 +18,14 @@ sealed trait SqlDialect {
   def shr(x: String, bits: String): String
   def xor(a: String, b: String): String
   def strpos(str: String, sub: String): String
+  /** integer (floor) division of non-negative integers */
+  def idiv(a: String, b: String): String
+  /** 1-based array slice of `len` elements starting at `start1`,
+    * truncated at the array end
+    */
+  def slice(arr: String, start1: String, len: String): String
+  /** join a string array with a single-space separator */
+  def joinArr(arr: String): String
 }
 
 case object SparkSql extends SqlDialect {
@@ -31,6 +39,10 @@ case object SparkSql extends SqlDialect {
   def shr(x: String, bits: String) = s"shiftright($x, CAST(($bits) AS INT))"
   def xor(a: String, b: String) = s"($a ^ $b)"
   def strpos(str: String, sub: String) = s"instr($str, $sub)"
+  def idiv(a: String, b: String) = s"(($a) DIV ($b))"
+  def slice(arr: String, start1: String, len: String) =
+    s"slice($arr, CAST(($start1) AS INT), CAST(($len) AS INT))"
+  def joinArr(arr: String) = s"array_join($arr, ' ')"
 }
 
 case object DuckSql extends SqlDialect {
@@ -44,4 +56,8 @@ case object DuckSql extends SqlDialect {
   def shr(x: String, bits: String) = s"($x >> ($bits))"
   def xor(a: String, b: String) = s"xor($a, $b)"
   def strpos(str: String, sub: String) = s"strpos($str, $sub)"
+  def idiv(a: String, b: String) = s"(($a) // ($b))"
+  def slice(arr: String, start1: String, len: String) =
+    s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
+  def joinArr(arr: String) = s"array_to_string($arr, ' ')"
 }

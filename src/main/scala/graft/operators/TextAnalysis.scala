@@ -265,5 +265,43 @@ ORDER BY doc_id, rank"""
 
   val qTopTerms = Q("q_text_top_terms", run(topTermsSql(SparkSql)), Some(topTermsSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms)
+  // ---- document chunking (overlapping token windows) ----
+
+  /** Overlapping fixed-size token chunks — the tokenize-and-chunk step
+    * in front of LLM training/embedding: windows of [[ChunkTokens]]
+    * tokens at stride [[ChunkStride]] (10-token overlap), last window
+    * truncated at the document end. All arithmetic is integer (window
+    * count via integer ceil-division, never float ceil, whose boundary
+    * rounding can differ between engines); chunk text is identified by
+    * its md5 so the compare is exact. One explode clustered on doc_id —
+    * a narrow per-row fan-out of ~nw/stride rows, no shuffle beyond the
+    * source repartition, and at 100 TB the fan-out is bounded per task
+    * by [[StageViews.widen]]'s length rebalancing.
+    */
+  private val ChunkTokens = 40
+  private val ChunkStride = 30
+
+  private def chunksSql(d: SqlDialect): String = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    // nchunks = 1 + ceil((nw - w) / s) for nw > w, else 1
+    val nchunks =
+      s"CASE WHEN nw <= $w THEN 1 ELSE 1 + ${d.idiv(s"nw - $w + $s - 1", s.toString)} END"
+    val start = s"(k - 1) * $s + 1"
+    s"""
+WITH dw AS (SELECT doc_id, ${d.split("text")} AS toks FROM documents),
+dn AS (SELECT doc_id, toks, ${d.len("toks")} AS nw FROM dw),
+nc AS (SELECT doc_id, toks, nw, $nchunks AS nchunks FROM dn),
+ck AS (${d.series("doc_id, toks, nw", "nchunks", "k", "nc")})
+SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+       CAST(CASE WHEN nw - ($start) + 1 < $w THEN nw - ($start) + 1 ELSE $w END AS BIGINT)
+         AS n_tokens,
+       md5(${d.joinArr(d.slice("toks", start, w.toString))}) AS chunk_hash
+FROM ck
+ORDER BY doc_id, chunk_idx"""
+  }
+
+  val qChunks = Q("q_doc_chunks", run(chunksSql(SparkSql)), Some(chunksSql(DuckSql)))
+
+  val all: Seq[Q] =
+    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms, qChunks)
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Graph.connectedComponents]] against a brute-force union-find
+  * on random graphs — the oracle gate only exercises it on the LSH pair
+  * graph, whose components are small; these cover long paths (many
+  * star rounds), large stars, duplicate/reversed/self-loop input, and
+  * the empty graph.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random sparse graphs match brute-force union-find") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 200 + trial * 100
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(ccOf(edges) == bruteForce(edges.filter(e => e._1 != e._2)),
+        s"trial $trial mismatch")
+    }
+  }
+
+  test("a single long path converges to one component (stress rounds)") {
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val cc = ccOf(path)
+    assert(cc.keySet == (0L to 300L).toSet)
+    assert(cc.values.toSet == Set(0L))
+  }
+
+  test("one large star plus duplicates/reversed edges/self-loops") {
+    val star = (1L to 500L).flatMap(i => Seq((0L, i), (i, 0L), (i, i)))
+    val cc = ccOf(star ++ star)
+    assert(cc.values.toSet == Set(0L))
+    assert(cc.keySet == (0L to 500L).toSet)
+  }
+
+  test("empty edge list yields empty output") {
+    assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  test("representatives map to themselves") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    val cc = ccOf(edges)
+    cc.values.toSet.foreach { (rep: Long) => assert(cc(rep) == rep) }
+  }
+}
