@@ -27,6 +27,8 @@ object SparkEntry {
       operators.Sampling.all ++
       operators.CorpusFilter.all ++
       operators.Multimodal.all ++
+      operators.SemiStructured.all ++
+      operators.TimeSeries.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -97,6 +97,45 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
   /** csv (S3 proper) + orc + json — every bundled format a reference
     * user could bring data in as. Parquet is every other query's scan.
     */
+  /** Schema-evolution read: two parquet file sets under one table path
+    * with DIFFERENT column sets (the shape of a table whose schema grew
+    * over time), read back as one relation via partition discovery +
+    * `mergeSchema` — rows from the older layout surface the added
+    * column as null. The oracle restates the union with explicit NULL
+    * placeholders from the source table. At 100 TB schema merge costs
+    * one footer read per file at planning time, nothing at execution.
+    */
+  def schemaMergeQuery: graft.Q = graft.Q(
+    "q_schema_merge",
+    (spark, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ev = graft.Tables.events(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      spark.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("gen").cast("bigint").as("gen"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("user_id")).as("n_user"),
+          count(col("event_type")).as("n_type"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("gen")
+    },
+    Some("""
+WITH m AS (
+  SELECT 1 AS gen, event_id, user_id, NULL AS event_type
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 2, event_id, user_id, event_type
+  FROM events WHERE event_id % 2 = 1)
+SELECT CAST(gen AS BIGINT) AS gen, count(*) AS n, count(user_id) AS n_user,
+       count(event_type) AS n_type, CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM m GROUP BY gen ORDER BY gen"""))
+
   def roundtripQueries: Seq[graft.Q] =
-    Seq("csv", "orc", "json").map(roundtripQuery)
+    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery
 }

@@ -137,5 +137,45 @@ ORDER BY c_custkey""")
       GROUP BY tier ORDER BY tier
     """))
 
-  val all: Seq[Q] = Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin)
+  /** Explicitly salted join — the skew pattern for when one join key is
+    * hot AND the build side is too big to broadcast (AQE's skew-join
+    * splits sort-merge partitions, but only after a skewed exchange has
+    * already materialized; pre-salting avoids producing the hot
+    * partition at all). Probe rows take salt = hash(row) mod S; the
+    * build side is replicated ×S so every (key, salt) cell can find its
+    * match; the join key becomes (key, salt), spreading a hot key over
+    * S reducers. The result is provably identical to the unsalted join
+    * — which is exactly what the oracle states. S=16 trades ×16 build
+    * replication for ×16 hot-key parallelism; at 100 TB you'd salt only
+    * keys above an AQE-style frequency threshold and leave the long
+    * tail unsalted.
+    */
+  val qSaltedJoin = Q(
+    "q_salted_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val S = 16
+      val ord = Tables.orders(spark, dir)
+        .withColumn("salt", pmod(xxhash64($"o_orderkey"), lit(S)).cast("int"))
+      val cust = Tables.customer(spark, dir)
+        .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+      ord.join(cust, $"o_custkey" === $"c_custkey" && ord("salt") === cust("salt"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"c_custkey").as("n_customers"),
+          (sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")) / 100.0)
+            .as("total_price"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+SELECT c_mktsegment, count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin, qSaltedJoin)
 }

@@ -151,5 +151,77 @@ ORDER BY src_ip, window_start_us"""
     }
   )
 
-  val all: Seq[Q] = Seq(qRateWindow, qRateWindowStream, qRateAnomaly)
+  /** Sliding (overlapping) windows — 60 s width, 30 s slide, so every
+    * packet lands in exactly width/slide = 2 epoch-aligned windows.
+    * Spark's `window(ts, w, s)` plans this as a generator producing the
+    * 2 window structs per row before the hash aggregate — the oracle
+    * states the identical expansion arithmetically (starts t−t%30s and
+    * that minus 30 s). Scale: fan-out is the fixed w/s factor (×2), all
+    * map-side-combinable; state in the streaming variant is bounded by
+    * watermark horizon / slide windows per key.
+    */
+  val SlideUs: Long = 30L * 1000000
+
+  private val slidingOracle: String = {
+    import graft.flow.FlowFeatureSql._
+    s"""WITH p0 AS (SELECT ${packetStage0(DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${packetStage1.mkString(", ")} FROM p0),
+s AS (SELECT src_ip, ts_us - (ts_us % $SlideUs) AS s1 FROM packets),
+w AS (SELECT src_ip, s1 AS window_start_us FROM s
+      UNION ALL
+      SELECT src_ip, s1 - $SlideUs FROM s)
+SELECT src_ip, window_start_us, count(*) AS n_packets,
+       count(*) >= $AlertPackets AS alert
+FROM w GROUP BY src_ip, window_start_us
+ORDER BY src_ip, window_start_us"""
+  }
+
+  val qRateWindowSliding = Q(
+    "q_rate_window_sliding",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.flow.BatchFlowFeaturizer
+        .packetsFromEvents(Tables.events(spark, dir))
+        .withColumn("event_time", timestamp_micros($"ts_us"))
+        .groupBy($"src_ip", window($"event_time", "60 seconds", "30 seconds"))
+        .agg(count(lit(1)).as("n_packets"))
+        .selectExpr("src_ip", "unix_micros(window.start) AS window_start_us",
+          "n_packets", s"n_packets >= $AlertPackets AS alert")
+        .orderBy($"src_ip", $"window_start_us")
+    },
+    Some(slidingOracle))
+
+  /** The sliding aggregation through Structured Streaming (update mode,
+    * watermark-bounded state), gated by the same oracle as the batch
+    * spelling.
+    */
+  val qRateWindowSlidingStream = Q(
+    "q_rate_window_sliding_stream",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.readStream
+        .schema(graft.flow.FlowFeaturizer.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val sinkName = s"slide_stream_${System.nanoTime()}"
+      val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
+        .withColumn("event_time", timestamp_micros($"ts_us"))
+        .withWatermark("event_time", "2 minutes")
+        .groupBy($"src_ip", window($"event_time", "60 seconds", "30 seconds"))
+        .agg(count(lit(1)).as("n_packets"))
+        .selectExpr("src_ip", "unix_micros(window.start) AS window_start_us",
+          "n_packets", s"n_packets >= $AlertPackets AS alert")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy("src_ip", "window_start_us")
+    },
+    Some(slidingOracle))
+
+  val all: Seq[Q] =
+    Seq(qRateWindow, qRateWindowStream, qRateAnomaly,
+      qRateWindowSliding, qRateWindowSlidingStream)
 }

@@ -223,6 +223,76 @@ FROM rk WHERE r <= 3
 ORDER BY event_type, rank""")
   )
 
+  /** Fixed-width histogram of a double measure (binning / bucketing).
+    * bin = floor(value / 5.0): one IEEE divide + floor per row — both
+    * engines read identical parquet doubles and apply the same two ops,
+    * so the bin is bit-deterministic; the per-bin sum uses the
+    * exact-cents grid per the [[graft.Q]] policy. A single map-side-
+    * combinable aggregate on a small integer key — histogram cost at
+    * 100 TB is the scan, nothing else.
+    */
+  val qHistogram = Q(
+    "q_value_histogram",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(floor($"value" / lit(5.0d)).cast("bigint").as("bin"), $"value")
+        .groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(expr("CAST(round(value * 100, 0) AS BIGINT)")) / 100.0).as("sum_value"))
+        .withColumn("bin_lo", $"bin" * 5)
+        .select($"bin", $"bin_lo", $"n", $"sum_value")
+        .orderBy($"bin")
+    },
+    Some("""
+SELECT CAST(floor(value / 5.0e0) AS BIGINT) AS bin,
+       CAST(floor(value / 5.0e0) AS BIGINT) * 5 AS bin_lo,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY bin""")
+  )
+
+  /** The analytic-rank family over per-(type, user) counts: rank,
+    * dense_rank, ntile, percent_rank, cume_dist in one window pass.
+    * The ordering (n_events DESC, user_id) is total, so tie-free —
+    * ntile bucket assignment and both ratio functions are then pure
+    * functions of (rank, n): percent_rank = (rank−1)/(n−1) and
+    * cume_dist = rank/n are single int-int IEEE divisions, identical in
+    * both engines. Ranks cast to BIGINT (Spark's are int32).
+    */
+  val qRankFamily = Q(
+    "q_rank_family",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"n_events".desc, $"user_id")
+      Tables.events(spark, dir)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"event_type", $"user_id", $"n_events",
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy($"event_type", $"rnk")
+    },
+    Some("""
+WITH uc AS (SELECT event_type, user_id, count(*) AS n_events
+            FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, n_events,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM uc
+WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, user_id)
+ORDER BY event_type, rnk""")
+  )
+
   val all: Seq[Q] =
-    Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup)
+    Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
+      qHistogram, qRankFamily)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured (JSON) column processing — the schema-on-read step a
+  * 100 TB log/training pipeline runs before anything relational: parse a
+  * JSON string column against a declared schema, surface malformed rows
+  * as nulls, and aggregate the extracted fields.
+  *
+  * The reference decodes its packet JSON the same way (`from_json` with
+  * an explicit schema over the Kafka value, spark_app/main.py — see
+  * ingest.PacketIngest for that path); this operator is the batch
+  * column-level counterpart on `events.props`.
+  *
+  * Scale: `from_json` is a per-row projection (no shuffle, stays inside
+  * whole-stage codegen), and the declared 1-field schema means Jackson
+  * parses exactly one key instead of materializing a map — the
+  * aggregation after it is an ordinary map-side-combinable hash agg on
+  * a 5-value key. Malformed JSON must NOT kill a 100 TB job: the
+  * PERMISSIVE default yields a null struct, counted here explicitly.
+  */
+object SemiStructured {
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  val qJsonExtract = Q(
+    "q_json_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"event_type",
+          from_json($"props", propsSchema).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count($"k").as("n_with_k"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+WITH x AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(qJsonExtract)
+}

@@ -265,6 +265,53 @@ ORDER BY doc_id, rank"""
 
   val qTopTerms = Q("q_text_top_terms", run(topTermsSql(SparkSql)), Some(topTermsSql(DuckSql)))
 
+  // ---- TF-IDF term weighting (rational, log-free) ----
+
+  /** Corpus-weighted term relevance: per-doc top-3 terms by
+    * tf · N / df — the idf is kept as the exact rational N/df instead
+    * of the textbook log(N/df) because ln() is libm-implementation-
+    * specific across engines while (tf·N)/df is ONE int-int IEEE
+    * division (tf·N stays exact in BIGINT and far below 2^53), giving
+    * bit-identical scores. Monotonicity in df is the same, so ranking
+    * behavior matches log-idf for fixed tf.
+    *
+    * Shape at scale: tf is one (doc, term) aggregate off the exploded
+    * token relation; df is a second aggregate OVER tf (already reduced
+    * — never over raw tokens); the scalar N broadcasts; the final
+    * per-doc rank windows on doc_id, which is the natural high-
+    * cardinality partition key.
+    */
+  private def tfidfSql(d: SqlDialect): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val termCte = d match {
+      case SparkSql => s"""
+tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+       WHERE NOT term IN $stop GROUP BY doc_id, term)"""
+      case DuckSql => s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+ti AS (${d.series("doc_id, w", d.len("w"), "i", "dw")}),
+tf AS (SELECT doc_id, ${d.el("w", "i")} AS term, count(*) AS tf
+       FROM ti WHERE NOT ${d.el("w", "i")} IN $stop GROUP BY doc_id, ${d.el("w", "i")})"""
+    }
+    s"""
+WITH $termCte,
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf * nn.n AS DOUBLE) / df.df AS score
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn),
+ranked AS (SELECT doc_id, term, tf, df, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS r
+           FROM scored)
+SELECT doc_id, CAST(r AS BIGINT) AS rank, term, tf, df, score
+FROM ranked WHERE r <= 3
+ORDER BY doc_id, rank"""
+  }
+
+  val qTfIdf = Q("q_tfidf_top_terms", run(tfidfSql(SparkSql)), Some(tfidfSql(DuckSql)))
+
   // ---- document chunking (overlapping token windows) ----
 
   /** Overlapping fixed-size token chunks — the tokenize-and-chunk step
@@ -303,5 +350,5 @@ ORDER BY doc_id, chunk_idx"""
   val qChunks = Q("q_doc_chunks", run(chunksSql(SparkSql)), Some(chunksSql(DuckSql)))
 
   val all: Seq[Q] =
-    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms, qChunks)
+    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms, qTfIdf, qChunks)
 }

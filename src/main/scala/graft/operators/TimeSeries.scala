@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample each user's event stream onto a
+  * fixed hourly grid between that user's first and last event, emitting
+  * a row for EVERY bucket — zero-filled counts for gaps, and the most
+  * recent event_type carried forward across them (last-observation-
+  * carried-forward).
+  *
+  * Shape: (1) one map-side-combinable aggregate to per-(user, bucket)
+  * rows — the raw stream is never windowed directly; (2) a per-user
+  * `sequence()` spine exploded from the 2-column (user, min, max)
+  * relation — the fan-out is bounded by span/bucket, not by event
+  * count, and clusters on the join key it is built from; (3) one
+  * broadcast-or-shuffle left join spine←buckets; (4) a per-user ordered
+  * window for the forward fill (`last(_, ignoreNulls)` over rows
+  * unbounded-preceding..current). At 100 TB the only wide exchanges are
+  * the bucket aggregate and the user-partitioned window — both keyed on
+  * user_id, so AQE reuses one partitioning.
+  *
+  * Determinism: buckets are integer µs arithmetic; "last event in
+  * bucket" is picked by the total order (ts_us, event_id); the carried
+  * string is exact. No floats anywhere.
+  */
+object TimeSeries {
+
+  val BucketUs: Long = 3600L * 1000000
+
+  val qGapFill = Q(
+    "q_gap_fill",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+        .withColumn("bucket", ($"ts_us" - ($"ts_us" % BucketUs)) / BucketUs)
+        .withColumn("bucket", $"bucket".cast("bigint"))
+      // per-(user, bucket): count + last event_type by (ts_us, event_id)
+      val perBucket = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"bucket")
+            .orderBy($"ts_us".desc, $"event_id".desc)))
+        .groupBy($"user_id", $"bucket")
+        .agg(count(lit(1)).as("n_events"),
+          max(when($"rn" === 1, $"event_type")).as("bucket_last_type"))
+      // hourly spine per user over [min bucket, max bucket]
+      val spine = ev.groupBy($"user_id".as("uid"))
+        .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+        .select($"uid", explode(sequence($"b0", $"b1")).as("bucket"))
+      val filled = spine
+        .join(perBucket,
+          spine("uid") === perBucket("user_id") && spine("bucket") === perBucket("bucket"),
+          "left")
+        .select($"uid".as("user_id"), spine("bucket"),
+          coalesce($"n_events", lit(0L)).as("n_events"), $"bucket_last_type")
+      filled
+        .withColumn("last_type", last($"bucket_last_type", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"user_id", ($"bucket" * BucketUs).as("bucket_start_us"),
+          $"n_events", $"last_type")
+        .orderBy($"user_id", $"bucket_start_us")
+    },
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                  epoch_us(ts) // $BucketUs AS bucket
+           FROM events),
+pb AS (SELECT user_id, bucket, count(*) AS n_events,
+              max(CASE WHEN rn = 1 THEN event_type END) AS bucket_last_type
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                          ORDER BY ts_us DESC, event_id DESC) AS rn
+             FROM e)
+       GROUP BY user_id, bucket),
+sp AS (SELECT uid, unnest(generate_series(b0, b1)) AS bucket
+       FROM (SELECT user_id AS uid, min(bucket) AS b0, max(bucket) AS b1
+             FROM e GROUP BY user_id)),
+f AS (SELECT sp.uid AS user_id, sp.bucket,
+             coalesce(pb.n_events, 0) AS n_events, pb.bucket_last_type
+      FROM sp LEFT JOIN pb ON sp.uid = pb.user_id AND sp.bucket = pb.bucket)
+SELECT user_id, bucket * $BucketUs AS bucket_start_us, n_events,
+       last_value(bucket_last_type IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+FROM f
+ORDER BY user_id, bucket_start_us""")
+  )
+
+  val all: Seq[Q] = Seq(qGapFill)
+}
