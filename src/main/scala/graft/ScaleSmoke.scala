@@ -51,12 +51,21 @@ object ScaleSmoke {
           "doc_id + rep * 100000000 AS doc_id",
           "array_join(transform(split(text, ' '), w -> concat('r', CAST(rep AS STRING), w)), ' ') AS text")
       val t0d = System.nanoTime()
-      val pairs = operators.Dedup.minhashOn(spark, s"scale-minhash-$m", corpus).count()
+      val pairsDf = operators.Dedup.minhashOn(spark, s"scale-minhash-$m", corpus)
+      val pairs = pairsDf.count()
       val sec = (System.nanoTime() - t0d) / 1e9
       println(f"[scale] minhash x$m%-3d docs=${nDocs * m}%8d pairs=$pairs%8d  $sec%7.2f s")
-      (m, sec)
+      // clusters: the iterative CC must also grow linearly — its rounds
+      // depend on component DIAMETER, which replication keeps constant
+      val t0c = System.nanoTime()
+      val comps = operators.Graph
+        .connectedComponents(pairsDf.selectExpr("doc_a AS u", "doc_b AS v"))
+        .count()
+      val secC = (System.nanoTime() - t0c) / 1e9
+      println(f"[scale] cc      x$m%-3d edges=$pairs%8d members=$comps%8d  $secC%7.2f s")
+      (m, sec + secC)
     }
-    println(f"[scale] minhash growth: input x${dedupResults.last._1 / dedupResults.head._1} -> time x${dedupResults.last._2 / dedupResults.head._2}%.1f")
+    println(f"[scale] minhash+cc growth: input x${dedupResults.last._1 / dedupResults.head._1} -> time x${dedupResults.last._2 / dedupResults.head._2}%.1f")
 
     // ---- IVF ANN: assignment is O(n·64), probes scan ~nprobe/nlists ----
     val emb = Tables.embeddings(spark, sfDir).cache()

@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.SemiStructured.all ++
       operators.TimeSeries.all ++
+      operators.StreamJoin.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -176,6 +176,43 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
+  /** Full outer join — the one §2.5 join shape the catalog didn't yet
+    * gate. Both non-matching sides survive: customers with no orders
+    * and (if any) orders whose customer is missing. Physically a
+    * sort-merge join (Spark cannot broadcast a full outer side — both
+    * sides must be preserved), aggregated down to one row per
+    * (segment, match-status) so the gate is value-stable.
+    */
+  val qFullOuter = Q(
+    "q_full_outer_join",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "full")
+        .select(
+          coalesce($"c_mktsegment", lit("?")).as("seg"),
+          when($"o_orderkey".isNull, "customer_only")
+            .when($"c_custkey".isNull, "order_only")
+            .otherwise("matched").as("side"),
+          $"o_totalprice")
+        .groupBy($"seg", $"side")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(coalesce(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"), lit(0L))) / 100.0)
+            .as("total_price"))
+        .orderBy($"seg", $"side")
+    },
+    Some("""
+SELECT coalesce(c_mktsegment, '?') AS seg,
+       CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+            WHEN c_custkey IS NULL THEN 'order_only'
+            ELSE 'matched' END AS side,
+       count(*) AS n,
+       CAST(sum(coalesce(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0)) AS BIGINT) / 100.0 AS total_price
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2 ORDER BY seg, side""")
+  )
+
   val all: Seq[Q] =
-    Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin, qSaltedJoin)
+    Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin, qSaltedJoin, qFullOuter)
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated stream-stream join: clicks and errors are two
+  * independent watermarked streams (both fed from the events file
+  * source), inner-joined on user with an event-time range — "errors
+  * within 2 hours after a click". The batch oracle states the same
+  * interval join relationally.
+  *
+  * Scale semantics: both sides carry a watermark and the join predicate
+  * bounds event-time distance in BOTH directions (e.ts ≥ c.ts AND
+  * e.ts ≤ c.ts + 10 min), so each side's buffered state is GC-able once
+  * the other side's watermark passes — the state store holds a sliding
+  * ~(watermark + range) horizon per side, not the whole stream. Inner
+  * matches emit as soon as both rows are present (no watermark-end
+  * withholding — that caveat is append-mode AGGREGATION, not inner
+  * joins), so a terminating AvailableNow run is complete.
+  */
+object StreamJoin {
+
+  private val RangeUs: Long = 7200L * 1000000
+
+  private val oracle = Some(s"""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'error')
+SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id,
+       e.ts_us - c.ts_us AS lag_us
+FROM c JOIN e ON c.user_id = e.user_id
+            AND e.ts_us >= c.ts_us AND e.ts_us <= c.ts_us + $RangeUs
+ORDER BY c.user_id, click_id, error_id""")
+
+  val qStreamStreamJoin = Q(
+    "q_stream_stream_join",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def side(tpe: String, prefix: String) =
+        spark.readStream
+          .schema(graft.flow.FlowFeaturizer.eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .where($"event_type" === tpe)
+          .select(
+            $"user_id".as(s"${prefix}_user"),
+            $"event_id".as(s"${prefix}_id"),
+            expr("CAST(ts DIV 1000 AS BIGINT)").as(s"${prefix}_ts_us"),
+            timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
+          .withWatermark(s"${prefix}_time", "10 minutes")
+      val sinkName = s"ssj_${System.nanoTime()}"
+      val q = side("click", "c")
+        .join(side("error", "e"),
+          expr(s"""c_user = e_user AND
+                   e_time >= c_time AND
+                   e_time <= c_time + INTERVAL 2 HOURS"""))
+        .select($"c_user".as("user_id"), $"c_id".as("click_id"),
+          $"e_id".as("error_id"), ($"e_ts_us" - $"c_ts_us").as("lag_us"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy("user_id", "click_id", "error_id")
+    },
+    oracle)
+
+  /** The same interval join in batch (the plan a user writes when the
+    * data is at rest) — gated by the identical oracle, so the two
+    * spellings are proven equal.
+    */
+  val qIntervalJoin = Q(
+    "q_interval_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"event_type",
+          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"))
+      val c = ev.where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts_us".as("c_ts"))
+      val e = ev.where($"event_type" === "error")
+        .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts_us".as("e_ts"))
+      c.join(e, $"c_user" === $"e_user" &&
+          $"e_ts" >= $"c_ts" && $"e_ts" <= $"c_ts" + RangeUs)
+        .select($"c_user".as("user_id"), $"click_id", $"error_id",
+          ($"e_ts" - $"c_ts").as("lag_us"))
+        .orderBy("user_id", "click_id", "error_id")
+    },
+    oracle)
+
+  val all: Seq[Q] = Seq(qStreamStreamJoin, qIntervalJoin)
+}
