@@ -30,12 +30,19 @@ object Graph {
 
   private val MaxRounds = 25
 
-  /** Canonical (hi, lo) orientation with self-loops dropped. */
-  private def orient(edges: DataFrame): DataFrame =
-    edges
+  /** Canonical (hi, lo) orientation with self-loops dropped. The
+    * `distinct` is a full shuffle, so it is applied only where the
+    * algorithm needs set semantics (the round output that feeds the
+    * convergence signature) — large-star's intermediate may carry
+    * duplicate rows freely: they change neither the min aggregation
+    * nor the next orient-distinct, only shuffle volume bounded by |E|.
+    */
+  private def orient(edges: DataFrame, dedup: Boolean = true): DataFrame = {
+    val o = edges
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
+    if (dedup) o.distinct() else o
+  }
 
   private def signature(edges: DataFrame): (Long, Long) = {
     val r = edges
@@ -53,7 +60,8 @@ object Graph {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     orient(
       sym.join(mins, "u").where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+        .select(col("v").as("u"), col("m").as("v")),
+      dedup = false)
   }
 
   /** small-star: every node links its not-larger neighbors (and itself)
@@ -66,18 +74,60 @@ object Graph {
     orient(relink.union(mins.select(col("u"), col("m").as("v"))))
   }
 
+  /** Edge count under which the whole graph is solved on the driver —
+    * the same adaptive logic as a broadcast join threshold: a verified
+    * duplicate-pair graph is typically orders of magnitude smaller than
+    * the corpus that produced it, and union-find on ≤1M edges is
+    * milliseconds versus several distributed star rounds (each 2
+    * shuffles + a convergence job). Above the threshold the O(log² n)
+    * distributed iteration runs unchanged.
+    */
+  private[graft] val LocalEdgeThreshold: Long = 1L << 20
+
+  /** Weighted-by-rank union-find with path compression (driver-side
+    * small-graph path).
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   /** Connected components of the undirected graph given by `pairs`
     * (two BIGINT columns, any names). Returns (id, rep): one row per
     * non-isolated vertex, rep = minimum id of its component (rep rows
     * map to themselves). Callers left-join their full vertex set and
     * coalesce to cover singletons.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val cols = pairs.columns
     require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
-    var e = orient(pairs.toDF("u", "v")
-      .select(col("u").cast("bigint"), col("v").cast("bigint")))
+    // Materialize the oriented-but-not-deduped edges first: a NARROW
+    // stage (no shuffle). The threshold decision uses the raw pair
+    // count (conservative — duplicates only push toward the
+    // distributed path), and union-find is duplicate-proof, so the
+    // local path never pays a shuffle at all.
+    val e0 = orient(pairs.toDF("u", "v")
+      .select(col("u").cast("bigint"), col("v").cast("bigint")), dedup = false)
       .localCheckpoint(true)
+    if (e0.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val comp = localComponents(
+        e0.collect().map(r => (r.getLong(0), r.getLong(1))))
+      e0.unpersist(blocking = false)
+      return comp.toSeq.toDF("id", "rep")
+    }
+    var e = e0.distinct().localCheckpoint(true)
+    e0.unpersist(blocking = false)
     var sig = signature(e)
     var round = 0
     var converged = e.isEmpty

@@ -244,6 +244,103 @@ ORDER BY n_both""")
     },
     qSessionWindow.oracle)
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize)
+    * plus `grouping_id()` to disambiguate which set produced a row —
+    * a data NULL and a grouping NULL are distinguishable only through
+    * it. Sets: (mktsegment), (orderpriority), and grand total. One
+    * map-side expansion, one shuffle — same cost shape as rollup.
+    */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .groupingSets(
+          Seq(Seq($"c_mktsegment"), Seq($"o_orderpriority"), Seq()),
+          $"c_mktsegment", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")) / 100.0)
+            .as("total_price"))
+        .select(
+          coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"n", $"total_price")
+        .orderBy("gid", "segment", "priority")
+    },
+    Some("""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+ORDER BY gid, segment, priority""")
+  )
+
+  /** Unpivot (wide→long melt), proving pivot's inverse: per-segment
+    * conditional counts widened to 3 metric columns, then melted back
+    * to (segment, metric, n) rows. Spark's native `unpivot` plans as a
+    * generator expand (×3 per row, no shuffle); the oracle restates the
+    * melt as UNION ALL of the conditional aggregates.
+    */
+  val qUnpivot = Q(
+    "q_unpivot_order_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"))
+        .agg(
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_p"))
+        .unpivot(Array($"segment"), Array($"n_f", $"n_o", $"n_p"), "metric", "n")
+        .orderBy("segment", "metric")
+    },
+    Some("""
+WITH w AS (SELECT c_mktsegment AS segment,
+                  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment)
+SELECT segment, metric, CAST(n AS BIGINT) AS n FROM (
+  SELECT segment, 'n_f' AS metric, n_f AS n FROM w
+  UNION ALL SELECT segment, 'n_o', n_o FROM w
+  UNION ALL SELECT segment, 'n_p', n_p FROM w)
+ORDER BY segment, metric""")
+  )
+
+  /** Interpolated (continuous) median, landed on an exact-integer
+    * grid: values are 2-decimal, so the true median is a multiple of
+    * 0.005 and round(x*1000) is the same BIGINT in both engines even
+    * though Spark computes (1−g)·lo + g·hi while DuckDB computes
+    * lo + g·(hi−lo) — the two fp spellings differ by ≤1 ulp around an
+    * exactly-representable grid point, which the integer round
+    * absorbs. The discrete family is q_percentiles_disc; this gates
+    * the interpolating aggregate itself.
+    */
+  val qMedianCont = Q(
+    "q_median_cont",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(expr("CAST(round(percentile(value, 0.5e0) * 1000, 0) AS BIGINT)")
+          .as("median_milli"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5e0) * 1000, 0) AS BIGINT) AS median_milli,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube,
-    qSetOps, qSessionWindowStream)
+    qSetOps, qSessionWindowStream, qGroupingSets, qUnpivot, qMedianCont)
 }

@@ -32,44 +32,51 @@ class GraphSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold 0 forces the distributed star iteration; the default
+    * takes the driver-local union-find shortcut — both must agree with
+    * brute force.
+    */
+  private def ccOf(edges: Seq[(Long, Long)], threshold: Long): Map[Long, Long] = {
     import spark.implicits._
-    Graph.connectedComponents(edges.toDF("u", "v")).collect()
+    Graph.connectedComponents(edges.toDF("u", "v"), threshold).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("random sparse graphs match brute-force union-find") {
-    val rnd = new Random(42)
-    for (trial <- 1 to 5) {
-      val n = 200 + trial * 100
-      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(ccOf(edges) == bruteForce(edges.filter(e => e._1 != e._2)),
-        s"trial $trial mismatch")
+  for ((label, threshold) <- Seq(("distributed", 0L), ("local", Graph.LocalEdgeThreshold))) {
+
+    test(s"[$label] random sparse graphs match brute-force union-find") {
+      val rnd = new Random(42)
+      for (trial <- 1 to 3) {
+        val n = 200 + trial * 100
+        val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        assert(ccOf(edges, threshold) == bruteForce(edges.filter(e => e._1 != e._2)),
+          s"trial $trial mismatch")
+      }
     }
-  }
 
-  test("a single long path converges to one component (stress rounds)") {
-    val path = (0L until 300L).map(i => (i, i + 1))
-    val cc = ccOf(path)
-    assert(cc.keySet == (0L to 300L).toSet)
-    assert(cc.values.toSet == Set(0L))
-  }
+    test(s"[$label] a single long path converges to one component (stress rounds)") {
+      val path = (0L until 300L).map(i => (i, i + 1))
+      val cc = ccOf(path, threshold)
+      assert(cc.keySet == (0L to 300L).toSet)
+      assert(cc.values.toSet == Set(0L))
+    }
 
-  test("one large star plus duplicates/reversed edges/self-loops") {
-    val star = (1L to 500L).flatMap(i => Seq((0L, i), (i, 0L), (i, i)))
-    val cc = ccOf(star ++ star)
-    assert(cc.values.toSet == Set(0L))
-    assert(cc.keySet == (0L to 500L).toSet)
-  }
+    test(s"[$label] one large star plus duplicates/reversed edges/self-loops") {
+      val star = (1L to 500L).flatMap(i => Seq((0L, i), (i, 0L), (i, i)))
+      val cc = ccOf(star ++ star, threshold)
+      assert(cc.values.toSet == Set(0L))
+      assert(cc.keySet == (0L to 500L).toSet)
+    }
 
-  test("empty edge list yields empty output") {
-    assert(ccOf(Seq.empty).isEmpty)
-  }
+    test(s"[$label] empty edge list yields empty output") {
+      assert(ccOf(Seq.empty, threshold).isEmpty)
+    }
 
-  test("representatives map to themselves") {
-    val rnd = new Random(7)
-    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
-    val cc = ccOf(edges)
-    cc.values.toSet.foreach { (rep: Long) => assert(cc(rep) == rep) }
+    test(s"[$label] representatives map to themselves") {
+      val rnd = new Random(7)
+      val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      val cc = ccOf(edges, threshold)
+      cc.values.toSet.foreach { (rep: Long) => assert(cc(rep) == rep) }
+    }
   }
 }
