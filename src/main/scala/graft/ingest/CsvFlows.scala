@@ -136,6 +136,35 @@ SELECT CAST(gen AS BIGINT) AS gen, count(*) AS n, count(user_id) AS n_user,
        count(event_type) AS n_type, CAST(sum(event_id) AS BIGINT) AS sum_ids
 FROM m GROUP BY gen ORDER BY gen"""))
 
+  /** Hive-style partitioned layout + partition pruning: write events
+    * partitioned by event_type, then read back filtering ONE partition
+    * value — at 100 TB the filter must prune at PLANNING time (directory
+    * listing), not scan-and-discard; PartitionedScanSpec asserts the
+    * plan shows it as a PartitionFilter with only the matching files
+    * read. The oracle recomputes the same aggregate with a WHERE on the
+    * source table.
+    */
+  def partitionedScanQuery: graft.Q = graft.Q(
+    "q_partitioned_scan",
+    (spark, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.Tables.events(spark, dir)
+        .selectExpr("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      spark.read.parquet(tmp)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY event_type ORDER BY event_type"""))
+
   def roundtripQueries: Seq[graft.Q] =
-    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery
+    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery :+ partitionedScanQuery
 }

@@ -183,5 +183,38 @@ ORDER BY z.doc_id""")
     },
     Some(decontaminateSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate)
+  /** Capture-group extraction (`regexp_extract(str, pat, 1)`): pull
+    * the DOMAIN out of deterministically planted emails and aggregate
+    * per domain — the structured-field-from-text step (log mining,
+    * URL/host attribution) the `regexp_extract_all` counter above
+    * doesn't gate. Spark and DuckDB share the 3-arg signature; the
+    * planted filter keeps no-match semantics (engine-specific
+    * empty-vs-null) out of the compare. Shuffle profile: scan +
+    * 5-value hash agg.
+    */
+  private def regexExtractSql(d: SqlDialect): String = {
+    val pat = "[a-z0-9]+@([a-z0-9]+)\\.com"
+    s"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' from user' || CAST(doc_id AS STRING)
+              || '@host' || CAST(doc_id % 5 AS STRING) || '.com' AS body
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT regexp_extract(body, '$pat', 1) AS domain,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM planted
+GROUP BY regexp_extract(body, '$pat', 1)
+ORDER BY domain"""
+  }
+
+  val qRegexExtract = Q(
+    "q_regex_extract",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(regexExtractSql(SparkSql))
+    },
+    Some(regexExtractSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate, qRegexExtract)
 }

@@ -546,6 +546,50 @@ ORDER BY vec_a, vec_b"""
     },
     Some(embedSql(DuckSql)))
 
+  // ================= streaming exact dedup =================
+
+  /** Exact dedup on a STREAM: documents arrive as a file stream,
+    * `dropDuplicates` on (source, text-hash) holds one state entry per
+    * distinct key, and the downstream complete-mode aggregate counts
+    * distinct texts per source — gated by the batch DISTINCT oracle.
+    * Keying the dedup by (source, hash) rather than hash alone keeps
+    * the kept-row attribution deterministic (the same text under two
+    * sources survives in both). At scale the un-watermarked state grows
+    * with distinct keys — that IS exact streaming dedup's cost; the
+    * bounded-memory variant is `dropDuplicatesWithinWatermark`
+    * (StreamingDedupSpec).
+    */
+  val qDedupStreamExact = Q(
+    "q_dedup_stream_exact",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val sinkName = s"dds_${System.nanoTime()}"
+      val q = spark.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .selectExpr("source", "md5(text) AS h")
+        .dropDuplicates("source", "h")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct_texts"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).orderBy("source")
+    },
+    Some("""
+SELECT source, count(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
-    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qEmbed)
+    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qEmbed,
+      qDedupStreamExact)
 }
