@@ -292,7 +292,46 @@ WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC, user_id)
 ORDER BY event_type, rnk""")
   )
 
+  /** MERGEABLE sketches (DataSketches HLL): the 100 TB cardinality
+    * pattern is partial sketch per partition/day, stored, then unioned
+    * at query time — so beyond the estimate-accuracy bound (as in
+    * q_approx_distinct_users) this gates MERGEABILITY: two sketches
+    * over disjoint halves, `hll_union`ed, must estimate EXACTLY what
+    * the single whole-data sketch estimates — HLL registers are
+    * per-bucket maxima, so subset-union equals whole-set state
+    * mathematically, independent of partition order. Both booleans ride
+    * to the oracle, which expects them true.
+    */
+  val qHllSketch = Q(
+    "q_hll_sketch_merge",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val full = ev.groupBy($"event_type")
+        .agg(
+          hll_sketch_agg($"user_id").as("sk"),
+          countDistinct($"user_id").as("n_exact"))
+        .select($"event_type", $"n_exact",
+          hll_sketch_estimate($"sk").as("est_full"))
+      val halves = ev
+        .withColumn("half", ($"event_id" % 2).cast("int"))
+        .groupBy($"event_type", $"half")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+      full.join(halves, "event_type")
+        .select($"event_type", $"n_exact",
+          (abs($"est_full" - $"n_exact") <= lit(0.05) * $"n_exact").as("within_bound"),
+          ($"est_merged" === $"est_full").as("merge_consistent"))
+        .orderBy($"event_type")
+    },
+    Some("""
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       true AS within_bound, true AS merge_consistent
+FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
-      qHistogram, qRankFamily)
+      qHistogram, qRankFamily, qHllSketch)
 }
