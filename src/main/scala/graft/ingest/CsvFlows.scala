@@ -165,6 +165,36 @@ FROM m GROUP BY gen ORDER BY gen"""))
 FROM events WHERE event_type = 'purchase'
 GROUP BY event_type ORDER BY event_type"""))
 
+  /** Codec gate: parquet written with zstd (the compression a 100 TB
+    * store actually uses — ~2× smaller than snappy at similar scan
+    * cost) must round-trip bit-exactly. Same aggregate oracle as the
+    * format family.
+    */
+  def zstdRoundtripQuery: graft.Q = graft.Q(
+    "q_parquet_zstd_roundtrip",
+    (spark, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zstd_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.Tables.events(spark, dir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+      spark.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id")).as("sum_ids"),
+          min(expr("ts DIV 1000")).as("min_ts_us"),
+          max(expr("ts DIV 1000")).as("max_ts_us"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def roundtripQueries: Seq[graft.Q] =
-    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery :+ partitionedScanQuery
+    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery :+
+      partitionedScanQuery :+ zstdRoundtripQuery
 }

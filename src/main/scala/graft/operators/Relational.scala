@@ -331,7 +331,47 @@ SELECT event_type, count(DISTINCT user_id) AS n_exact,
 FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Custom typed Aggregator (UDAF surface): Welford/Chan one-pass
+    * variance ([[graft.functions.WelfordVariance]]) checked against the
+    * EXACT variance derived from integer cents sums. The exact value
+    * (Q/n − (S/n)²)/10⁴ is built only from ratios of exact BIGINTs —
+    * deterministic IEEE, so it hash-compares; the one-pass result is
+    * merge-order-sensitive in its low bits by nature, so it rides as a
+    * tolerance boolean. One aggregate pass computes all of S, Q, n and
+    * the UDAF buffer.
+    */
+  val qWelford = Q(
+    "q_welford_variance",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.WelfordVariance.register(spark)
+      val cents = "CAST(round(value * 100, 0) AS BIGINT)"
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr(cents)).as("s"),
+          sum(expr(s"$cents * $cents")).as("q"),
+          expr("welford_var(value)").as("wv"))
+        .select($"event_type", $"n",
+          (($"q" / $"n" - ($"s" / $"n") * ($"s" / $"n")) / 10000.0).as("var_exact"),
+          (abs($"wv" - ($"q" / $"n" - ($"s" / $"n") * ($"s" / $"n")) / 10000.0)
+            <= lit(1e-9) * (($"q" / $"n") / 10000.0 + 1.0)).as("within_tol"))
+        .orderBy($"event_type")
+    },
+    Some("""
+WITH a AS (SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                         * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS q
+           FROM events GROUP BY event_type)
+SELECT event_type, n,
+       (q / n - (s / n) * (s / n)) / 10000.0 AS var_exact,
+       true AS within_tol
+FROM a ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
-      qHistogram, qRankFamily, qHllSketch)
+      qHistogram, qRankFamily, qHllSketch, qWelford)
 }
