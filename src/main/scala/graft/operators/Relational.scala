@@ -371,7 +371,31 @@ SELECT event_type, n,
 FROM a ORDER BY event_type""")
   )
 
+  /** Set-valued aggregation (collect_set): the per-key distinct-values
+    * rollup every feature store materializes. collect_set's order is
+    * partition-dependent, so determinism comes from array_sort before
+    * the join-to-string (emitted as a string so the compare never
+    * depends on either engine's array encoding). One shuffle.
+    */
+  val qCollectSet = Q(
+    "q_collect_types",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(
+          array_join(array_sort(collect_set($"event_type")), ",").as("types_seen"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"user_id")
+    },
+    Some("""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
-      qHistogram, qRankFamily, qHllSketch, qWelford)
+      qHistogram, qRankFamily, qHllSketch, qWelford, qCollectSet)
 }
