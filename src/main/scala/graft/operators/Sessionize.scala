@@ -63,5 +63,51 @@ GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx""")
   )
 
-  val all: Seq[Q] = Seq(qSessionize)
+  /** Funnel-stage analysis: how far does each user progress through the
+    * ORDERED chain view → click → purchase (each step strictly after
+    * the previous one in event time)? Three conditional-min
+    * aggregations chained by time predicates — every join and groupBy
+    * keys on user_id, so the whole funnel reuses ONE hash partitioning
+    * (AQE broadcasts the shrinking per-stage tables at small scale; at
+    * 100 TB they're co-partitioned equi-joins). All-integer outputs.
+    *
+    * The shared-SQL spelling runs verbatim in both engines.
+    */
+  private val funnelSql: String = {
+    val ts = "ts_us"
+    s"""
+WITH e AS (SELECT user_id, event_type, EPOCH_PLACEHOLDER AS $ts FROM events),
+s1 AS (SELECT user_id, min($ts) AS t_view FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min($ts) AS t_click
+       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.$ts > s1.t_view
+       WHERE event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min($ts) AS t_purchase
+       FROM e JOIN s2 ON e.user_id = s2.user_id AND e.$ts > s2.t_click
+       WHERE event_type = 'purchase' GROUP BY e.user_id),
+funnel AS (
+  SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM e) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id)
+SELECT user_id, CAST(stage AS BIGINT) AS stage, t_view, t_click, t_purchase,
+       CASE WHEN stage = 3 THEN t_purchase - t_view END AS funnel_us
+FROM funnel
+ORDER BY user_id"""
+  }
+
+  val qFunnel = Q(
+    "q_funnel_stages",
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("events")
+      spark.sql(funnelSql.replace("EPOCH_PLACEHOLDER", "CAST(ts DIV 1000 AS BIGINT)"))
+    },
+    Some(funnelSql.replace("EPOCH_PLACEHOLDER", "epoch_us(ts)")))
+
+  val all: Seq[Q] = Seq(qSessionize, qFunnel)
 }

@@ -141,5 +141,40 @@ ORDER BY grp"""
     spark.sql(ivfSql(SparkSql))
   }
 
-  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids)
+  // ---- k-NN classification (majority vote over brute top-10) ----
+
+  /** The similarity stack as an ML primitive: classify each query
+    * vector by the majority label of its 10 nearest neighbors
+    * (excluding itself), tie-broken by smaller label — all integer
+    * after ranking, so the vote and the verdict hash-compare. Same
+    * cost shape as the brute top-k (shard + per-shard rank + merge at
+    * 100 TB; swap the candidate CTE for the IVF one to trade recall
+    * for scan cost).
+    */
+  private def knnSql(d: SqlDialect): String = {
+    val (norm, cos) = normCos(d)
+    s"""
+WITH meta AS (SELECT vec_id, embedding, label, $norm AS nrm FROM embeddings),
+pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS nlabel,
+                 q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+          FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+scored AS (SELECT query_id, neighbor_id, nlabel, $cos AS cos FROM pairs),
+ranked AS (SELECT query_id, neighbor_id, nlabel,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored),
+votes AS (SELECT query_id, nlabel, count(*) AS v
+          FROM ranked WHERE rank <= 10 GROUP BY query_id, nlabel),
+pred AS (SELECT query_id, nlabel, v,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS pr
+         FROM votes)
+SELECT p.query_id, m.label AS true_label, p.nlabel AS predicted_label,
+       CAST(p.v AS BIGINT) AS votes
+FROM pred p JOIN meta m ON p.query_id = m.vec_id
+WHERE p.pr = 1
+ORDER BY p.query_id"""
+  }
+
+  val qKnn = Q("q_knn_classify", run(knnSql(SparkSql)), Some(knnSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids, qKnn)
 }
