@@ -216,5 +216,59 @@ ORDER BY domain"""
     },
     Some(regexExtractSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate, qRegexExtract)
+  /** The whole LLM corpus build as ONE oracle-gated query: LSH
+    * near-dup clusters → keep each cluster's canonical doc → quality
+    * gate (≥30 tokens) → overlapping token chunks → per-source corpus
+    * stats. The Spark side composes the engine operators (banded
+    * minhash, distributed/local connected components, the chunk
+    * fan-out); DuckDB re-derives the identical corpus from scratch via
+    * the recursive-CTE fixpoint — so the END-TO-END pipeline, not just
+    * its stages, hash-matches.
+    *
+    * Scale shape: the dedup family's one-shuffle-per-stage candidate
+    * joins, then CC over verified pairs only, then a narrow chunk
+    * fan-out over the surviving docs — the exact production sequence,
+    * with every intermediate reused from the shared stage cache.
+    */
+  private val MinTokens = 30
+
+  private def corpusBuildOracle: String = {
+    val d: SqlDialect = DuckSql
+    val (nTokens, _) = TextAnalysis.chunkExprs(d)
+    s"""
+WITH RECURSIVE ${Dedup.clusterCtes(d)},
+kept_docs AS (
+  SELECT doc.doc_id, doc.text, doc.source
+  FROM documents doc JOIN comp ON doc.doc_id = comp.doc_id
+  WHERE comp.cluster_rep = doc.doc_id
+    AND ${d.len(d.split("doc.text"))} >= $MinTokens),
+${TextAnalysis.chunkCtes(d, "kept_docs")}
+SELECT s.source, count(DISTINCT ch_ck.doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(sum($nTokens) AS BIGINT) AS total_tokens
+FROM ch_ck JOIN kept_docs s ON ch_ck.doc_id = s.doc_id
+GROUP BY s.source ORDER BY s.source"""
+  }
+
+  val qCorpusBuild = Q(
+    "q_corpus_build",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val comp = Dedup.clusterAssignments(spark, dir, graft.Tables.documents(spark, dir))
+      val kept = spark.table("documents")
+        .join(comp, "doc_id")
+        .where(col("cluster_rep") === col("doc_id") &&
+          size(split(col("text"), " ")) >= MinTokens)
+        .select(col("doc_id"), col("text"), col("source"))
+      kept.createOrReplaceTempView("kept_docs")
+      val (nTokens, _) = TextAnalysis.chunkExprs(SparkSql)
+      spark.sql(s"""
+WITH ${TextAnalysis.chunkCtes(SparkSql, "kept_docs")}
+SELECT s.source, count(DISTINCT ch_ck.doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(sum($nTokens) AS BIGINT) AS total_tokens
+FROM ch_ck JOIN kept_docs s ON ch_ck.doc_id = s.doc_id
+GROUP BY s.source ORDER BY s.source""")
+    },
+    Some(corpusBuildOracle))
+
+  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate, qRegexExtract, qCorpusBuild)
 }

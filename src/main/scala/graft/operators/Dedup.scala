@@ -312,14 +312,35 @@ ORDER BY c.doc_a, c.doc_b""")
     * reachable from each doc). Every document appears in the output —
     * unpaired docs are their own singleton cluster.
     */
-  private def clustersSql(d: SqlDialect): String = s"""
-WITH RECURSIVE ${minhashCtes(d)},
+  /** Oracle CTE chain ending in `comp` (doc_id → cluster_rep fixpoint
+    * via recursive reachability) — shared by the cluster query and the
+    * corpus-build composition. Must follow `WITH RECURSIVE`.
+    */
+  private[operators] def clusterCtes(d: SqlDialect): String = s"""${minhashCtes(d)},
 edges AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
           UNION SELECT doc_b, doc_a FROM dpairs),
 reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
           UNION
           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u)"""
+
+  /** Spark side of [[clusterCtes]]: (doc_id, cluster_rep) for every
+    * document, via LSH pairs → distributed/local CC → singleton fill.
+    */
+  private[operators] def clusterAssignments(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = minhashOn(spark, key, docs)
+      .select($"doc_a".as("u"), $"doc_b".as("v"))
+    val cc = Graph.connectedComponents(pairs)
+    spark.table("documents").select($"doc_id")
+      .join(cc, $"doc_id" === cc("id"), "left")
+      .select($"doc_id", coalesce(cc("rep"), $"doc_id").as("cluster_rep"))
+  }
+
+  private def clustersSql(d: SqlDialect): String = s"""
+WITH RECURSIVE ${clusterCtes(d)},
 csize AS (SELECT cluster_rep AS r, count(*) AS n FROM comp GROUP BY cluster_rep)
 SELECT comp.doc_id, comp.cluster_rep, CAST(csize.n AS BIGINT) AS cluster_size,
        comp.doc_id = comp.cluster_rep AS keep
@@ -331,12 +352,7 @@ ORDER BY comp.doc_id"""
     (spark, dir) => {
       import org.apache.spark.sql.functions._
       import spark.implicits._
-      val pairs = minhashOn(spark, dir, Tables.documents(spark, dir))
-        .select($"doc_a".as("u"), $"doc_b".as("v"))
-      val cc = Graph.connectedComponents(pairs)
-      val comp = spark.table("documents").select($"doc_id")
-        .join(cc, $"doc_id" === cc("id"), "left")
-        .select($"doc_id", coalesce(cc("rep"), $"doc_id").as("cluster_rep"))
+      val comp = clusterAssignments(spark, dir, Tables.documents(spark, dir))
       val sizes = comp.groupBy($"cluster_rep".as("r"))
         .agg(count(lit(1)).as("cluster_size"))
       comp.join(sizes, $"cluster_rep" === sizes("r"))

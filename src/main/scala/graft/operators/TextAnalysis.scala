@@ -328,22 +328,38 @@ ORDER BY doc_id, rank"""
   private val ChunkTokens = 40
   private val ChunkStride = 30
 
-  private def chunksSql(d: SqlDialect): String = {
+  /** CTE chain (dw/dn/nc/ck) fanning `rel` (a relation with doc_id +
+    * text) out to one row per chunk, plus the per-chunk select
+    * expressions — shared by the chunk query and the corpus-build
+    * composition.
+    */
+  private[operators] def chunkCtes(d: SqlDialect, rel: String): String = {
     val (w, s) = (ChunkTokens, ChunkStride)
     // nchunks = 1 + ceil((nw - w) / s) for nw > w, else 1
     val nchunks =
       s"CASE WHEN nw <= $w THEN 1 ELSE 1 + ${d.idiv(s"nw - $w + $s - 1", s.toString)} END"
+    s"""ch_dw AS (SELECT doc_id, ${d.split("text")} AS toks FROM $rel),
+ch_dn AS (SELECT doc_id, toks, ${d.len("toks")} AS nw FROM ch_dw),
+ch_nc AS (SELECT doc_id, toks, nw, $nchunks AS nchunks FROM ch_dn),
+ch_ck AS (${d.series("doc_id, toks, nw", "nchunks", "k", "ch_nc")})"""
+  }
+
+  /** (n_tokens expr, chunk_hash expr) over a `ck` row. */
+  private[operators] def chunkExprs(d: SqlDialect): (String, String) = {
+    val (w, s) = (ChunkTokens, ChunkStride)
     val start = s"(k - 1) * $s + 1"
+    (s"CAST(CASE WHEN nw - ($start) + 1 < $w THEN nw - ($start) + 1 ELSE $w END AS BIGINT)",
+      s"md5(${d.joinArr(d.slice("toks", start, w.toString))})")
+  }
+
+  private def chunksSql(d: SqlDialect): String = {
+    val (nTokens, chunkHash) = chunkExprs(d)
     s"""
-WITH dw AS (SELECT doc_id, ${d.split("text")} AS toks FROM documents),
-dn AS (SELECT doc_id, toks, ${d.len("toks")} AS nw FROM dw),
-nc AS (SELECT doc_id, toks, nw, $nchunks AS nchunks FROM dn),
-ck AS (${d.series("doc_id, toks, nw", "nchunks", "k", "nc")})
+WITH ${chunkCtes(d, "documents")}
 SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
-       CAST(CASE WHEN nw - ($start) + 1 < $w THEN nw - ($start) + 1 ELSE $w END AS BIGINT)
-         AS n_tokens,
-       md5(${d.joinArr(d.slice("toks", start, w.toString))}) AS chunk_hash
-FROM ck
+       $nTokens AS n_tokens,
+       $chunkHash AS chunk_hash
+FROM ch_ck
 ORDER BY doc_id, chunk_idx"""
   }
 
