@@ -145,5 +145,44 @@ object RfDetector {
 SELECT count(*) AS n_flows, true AS agree_ok FROM feats""")
   )
 
-  val all: Seq[Q] = Seq(qRfScore)
+  /** Gradient-boosted trees over the same feature chain — the second
+    * ensemble family a complete ML surface carries (sequential boosting
+    * vs RF's bagging: can't parallelize across trees, so iterations are
+    * kept at 10 — each is a full pass over the cached training table).
+    * Same agreement-boolean oracle pattern as the RF cycle: per-row
+    * predictions are sampling-order-sensitive, the ≥0.9 scored-vs-rule
+    * agreement over the full table is not.
+    */
+  val qGbtScore = Q(
+    "q_gbt_train_score",
+    (spark, dir) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.GBTClassifier
+      import org.apache.spark.ml.feature.VectorAssembler
+      import spark.implicits._
+      val flows = withLabel(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+        .repartition(4).cache()
+      try {
+        val assembler = new VectorAssembler()
+          .setInputCols(featureCols.toArray).setOutputCol("features")
+          .setHandleInvalid("skip")
+        val gbt = new GBTClassifier()
+          .setLabelCol("binary_label").setFeaturesCol("features")
+          .setMaxIter(10).setMaxDepth(4).setSeed(42)
+        val Array(tr, te) = flows.randomSplit(Array(0.8, 0.2), 42)
+        val model = new Pipeline().setStages(Array(assembler, gbt)).fit(tr)
+        val agg = model.transform(flows)
+          .agg(
+            count(lit(1)).as("n_flows"),
+            (avg(when($"prediction" === $"binary_label", 1.0).otherwise(0.0)) >= 0.9)
+              .as("agree_ok"))
+        val row = agg.collect().toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(row, 1), agg.schema)
+      } finally flows.unpersist(blocking = false)
+    },
+    Some(s"""WITH feats AS (${graft.flow.FlowFeatureSql.oracleBody})
+SELECT count(*) AS n_flows, true AS agree_ok FROM feats""")
+  )
+
+  val all: Seq[Q] = Seq(qRfScore, qGbtScore)
 }

@@ -50,5 +50,38 @@ SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
 FROM x GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(qJsonExtract)
+  /** Calendar rollup — gates the date-function surface (truncation to
+    * civil days, day-of-week numbering) whose conventions differ across
+    * engines: Spark's `dayofweek` is 1=Sunday while DuckDB's `isodow`
+    * is 1=Monday, so both sides are spelled onto the ISO convention
+    * (Spark `weekday`+1). Days are derived from the µs timestamp in
+    * UTC (the session timezone both engines run). One map-side
+    * combinable aggregate on ~30 day keys.
+    */
+  val qCalendar = Q(
+    "q_calendar_rollup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").as("t"), $"value")
+        .select(
+          date_format($"t", "yyyy-MM-dd").as("day"),
+          (weekday($"t") + 1).cast("bigint").as("iso_dow"),
+          $"value")
+        .groupBy($"day", $"iso_dow")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+        .orderBy($"day")
+    },
+    Some("""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(isodow(ts) AS BIGINT) AS iso_dow,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2 ORDER BY day""")
+  )
+
+  val all: Seq[Q] = Seq(qJsonExtract, qCalendar)
 }
