@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness: a pipeline stage upstream may legitimately
+  * emit zero rows (a filter that matched nothing, a day with no data) —
+  * every operator must then return an empty (or summary) result, not
+  * throw. Runs the batch operators with non-trivial empty-input paths
+  * (iterative CC, per-user spines, sequence explodes, window ranks,
+  * ratio divisions) over schema-identical empty copies of the tables.
+  * Streaming and ML-training queries are excluded: file streams need a
+  * data file and MLlib fit() on zero rows throws by contract.
+  */
+class EmptyCorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val emptyDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_empty_corpus"
+    val src = "/root/testdata/sf0.001"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      // events carries TIMESTAMP(NANOS); Tables.events sets the legacy
+      // read flag so the copy round-trips as the same BIGINT the
+      // operators expect
+      val df = if (t == "events") graft.Tables.events(spark, src)
+               else graft.Tables(spark, src, t)
+      df.limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private val queries = Seq(
+    "q1_pricing_summary", "q_gap_fill", "q_doc_chunks", "q_dedup_clusters",
+    "q_dedup_incremental", "q_dedup_minhash_lsh", "q_funnel_stages",
+    "q_asof_nearest", "q_median_cont", "q_rate_window_sliding",
+    "q_rank_family", "q_topk_users_per_type", "q_sessionize",
+    "q_tfidf_top_terms", "q_knn_classify", "q_corpus_build",
+    "q_value_histogram", "q_hll_sketch_merge", "q_welford_variance",
+    "q_json_extract", "q_collect_types", "q_grouping_sets",
+    "q_salted_join", "q_full_outer_join", "q_interval_join")
+
+  queries.foreach { name =>
+    test(s"$name completes on an empty corpus") {
+      val n = graft.SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n >= 0)
+    }
+  }
+}
