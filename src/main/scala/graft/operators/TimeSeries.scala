@@ -88,5 +88,41 @@ FROM f
 ORDER BY user_id, bucket_start_us""")
   )
 
-  val all: Seq[Q] = Seq(qGapFill)
+  /** Value-based (RANGE) window frames — the sliding-horizon "events in
+    * my trailing hour" aggregate, distinct from ROWS frames in both
+    * semantics (peers at the same timestamp always aggregate together)
+    * and execution (the frame bound is a value offset, not a row
+    * count). Emitted per event: trailing-hour count and cents sum for
+    * the same user. One shuffle on user_id.
+    */
+  val qRangeFrame = Q(
+    "q_trailing_hour",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-BucketUs, 0)
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id",
+          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        .select($"event_id", $"user_id", $"ts_us",
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          sum($"cents").over(w).as("cents_trailing_hour"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_trailing_hour,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN $BucketUs PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(qGapFill, qRangeFrame)
 }
