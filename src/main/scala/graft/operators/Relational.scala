@@ -296,11 +296,14 @@ ORDER BY event_type, rnk""")
     * pattern is partial sketch per partition/day, stored, then unioned
     * at query time — so beyond the estimate-accuracy bound (as in
     * q_approx_distinct_users) this gates MERGEABILITY: two sketches
-    * over disjoint halves, `hll_union`ed, must estimate EXACTLY what
-    * the single whole-data sketch estimates — HLL registers are
-    * per-bucket maxima, so subset-union equals whole-set state
-    * mathematically, independent of partition order. Both booleans ride
-    * to the oracle, which expects them true.
+    * over disjoint halves, `hll_union`ed, must estimate the same
+    * cardinality WITHIN THE SAME 5% BOUND as the single whole-data
+    * sketch. (Not exact equality: in dense HLL mode union is a
+    * register-maxima fold, but DataSketches' sparse/coupon mode — where
+    * a 1.5k-distinct group lives — transitions representations at
+    * different points for sequential build vs union, so the two
+    * estimates legitimately differ by a few counts; observed at sf0.1,
+    * equal at sf0.01.) Both booleans ride to the oracle as true.
     */
   val qHllSketch = Q(
     "q_hll_sketch_merge",
@@ -322,12 +325,12 @@ ORDER BY event_type, rnk""")
       full.join(halves, "event_type")
         .select($"event_type", $"n_exact",
           (abs($"est_full" - $"n_exact") <= lit(0.05) * $"n_exact").as("within_bound"),
-          ($"est_merged" === $"est_full").as("merge_consistent"))
+          (abs($"est_merged" - $"n_exact") <= lit(0.05) * $"n_exact").as("merged_within_bound"))
         .orderBy($"event_type")
     },
     Some("""
 SELECT event_type, count(DISTINCT user_id) AS n_exact,
-       true AS within_bound, true AS merge_consistent
+       true AS within_bound, true AS merged_within_bound
 FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
