@@ -180,5 +180,47 @@ ORDER BY doc_id"""
     (spark, dir) => extractFeatures(mediaOf(spark, dir)).orderBy("doc_id").toDF(),
     Some(featuresOracle(DuckSql)))
 
-  val all: Seq[Q] = Seq(qDecode, qFrames, qFeatures)
+  // ---- resize planning: aspect-preserving fit + letterbox pads ----
+
+  /** Resize-to-224 planning over the decoded metadata: aspect-preserving
+    * output dims via integer cross-multiplication (`w·224/max(w,h)` —
+    * never float scale factors, whose rounding is library-specific) and
+    * the letterbox padding that centers the result. The pixel resample
+    * itself would live in the decode stub's batch stage; the PLAN —
+    * what every image pipeline precomputes to size buffers and batch
+    * uniformly — is pure integer arithmetic both engines reproduce.
+    * Narrow projection over the decode output; no shuffle.
+    */
+  val Target = 224L
+
+  val qResize = Q(
+    "q_multimodal_resize",
+    (spark, dir) => {
+      Multimodal.decode(mediaOf(spark, dir)).toDF()
+        .selectExpr("doc_id", "width", "height",
+          s"greatest(width, height) >= $Target AS downscale",
+          s"(width * $Target) DIV greatest(width, height) AS out_w",
+          s"(height * $Target) DIV greatest(width, height) AS out_h")
+        .selectExpr("doc_id", "width", "height", "downscale", "out_w", "out_h",
+          s"($Target - out_w) DIV 2 AS pad_x",
+          s"($Target - out_h) DIV 2 AS pad_y")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+WITH m AS (SELECT doc_id,
+                  CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+                  CAST(16 + octet_length(encode(text)) % 480 AS BIGINT) AS height
+           FROM documents),
+p AS (SELECT doc_id, width, height,
+             greatest(width, height) >= $Target AS downscale,
+             (width * $Target) // greatest(width, height) AS out_w,
+             (height * $Target) // greatest(width, height) AS out_h
+      FROM m)
+SELECT doc_id, width, height, downscale, out_w, out_h,
+       ($Target - out_w) // 2 AS pad_x,
+       ($Target - out_h) // 2 AS pad_y
+FROM p
+ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qDecode, qFrames, qFeatures, qResize)
 }
