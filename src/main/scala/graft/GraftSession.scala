@@ -12,6 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * AQE coalescing down, which is exactly what AQE does for us here.
   */
 object GraftSession {
+
+  /** Run `body` with shuffle parallelism sized for STREAMING STATE
+    * rather than batch scans: every stateful streaming operator opens
+    * one state-store instance per shuffle partition (joins open four)
+    * and pays a commit per instance per micro-batch, so a batch-sized
+    * 32 means 32-128 store commits per trigger for streams whose state
+    * fits in a handful. On a cluster this is the
+    * `spark.sql.shuffle.partitions` you set on the streaming job,
+    * independent of batch parallelism; here it is scoped to the query
+    * and restored after. State-partition count only affects layout,
+    * not results (the suite is green at 4 and 32 cores).
+    */
+  def withStreamingShuffle[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
   def getOrCreate(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -244,7 +244,9 @@ object FlowFeaturizer {
 
   val qFlowFeaturesStream = Q(
     "q_flow_features_stream",
-    (spark, dir) => runFileStream(spark, dir),
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+      runFileStream(spark, dir)
+    },
     // single-batch update rows == batch featurizer output, sans suffix
     Some(FlowFeatureSql.oracleSql.replace(" || '_TIMEOUT'", ""))
   )

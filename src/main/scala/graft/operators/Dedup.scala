@@ -577,7 +577,7 @@ ORDER BY vec_a, vec_b"""
     */
   val qDedupStreamExact = Q(
     "q_dedup_stream_exact",
-    (spark, dir) => {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import org.apache.spark.sql.functions.{count, lit}
       import org.apache.spark.sql.types._
       import spark.implicits._

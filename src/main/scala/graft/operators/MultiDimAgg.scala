@@ -217,7 +217,7 @@ ORDER BY n_both""")
     */
   val qSessionWindowStream = Q(
     "q_session_window_stream",
-    (spark, dir) => {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = spark.readStream

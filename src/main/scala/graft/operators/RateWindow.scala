@@ -80,7 +80,7 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowStream = Q(
     "q_rate_window_stream",
-    (spark, dir) => {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = spark.readStream
@@ -197,7 +197,7 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowSlidingStream = Q(
     "q_rate_window_sliding_stream",
-    (spark, dir) => {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = spark.readStream

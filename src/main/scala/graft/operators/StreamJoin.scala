@@ -51,16 +51,9 @@ ORDER BY c.user_id, click_id, error_id""")
             timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
           .withWatermark(s"${prefix}_time", "10 minutes")
       val sinkName = s"ssj_${System.nanoTime()}"
-      // Stream-stream join state is partitioned by shuffle.partitions,
-      // and each partition carries FOUR state stores (2 sides × 2
-      // store families) with per-micro-batch commit overhead. The
-      // session default (32, sized for batch shuffles) means 128 store
-      // commits per batch — far more than a join of two modest streams
-      // needs. 8 is plenty here; on a cluster this is the knob you size
-      // to stream volume, independently of batch parallelism.
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // stream-stream joins open FOUR state stores per partition (2
+      // sides × 2 store families) — see withStreamingShuffle
+      graft.GraftSession.withStreamingShuffle(spark) {
         val q = side("click", "c")
           .join(side("error", "e"),
             expr(s"""c_user = e_user AND
@@ -73,7 +66,7 @@ ORDER BY c.user_id, click_id, error_id""")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       spark.table(sinkName).orderBy("user_id", "click_id", "error_id")
     },
     oracle)
