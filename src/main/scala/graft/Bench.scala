@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * queries then run in sorted-name order for stable attribution.
   */
 object Bench {
+
+  /** Representative queries whose per-query seconds go on the stdout
+    * metric line. The driver captures only a bounded tail of stdout, so
+    * the line must stay small no matter how large the catalog grows;
+    * the FULL per-query map is always written to the file sink.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q_corpus_build", "q_dedup_exact",
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_clusters",
+    "q_ann_cosine_topk", "q_ann_ivf", "q_flow_features",
+    "q_flow_features_stream", "q_rf_train_score", "q_rf_pretrained_score",
+    "q_gbt_train_score", "q_text_langid", "q_tfidf_top_terms",
+    "q_rate_window_stream", "q_stream_stream_join", "q_top_customers",
+    "q_revenue_by_nation", "q_sessionize", "q_gap_fill",
+    "q_hll_sketch_merge", "q_heavy_hitters_salted", "q_multimodal_decode",
+    "q_text_quality", "q_csv_roundtrip")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,16 +56,20 @@ object Bench {
     }
     // evict shared stage caches (logs how much storage the run held)
     operators.StageViews.unpersistAll(spark)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // sbt wraps program stdout in [info] prefixes, so ALSO persist the
-    // metric line to a file the driver can read verbatim
+    def jsonLine(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir"}"""
+    }
+    // Full per-query map → file sink (authoritative record of the run).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(line)
+    // Compact headline subset → stdout: the driver parses a bounded tail
+    // of stdout, so this line must stay well under 2000 chars.
+    val byName = results.toMap
+    println(jsonLine(headline.flatMap(h => byName.get(h).map(h -> _))))
   }
 }

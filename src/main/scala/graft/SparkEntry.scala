@@ -30,6 +30,9 @@ object SparkEntry {
       operators.SemiStructured.all ++
       operators.TimeSeries.all ++
       operators.StreamJoin.all ++
+      operators.Sketches.all ++
+      operators.Layout.all ++
+      operators.Scd.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

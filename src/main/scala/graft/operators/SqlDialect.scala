@@ -45,6 +45,26 @@ case object SparkSql extends SqlDialect {
   def joinArr(arr: String) = s"array_join($arr, ' ')"
 }
 
+/** Cross-engine hashing building block: md5() is the one hash function
+  * whose output is bit-identical in Spark and DuckDB, so every
+  * hash-partitioned operator family (LSH bands, bloom filters, count-min
+  * rows) derives its integers from md5 hex digits.
+  */
+object SqlHash {
+  /** 32-bit non-negative integer from the 8 hex chars of `hexCol` (an
+    * md5() output) starting at 1-based char `off`. Distinct offsets read
+    * disjoint digest bits (md5 gives 32 hex chars = 4 disjoint 32-bit
+    * words), so they act as independent hash functions at no extra
+    * digest cost.
+    */
+  def hex32(d: SqlDialect, hexCol: String, off: Int): String = (0 until 8)
+    .map { i =>
+      val c = s"substr($hexCol, ${off + i}, 1)"
+      s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }
+    .mkString("(", " + ", ")")
+}
+
 case object DuckSql extends SqlDialect {
   def split(col: String) = s"string_split($col, ' ')"
   def len(arr: String) = s"len($arr)"

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-independent invariants of the round-5 operators: the bloom
+  * filter's one-sided error, CMS admissibility, the Morton curve's
+  * tile-locality (the property that makes z-order skipping work), and
+  * SCD2 history-shape laws. The DuckDB oracle already gates exact
+  * values; these pin the THEOREMS, so a future hash change that
+  * accidentally breaks a guarantee fails here with a named law, not a
+  * hash diff.
+  */
+class SketchLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("bloom semi-join: no false negatives, candidates bounded by scan") {
+    val r = Sketches.qBloomSemiJoin.run(spark, dir).collect()(0)
+    val (n, cand, exact, fn, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(fn == 0L, "bloom must never drop a true match")
+    assert(cand >= exact && cand <= n)
+    assert(cand == exact + fp)
+  }
+
+  test("CMS heavy hitters: every estimate is admissible (est >= exact)") {
+    val rows = Sketches.qCmsHeavyHitters.run(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"CMS under-estimated ${r.getLong(0)}")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
+  test("z-order buckets are 16x16 tiles (the locality skipping relies on)") {
+    // dropping the low 8 z-bits fixes the high 4 bits of BOTH x and y,
+    // so every bucket's x/y envelope spans at most one 16-wide tile.
+    val rows = Layout.qZorderCurve.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xMin, xMax) = (r.getLong(4), r.getLong(5))
+      val (yMin, yMax) = (r.getLong(6), r.getLong(7))
+      assert(xMax - xMin <= 15, s"bucket ${r.getLong(0)} x-span ${xMax - xMin}")
+      assert(yMax - yMin <= 15, s"bucket ${r.getLong(0)} y-span ${yMax - yMin}")
+      assert(xMax / 16 == xMin / 16 && yMax / 16 == yMin / 16,
+        s"bucket ${r.getLong(0)} crosses a tile boundary")
+    }
+  }
+
+  test("SCD2 upsert: exactly one open version per key; updates close at 1") {
+    val out = Scd.qScd2Upsert.run(spark, dir)
+    out.createOrReplaceTempView("scd")
+    val laws = spark.sql("""
+      SELECT
+        count_if(open_n != 1) AS bad_open,
+        count_if(is_update AND (n != 2 OR closed_n != 1)) AS bad_update,
+        count_if(is_insert AND (n != 1 OR min_vf != 1)) AS bad_insert,
+        count_if(NOT is_update AND NOT is_insert AND
+                 (n != 1 OR min_vf != 0)) AS bad_untouched
+      FROM (
+        SELECT c_custkey,
+               count(*) AS n,
+               count_if(valid_to IS NULL) AS open_n,
+               count_if(valid_to IS NOT NULL) AS closed_n,
+               min(valid_from) AS min_vf,
+               c_custkey % 3 = 0 AND c_custkey < 1000000 AS is_update,
+               c_custkey >= 1000000 AS is_insert
+        FROM scd GROUP BY c_custkey)
+      """).collect()(0)
+    (0 until 4).foreach(i => assert(laws.getLong(i) == 0L,
+      s"law ${laws.schema(i).name} violated ${laws.getLong(i)} times"))
+  }
+}
