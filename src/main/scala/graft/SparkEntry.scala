@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Sketches.all ++
       operators.Layout.all ++
       operators.Scd.all ++
+      operators.StatefulTotals.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

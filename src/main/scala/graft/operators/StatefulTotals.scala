@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+
+/** Arbitrary per-key streaming state via Spark 4.1's `transformWithState`
+  * — the successor API to `flatMapGroupsWithState` (which the flow
+  * featurizer uses): typed named state handles, TTL support, and a
+  * RocksDB-backed store. The operator keeps per-user running totals
+  * (count, cents sum, first/last event time) and emits the updated
+  * totals each micro-batch.
+  *
+  * Determinism: every accumulator is order-free (count/sum/min/max over
+  * exact integers), so the result is independent of the per-key row
+  * iterator order AND of how the stream is split into micro-batches —
+  * [[graft.operators.TransformWithStateSpec]] pins the multi-batch
+  * carry, while the catalog query is gated by the relational oracle.
+  *
+  * Scale: state is O(distinct keys) × a fixed-width struct in RocksDB
+  * (spillable, incrementally checkpointed), shuffled once on the
+  * grouping key; emission is one row per active key per batch. This is
+  * the shape of any 100 TB streaming enrichment: bounded per-key state,
+  * no stream-length dependence.
+  */
+object StatefulTotals {
+
+  case class TwsEvent(user_id: Long, ts_us: Long, cents: Long)
+  case class TwsTotals(user_id: Long, n_events: Long, cents_sum: Long,
+      first_ts_us: Long, last_ts_us: Long)
+
+  class RunningTotalsProcessor extends StatefulProcessor[Long, TwsEvent, TwsTotals] {
+    @transient private var state: ValueState[TwsTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsTotals](
+        "totals", Encoders.product[TwsTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timerValues: TimerValues): Iterator[TwsTotals] = {
+      var s =
+        if (state.exists()) state.get()
+        else TwsTotals(key, 0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        s = TwsTotals(key, s.n_events + 1, s.cents_sum + e.cents,
+          math.min(s.first_ts_us, e.ts_us), math.max(s.last_ts_us, e.ts_us))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` with the RocksDB provider `transformWithState` requires,
+    * restoring the session's prior provider after.
+    */
+  private[operators] def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksProvider)
+    try body finally prior match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  val qTwsRunningTotals = Q(
+    "q_tws_running_totals",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sinkName = s"tws_${System.nanoTime()}"
+      withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
+              "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+            .as[TwsEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new RunningTotalsProcessor,
+              TimeMode.None(), OutputMode.Update(), Encoders.product[TwsTotals])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      // last emission per key = the row with the largest running count
+      // (n_events grows monotonically), so the result is batch-split
+      // independent.
+      import org.apache.spark.sql.expressions.Window
+      spark.table(sinkName)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"n_events".desc)))
+        .where($"rn" === 1)
+        .select($"user_id", $"n_events", $"cents_sum", $"first_ts_us", $"last_ts_us")
+        .orderBy($"user_id")
+    },
+    Some("""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
+       min(epoch_us(ts)) AS first_ts_us,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(qTwsRunningTotals)
+}
