@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++
+      operators.OpsDiagnostics.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -123,8 +123,10 @@ ORDER BY user_id"""
   val qCmsHeavyHitters = Q(
     "q_cms_heavy_hitters",
     (spark, dir) => {
-      graft.Tables.events(spark, dir)
-        .selectExpr("user_id").createOrReplaceTempView("events")
+      // register the FULL events relation (same convention as
+      // AsOfJoin/Sessionize, so view replacement is always
+      // like-for-like); pruning narrows the scan to user_id
+      graft.Tables.events(spark, dir).createOrReplaceTempView("events")
       spark.sql(cmsSql(SparkSql))
     },
     Some(cmsSql(DuckSql)))

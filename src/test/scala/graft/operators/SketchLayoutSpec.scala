@@ -54,6 +54,29 @@ class SketchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("key skew: shares are consistent and ordering is by weight") {
+    val rows = OpsDiagnostics.qKeySkew.run(spark, dir).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse), "not ordered by weight")
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000))
+  }
+
+  test("compaction plan: first-fit bins overflow by at most one document") {
+    val rows = OpsDiagnostics.qCompactionPlan.run(spark, dir).collect()
+    val maxDoc = graft.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("n_chars")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(3) < 64000L + maxDoc,
+        s"bin ${r.getString(0)}/${r.getLong(1)} holds ${r.getLong(3)} chars")
+    }
+    // bins are dense per source: 0..max with no gaps
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val bins = rs.map(_.getLong(1)).sorted
+      assert(bins.sameElements(bins.indices.map(_.toLong)), s"gap in bins for $src")
+    }
+  }
+
   test("SCD2 upsert: exactly one open version per key; updates close at 1") {
     val out = Scd.qScd2Upsert.run(spark, dir)
     out.createOrReplaceTempView("scd")
