@@ -81,6 +81,29 @@ object ScaleSmoke {
       (m, sec)
     }
     println(f"[scale] ivf growth: input x${ivfResults.last._1 / ivfResults.head._1} -> time x${ivfResults.last._2 / ivfResults.head._2}%.1f")
+
+    // ---- sketches: bloom is broadcast-probe-only on the fact side and
+    // CMS partial aggregates are capped at d·w rows per task, so both
+    // must track input size linearly (dim AND fact replicated ×m)
+    val ordersB = Tables.orders(spark, sfDir).cache()
+    val nOrd = ordersB.count()
+    val custB = Tables.customer(spark, sfDir).cache()
+    custB.count()
+    val sketchResults = multiples.map { m =>
+      val o = ordersB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("o_orderkey + rep * 100000000 AS o_orderkey",
+          "o_custkey + rep * 1000000 AS o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+      val c = custB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("c_custkey + rep * 1000000 AS c_custkey", "c_name",
+          "c_nationkey", "c_acctbal", "c_mktsegment")
+      val t0k = System.nanoTime()
+      operators.Sketches.bloomOn(spark, o, c).collect()
+      val secB = (System.nanoTime() - t0k) / 1e9
+      println(f"[scale] bloom   x$m%-3d orders=${nOrd * m}%9d  $secB%7.2f s")
+      (m, secB)
+    }
+    println(f"[scale] bloom growth: input x${sketchResults.last._1 / sketchResults.head._1} -> time x${sketchResults.last._2 / sketchResults.head._2}%.1f")
     operators.StageViews.unpersistAll(spark)
 
     // streaming path: same multiplied packets through the stateful

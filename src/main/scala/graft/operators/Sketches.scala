@@ -76,16 +76,25 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count_if(is_exact) AS BIGINT) AS n_exact,
        CAST(count_if(is_exact AND NOT bloom_pass) AS BIGINT) AS n_false_negatives,
        CAST(count_if(bloom_pass AND NOT is_exact) AS BIGINT) AS n_false_positives
-FROM flags"""
+FROM flags
+ORDER BY n_orders"""
+  }
+
+  /** Run the bloom pass over explicit relations (ScaleSmoke feeds
+    * replicated inputs through this).
+    */
+  def bloomOn(spark: org.apache.spark.sql.SparkSession,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    orders.createOrReplaceTempView("orders")
+    customer.createOrReplaceTempView("customer")
+    spark.sql(bloomSql(SparkSql))
   }
 
   val qBloomSemiJoin = Q(
     "q_bloom_semi_join",
-    (spark, dir) => {
-      graft.Tables.orders(spark, dir).createOrReplaceTempView("orders")
-      graft.Tables.customer(spark, dir).createOrReplaceTempView("customer")
-      spark.sql(bloomSql(SparkSql))
-    },
+    (spark, dir) => bloomOn(spark,
+      graft.Tables.orders(spark, dir), graft.Tables.customer(spark, dir)),
     Some(bloomSql(DuckSql)))
 
   /** Count-min sketch heavy hitters: build a d=3 × w=256 sketch over the
@@ -120,15 +129,19 @@ JOIN cnt e3 ON e3.i = 3 AND e3.col = h.c3
 ORDER BY user_id"""
   }
 
+  /** Run the CMS pass over an explicit events relation. */
+  def cmsOn(spark: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    events.createOrReplaceTempView("events")
+    spark.sql(cmsSql(SparkSql))
+  }
+
   val qCmsHeavyHitters = Q(
     "q_cms_heavy_hitters",
-    (spark, dir) => {
-      // register the FULL events relation (same convention as
-      // AsOfJoin/Sessionize, so view replacement is always
-      // like-for-like); pruning narrows the scan to user_id
-      graft.Tables.events(spark, dir).createOrReplaceTempView("events")
-      spark.sql(cmsSql(SparkSql))
-    },
+    // register the FULL events relation (same convention as
+    // AsOfJoin/Sessionize, so view replacement is always
+    // like-for-like); pruning narrows the scan to user_id
+    (spark, dir) => cmsOn(spark, graft.Tables.events(spark, dir)),
     Some(cmsSql(DuckSql)))
 
   val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters)

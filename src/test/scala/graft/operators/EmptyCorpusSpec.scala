@@ -45,7 +45,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_tfidf_top_terms", "q_knn_classify", "q_corpus_build",
     "q_value_histogram", "q_hll_sketch_merge", "q_welford_variance",
     "q_json_extract", "q_collect_types", "q_grouping_sets",
-    "q_salted_join", "q_full_outer_join", "q_interval_join")
+    "q_salted_join", "q_full_outer_join", "q_interval_join",
+    "q_bloom_semi_join", "q_cms_heavy_hitters", "q_zorder_curve",
+    "q_scd2_upsert", "q_key_skew", "q_compaction_plan")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

@@ -30,6 +30,15 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(cand == exact + fp)
   }
 
+  test("bloom + CMS plans are pure broadcast joins — the fact scan never shuffles") {
+    for (q <- Seq(Sketches.qBloomSemiJoin, Sketches.qCmsHeavyHitters)) {
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"${q.name}: a sketch probe must not sort-merge the fact side:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"${q.name}: no broadcast join found")
+    }
+  }
+
   test("CMS heavy hitters: every estimate is admissible (est >= exact)") {
     val rows = Sketches.qCmsHeavyHitters.run(spark, dir).collect()
     assert(rows.length == 10)
