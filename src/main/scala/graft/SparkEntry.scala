@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Scd.all ++
       operators.StatefulTotals.all ++
       operators.OpsDiagnostics.all ++
+      operators.Quantize.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

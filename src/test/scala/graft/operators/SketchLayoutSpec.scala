@@ -63,6 +63,17 @@ class SketchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes hit both extremes, error within half a step") {
+    val rows = Quantize.qEmbeddingQuantize.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1, s"vec ${r.getLong(0)}: min element must code to 0")
+      assert(r.getLong(3) >= 1, s"vec ${r.getLong(0)}: max element must code to 255")
+      assert(r.getLong(1) >= 255, "code_sum must at least cover the max code")
+      assert(r.getLong(4) <= 500001, s"vec ${r.getLong(0)}: error ${r.getLong(4)} ppm > half step")
+    }
+  }
+
   test("key skew: shares are consistent and ordering is by weight") {
     val rows = OpsDiagnostics.qKeySkew.run(spark, dir).collect()
     assert(rows.length == 10)
