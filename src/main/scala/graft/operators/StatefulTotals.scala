@@ -111,5 +111,86 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(qTwsRunningTotals)
+  // ======== MapState variant: per-key sub-key counters ========
+
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TopType(user_id: Long, top_type: String, top_n: Long, n_total: Long)
+
+  /** Per-user event-type counters in a MapState — the bounded-state
+    * spelling of "top category per key" (state is O(distinct sub-keys
+    * per key), never O(rows)). The emitted top is an order-free fold
+    * over the map (max count, lexicographic tie-break) and n_total
+    * strictly grows whenever the key appears, so the last emission per
+    * key is identifiable without relying on batch order.
+    */
+  class TopTypeProcessor extends StatefulProcessor[Long, TypedEvent, TopType] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TopType] = {
+      rows.foreach { e =>
+        val prior = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prior + 1)
+      }
+      var topType: String = null
+      var topN = 0L
+      var total = 0L
+      counts.iterator().foreach { case (t, n) =>
+        total += n
+        if (n > topN || (n == topN && (topType == null || t < topType))) {
+          topType = t; topN = n
+        }
+      }
+      Iterator.single(TopType(key, topType, topN, total))
+    }
+  }
+
+  val qTwsTopEventType = Q(
+    "q_tws_top_event_type",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sinkName = s"twsm_${System.nanoTime()}"
+      withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .select($"user_id", $"event_type")
+            .as[TypedEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new TopTypeProcessor,
+              TimeMode.None(), OutputMode.Update(), Encoders.product[TopType])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      import org.apache.spark.sql.expressions.Window
+      spark.table(sinkName)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"n_total".desc)))
+        .where($"rn" === 1)
+        .select($"user_id", $"top_type", $"top_n", $"n_total")
+        .orderBy($"user_id")
+    },
+    Some("""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY user_id)
+SELECT r.user_id, r.event_type AS top_type, r.n AS top_n, t.n_total
+FROM r JOIN t ON r.user_id = t.user_id
+WHERE r.rn = 1
+ORDER BY r.user_id"""))
+
+  val all: Seq[Q] = Seq(qTwsRunningTotals, qTwsTopEventType)
 }

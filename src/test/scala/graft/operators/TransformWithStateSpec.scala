@@ -53,6 +53,32 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(twoBatches(3L) == TwsTotals(3L, 1L, 1L, 999L, 999L))
   }
 
+  test("MapState counters carry across batches; top flips when overtaken") {
+    import spark.implicits._
+    import graft.operators.StatefulTotals.{TopTypeProcessor, TypedEvent, TopType}
+    val sinkName = s"twsm_${System.nanoTime()}"
+    StatefulTotals.withRocksDb(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[TypedEvent]
+      val q = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new TopTypeProcessor,
+          TimeMode.None(), OutputMode.Update(), Encoders.product[TopType])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .start()
+      try {
+        // batch 1: a=2, b=1 → top a; batch 2: +2 b → b=3 overtakes
+        input.addData(Seq(TypedEvent(1, "a"), TypedEvent(1, "a"), TypedEvent(1, "b")))
+        q.processAllAvailable()
+        input.addData(Seq(TypedEvent(1, "b"), TypedEvent(1, "b")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val em = spark.table(sinkName).as[TopType].collect().sortBy(_.n_total)
+    assert(em.toSeq == Seq(TopType(1, "a", 2, 3), TopType(1, "b", 3, 5)))
+  }
+
   test("second batch emits cumulative totals, not per-batch deltas") {
     import spark.implicits._
     val sinkName = s"tws_cum_${System.nanoTime()}"
