@@ -36,6 +36,7 @@ object SparkEntry {
       operators.StatefulTotals.all ++
       operators.OpsDiagnostics.all ++
       operators.Quantize.all ++
+      operators.Cdc.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

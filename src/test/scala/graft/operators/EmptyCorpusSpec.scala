@@ -47,7 +47,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_json_extract", "q_collect_types", "q_grouping_sets",
     "q_salted_join", "q_full_outer_join", "q_interval_join",
     "q_bloom_semi_join", "q_cms_heavy_hitters", "q_zorder_curve",
-    "q_scd2_upsert", "q_key_skew", "q_compaction_plan")
+    "q_scd2_upsert", "q_key_skew", "q_compaction_plan",
+    "q_embedding_quantize", "q_cdc_apply")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

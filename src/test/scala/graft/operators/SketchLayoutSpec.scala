@@ -97,6 +97,23 @@ class SketchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC apply: deletes drop, latest change wins, odd keys untouched") {
+    val out = Cdc.qCdcApply.run(spark, dir)
+    out.createOrReplaceTempView("cdc")
+    graft.Tables.orders(spark, dir).createOrReplaceTempView("orders_base")
+    val laws = spark.sql("""
+      SELECT
+        count_if(o_orderkey % 10 = 0) AS surviving_deleted,
+        count_if(o_orderkey % 2 = 0 AND NOT was_updated) AS even_not_updated,
+        count_if(o_orderkey % 2 = 1 AND was_updated) AS odd_updated,
+        count_if(o_orderkey % 2 = 0 AND cents <> base_cents + 200) AS wrong_final
+      FROM (SELECT c.*, CAST(round(b.o_totalprice * 100, 0) AS BIGINT) AS base_cents
+            FROM cdc c JOIN orders_base b USING (o_orderkey))
+      """).collect()(0)
+    (0 until 4).foreach(i => assert(laws.getLong(i) == 0L,
+      s"law ${laws.schema(i).name} violated ${laws.getLong(i)} times"))
+  }
+
   test("SCD2 upsert: exactly one open version per key; updates close at 1") {
     val out = Scd.qScd2Upsert.run(spark, dir)
     out.createOrReplaceTempView("scd")
