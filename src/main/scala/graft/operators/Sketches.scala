@@ -103,26 +103,31 @@ ORDER BY n_orders"""
     * (`admissible`); the estimates themselves are deterministic, so the
     * oracle gate compares the sketch's actual error behavior.
     */
+  /** The stream is pre-aggregated to per-key exact counts FIRST (one
+    * map-side-combinable shuffle — the partial maps never exceed the
+    * distinct-key count per task), and the md5 positions are computed
+    * per DISTINCT key only, never per event row. counter[i][col] =
+    * Σ n(key) over keys hashing there — identical values to per-row
+    * updates at a fraction of the hashing cost, at any scale.
+    */
   private def cmsSql(d: SqlDialect): String = {
     val Seq(c1, c2, c3) = posExprs(d, W)
     val colCase =
       "CASE WHEN i = 1 THEN c1 WHEN i = 2 THEN c2 ELSE c3 END"
     s"""
-WITH ev AS (SELECT user_id, md5(CAST(user_id AS STRING)) AS hx FROM events),
-pos AS (SELECT user_id, $c1 AS c1, $c2 AS c2, $c3 AS c3 FROM ev),
-cnt AS (SELECT i, $colCase AS col, CAST(count(*) AS BIGINT) AS c
-        FROM (${d.series("user_id, c1, c2, c3", D.toString, "i", "pos")})
+WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+p AS (SELECT user_id, n, $c1 AS c1, $c2 AS c2, $c3 AS c3
+      FROM (SELECT user_id, n, md5(CAST(user_id AS STRING)) AS hx FROM k)),
+cnt AS (SELECT i, $colCase AS col, CAST(sum(n) AS BIGINT) AS c
+        FROM (${d.series("user_id, n, c1, c2, c3", D.toString, "i", "p")})
         GROUP BY i, $colCase),
-heavy AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
-          FROM events GROUP BY user_id
-          ORDER BY n_exact DESC, user_id LIMIT 10),
-hpos AS (SELECT h.user_id, h.n_exact, p.c1, p.c2, p.c3
-         FROM heavy h JOIN (SELECT DISTINCT user_id, c1, c2, c3 FROM pos) p
-           ON h.user_id = p.user_id)
+heavy AS (SELECT user_id, n AS n_exact, c1, c2, c3 FROM p
+          ORDER BY n DESC, user_id LIMIT 10)
 SELECT h.user_id, h.n_exact,
        least(e1.c, e2.c, e3.c) AS n_est,
        least(e1.c, e2.c, e3.c) >= h.n_exact AS admissible
-FROM hpos h
+FROM heavy h
 JOIN cnt e1 ON e1.i = 1 AND e1.col = h.c1
 JOIN cnt e2 ON e2.i = 2 AND e2.col = h.c2
 JOIN cnt e3 ON e3.i = 3 AND e3.col = h.c3
