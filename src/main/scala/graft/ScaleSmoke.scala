@@ -67,7 +67,9 @@ object ScaleSmoke {
     }
     println(f"[scale] minhash+cc growth: input x${dedupResults.last._1 / dedupResults.head._1} -> time x${dedupResults.last._2 / dedupResults.head._2}%.1f")
 
-    // ---- IVF ANN: assignment is O(n·64), probes scan ~nprobe/nlists ----
+    // ---- IVF ANN: adaptive nlists ≈ √n with multi-probe ≈ √nlists, so
+    // probed candidate rows must grow ~n^(3/4) — SUB-linearly. We assert
+    // it: probed(×mN)/probed(×m1) must be well under the input ratio.
     val emb = Tables.embeddings(spark, sfDir).cache()
     val nVec = emb.count()
     val ivfResults = multiples.map { m =>
@@ -77,10 +79,18 @@ object ScaleSmoke {
       val t0v = System.nanoTime()
       val rows = operators.Similarity.ivfOn(spark, s"scale-ivf-$m", corpus).count()
       val sec = (System.nanoTime() - t0v) / 1e9
-      println(f"[scale] ivf     x$m%-3d vecs=${nVec * m}%8d rows=$rows%8d  $sec%7.2f s")
-      (m, sec)
+      val probed = operators.Similarity.ivfProbedOn(spark, s"scale-ivf-$m", corpus)
+      println(f"[scale] ivf     x$m%-3d vecs=${nVec * m}%8d rows=$rows%8d probed=$probed%8d  $sec%7.2f s")
+      (m, sec, probed)
     }
     println(f"[scale] ivf growth: input x${ivfResults.last._1 / ivfResults.head._1} -> time x${ivfResults.last._2 / ivfResults.head._2}%.1f")
+    locally {
+      val inputRatio = ivfResults.last._1.toDouble / ivfResults.head._1
+      val probedRatio = ivfResults.last._3.toDouble / ivfResults.head._3
+      println(f"[scale] ivf probed rows: input x$inputRatio%.0f -> probed x$probedRatio%.2f (sub-linear bound ${0.8 * inputRatio}%.2f)")
+      require(probedRatio < 0.8 * inputRatio,
+        s"IVF probed rows grew x$probedRatio for x$inputRatio input — index is not sub-linear")
+    }
 
     // ---- sketches: bloom is broadcast-probe-only on the fact side and
     // CMS partial aggregates are capped at d·w rows per task, so both
@@ -104,6 +114,8 @@ object ScaleSmoke {
       (m, secB)
     }
     println(f"[scale] bloom growth: input x${sketchResults.last._1 / sketchResults.head._1} -> time x${sketchResults.last._2 / sketchResults.head._2}%.1f")
+    ordersB.unpersist(); custB.unpersist()
+    emb.unpersist(); docs.unpersist()
     operators.StageViews.unpersistAll(spark)
 
     // streaming path: same multiplied packets through the stateful

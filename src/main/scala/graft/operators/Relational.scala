@@ -107,17 +107,20 @@ object Relational {
   /** Sketch-based distinct (HLL, rsd=0.02): the raw sketch value differs
     * across engines by construction, so the oracle checks a TOLERANCE
     * instead — the query emits the exact distinct count plus a boolean
-    * asserting |approx − exact| ≤ 3σ (3 × rsd × exact), and the oracle
+    * asserting |approx − exact| ≤ 6σ (6 × rsd × exact), and the oracle
     * expects that boolean to be true for every group. A wildly-wrong
-    * sketch flips the boolean and fails the hash gate.
+    * sketch (order-of-magnitude breakage, wrong column, sign error)
+    * still flips the boolean and fails the hash gate.
     *
-    * The bound is PROBABILISTIC: rsd is a standard deviation, so a
-    * legitimate estimate exceeds 3σ for ~0.3% of groups on fresh data.
-    * Spark's HLL++ is deterministic for a fixed input set, and the gate
-    * only ever runs on the driver's fixed testdata tables (5 groups,
-    * verified in-bound at sf0.001/0.01/0.1) — on those pinned datasets
-    * the boolean cannot flap. Reusing this oracle on new corpora means
-    * accepting the 3σ false-failure rate or widening the bound.
+    * Why 6σ, not 3σ: rsd is a standard deviation over random data, so
+    * on a REGENERATED corpus a legitimate estimate exceeds 3σ for
+    * ~0.3% of groups — a real flake source (r5 ADVICE). At 6σ the
+    * two-sided normal tail is ~2·10⁻⁹ per group; with 5 groups the
+    * false-failure budget is ~10⁻⁸ per run, under the 10⁻⁶ target.
+    * Spark's HLL++ is additionally deterministic and merge-order-free
+    * for a fixed input SET (register maxima), so on pinned testdata
+    * the boolean cannot flap at all; the 6σ margin is what makes the
+    * gate safe on fresh data too.
     *
     * The exact countDistinct here exists to FEED the tolerance check;
     * the pure sketch-speed claim belongs to the approx aggregate alone
@@ -135,7 +138,7 @@ object Relational {
           approx_count_distinct($"user_id", 0.02).as("approx_users"),
           countDistinct($"user_id").as("n_users_exact"))
         .select($"event_type", $"n_users_exact",
-          (abs($"approx_users" - $"n_users_exact") <= lit(3 * 0.02) * $"n_users_exact")
+          (abs($"approx_users" - $"n_users_exact") <= lit(6 * 0.02) * $"n_users_exact")
             .as("within_bound"))
         .orderBy($"event_type")
     },
@@ -297,13 +300,18 @@ ORDER BY event_type, rnk""")
     * at query time — so beyond the estimate-accuracy bound (as in
     * q_approx_distinct_users) this gates MERGEABILITY: two sketches
     * over disjoint halves, `hll_union`ed, must estimate the same
-    * cardinality WITHIN THE SAME 5% BOUND as the single whole-data
+    * cardinality WITHIN THE SAME 10% BOUND as the single whole-data
     * sketch. (Not exact equality: in dense HLL mode union is a
     * register-maxima fold, but DataSketches' sparse/coupon mode — where
     * a 1.5k-distinct group lives — transitions representations at
     * different points for sequential build vs union, so the two
     * estimates legitimately differ by a few counts; observed at sf0.1,
     * equal at sf0.01.) Both booleans ride to the oracle as true.
+    *
+    * Bound width: default lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.63%, so
+    * 10% ≈ 6σ — two-sided tail ~2·10⁻⁹ per boolean, ~10⁻⁸ per run over
+    * the 10 booleans (de-flaked from the r5 5% ≈ 3σ bound, which could
+    * legitimately fail on a regenerated corpus).
     */
   val qHllSketch = Q(
     "q_hll_sketch_merge",
@@ -324,8 +332,8 @@ ORDER BY event_type, rnk""")
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
       full.join(halves, "event_type")
         .select($"event_type", $"n_exact",
-          (abs($"est_full" - $"n_exact") <= lit(0.05) * $"n_exact").as("within_bound"),
-          (abs($"est_merged" - $"n_exact") <= lit(0.05) * $"n_exact").as("merged_within_bound"))
+          (abs($"est_full" - $"n_exact") <= lit(0.10) * $"n_exact").as("within_bound"),
+          (abs($"est_merged" - $"n_exact") <= lit(0.10) * $"n_exact").as("merged_within_bound"))
         .orderBy($"event_type")
     },
     Some("""

@@ -10,10 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    of the corpus (the 100 TB path would shard the corpus and merge
   *    per-shard top-k, which is exactly what Spark's window-rank over a
   *    hash-partitioned join does);
-  *  - IVF: a fixed 64-list inverted file (broadcast centroid table,
-  *    O(n·64) assignment), each vector assigned to its nearest list,
-  *    queries probe the top-2 lists — the classic inverted-file trade:
-  *    ~nprobe/nlists of the scan cost.
+  *  - IVF: an adaptive inverted file — nlists = min(4096, ⌈√n⌉)
+  *    (broadcast centroid table, no corpus shuffle for assignment),
+  *    each vector assigned to its nearest list, queries multi-probe
+  *    the nearest max(2, ⌈√nlists⌉) lists — probed rows ≈ n^(3/4),
+  *    sub-linear in corpus size.
   *
   * Outputs are (query, rank, neighbor) only — integer-exact across
   * engines; cosine doubles stay internal so cross-engine summation-order
@@ -65,23 +66,38 @@ ORDER BY query_id, rank"""
 
   val qBrute = Q("q_ann_cosine_topk", run(bruteSql(SparkSql)), Some(bruteSql(DuckSql)))
 
-  // ---- IVF (fixed nlists = 64, nprobe = 2, top-5) ----
+  // ---- IVF (adaptive nlists ≈ √n capped at 4096, multi-probe ≈ √nlists) ----
 
-  /** Inverted-file ANN with a CONSTANT number of coarse lists: 64
-    * deterministic centroids (first 64 vectors by id — a k-means|| seed
-    * stand-in that both engines reproduce exactly). Assignment is
-    * O(n · nlists) with the 64-row centroid table broadcast to every
-    * executor — no shuffle of the corpus, and the cost per vector is a
-    * constant 64 cosines regardless of corpus size. (The r1 version
-    * derived nlists from the corpus (n/200), making assignment O(n²/200)
-    * — correct locally, quadratic at scale.)
+  /** Inverted-file ANN with corpus-ADAPTIVE coarse lists:
+    * nlists = min(4096, ⌈√n⌉) deterministic centroids (first nlists
+    * vectors by dense id — a k-means|| seed stand-in both engines
+    * reproduce exactly), and multi-probe nprobe = max(2, ⌈√nlists⌉).
+    *
+    * Scale shape: probed rows per query ≈ nprobe · n/nlists
+    * ≈ n / √nlists ≈ n^(3/4) — genuinely SUB-LINEAR in corpus size
+    * (the r2-r5 version fixed nlists=64, so the "index" was a 1/64
+    * scan: linear with a nice constant). Multi-probe is what holds
+    * recall while nlists grows — a single-probe √n-list index misses
+    * any neighbor whose list differs from the query's. Assignment is
+    * O(n · nlists) with the ≤4096-row centroid table broadcast — the
+    * 4096 cap keeps the one-time build linear in n (at 10⁹ vectors:
+    * ~244k vectors/list, √4096 = 64 probed lists ≈ 1.5% of the corpus
+    * per query; past that scale the real fix is a two-level coarse
+    * quantizer, same join shape applied twice).
+    *
+    * Both engines derive nlists/nprobe from `count(*)` IN the query
+    * (scalar subqueries), so the Spark result and the DuckDB oracle
+    * agree at every scale factor without out-of-band parameters.
     */
-  private def ivfSql(d: SqlDialect): String = {
+  private def ivfCte(d: SqlDialect): String = {
     val (norm, cos) = normCos(d)
     val hint = d match { case SparkSql => "/*+ BROADCAST(c) */ "; case DuckSql => "" }
     s"""
 WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
-cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta ORDER BY vec_id LIMIT 64),
+params AS (SELECT nl, GREATEST(2, CAST(ceil(sqrt(nl)) AS INT)) AS np
+           FROM (SELECT LEAST(4096, CAST(ceil(sqrt(count(*))) AS INT)) AS nl FROM meta) t),
+cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta
+         WHERE vec_id < (SELECT nl FROM params)),
 ac AS (SELECT ${hint}m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
               m.nrm AS qn, c.nrm AS nn
        FROM meta m CROSS JOIN cent c),
@@ -90,9 +106,15 @@ asg AS (SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
         FROM acs),
 members AS (SELECT vec_id, cid FROM asg WHERE rnk = 1),
-probes AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < 20 AND rnk <= 2),
+probes AS (SELECT vec_id AS query_id, cid FROM asg
+           WHERE vec_id < 20 AND rnk <= (SELECT np FROM params)),
 cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
-         FROM probes p JOIN members m ON p.cid = m.cid AND m.vec_id <> p.query_id),
+         FROM probes p JOIN members m ON p.cid = m.cid AND m.vec_id <> p.query_id)"""
+  }
+
+  private def ivfSql(d: SqlDialect): String = {
+    val (_, cos) = normCos(d)
+    ivfCte(d) + s""",
 pairs AS (SELECT c.query_id, c.neighbor_id,
                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
           FROM cand c JOIN meta q ON c.query_id = q.vec_id
@@ -139,6 +161,18 @@ ORDER BY grp"""
     graft.functions.CosineSimilarity.register(spark)
     StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
     spark.sql(ivfSql(SparkSql))
+  }
+
+  /** Candidate (probed) row count for the same IVF plan — the quantity
+    * that must grow SUB-linearly with corpus size for the index to be
+    * an index. ScaleSmoke asserts probed(×m)/probed(×1) ≪ m.
+    */
+  private[graft] def ivfProbedOn(spark: SparkSession, key: String,
+      emb: => DataFrame): Long = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(ivfCte(SparkSql) + "\nSELECT count(*) AS probed FROM cand")
+      .head().getLong(0)
   }
 
   // ---- k-NN classification (majority vote over brute top-10) ----
