@@ -3,7 +3,7 @@ package graft.operators
 import graft.Q
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 
 /** Arbitrary per-key streaming state via Spark 4.1's `transformWithState`
   * — the successor API to `flatMapGroupsWithState` (which the flow
@@ -30,12 +30,19 @@ object StatefulTotals {
   case class TwsTotals(user_id: Long, n_events: Long, cents_sum: Long,
       first_ts_us: Long, last_ts_us: Long)
 
-  class RunningTotalsProcessor extends StatefulProcessor[Long, TwsEvent, TwsTotals] {
+  /** @param ttl state time-to-live (default none). With a finite TTL the
+    *   per-key totals silently restart once the key goes quiet for
+    *   longer than the TTL — the bounded-state answer to unbounded key
+    *   churn at 100 TB (dead keys stop costing RocksDB space without a
+    *   cleanup job). [[TransformWithStateSpec]] pins the eviction.
+    */
+  class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, TwsEvent, TwsTotals] {
     @transient private var state: ValueState[TwsTotals] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[TwsTotals](
-        "totals", Encoders.product[TwsTotals], TTLConfig.NONE)
+        "totals", Encoders.product[TwsTotals], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
         timerValues: TimerValues): Iterator[TwsTotals] = {
@@ -192,5 +199,131 @@ FROM r JOIN t ON r.user_id = t.user_id
 WHERE r.rn = 1
 ORDER BY r.user_id"""))
 
-  val all: Seq[Q] = Seq(qTwsRunningTotals, qTwsTopEventType)
+  // ======== Event-time timers: gap-session close without flatMapGroupsWithState ========
+
+  case class SessEvent(user_id: Long, ts_us: Long, event_time: java.sql.Timestamp)
+  case class SessInterval(start_us: Long, end_us: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based session close on `transformWithState`'s EVENT-TIME TIMERS
+    * — the new-API spelling of the reference's 60 s `_TIMEOUT` session
+    * flush (`spark_app/main.py:981`, there a processing-time timeout on
+    * `flatMapGroupsWithState`; here the timer is event-time, so results
+    * are replayable and batch-split independent).
+    *
+    * State is a list of disjoint session intervals per key, built by an
+    * ORDER-FREE interval merge: an event joins every interval within
+    * `gapUs` of it (possibly bridging two); the resulting partition of
+    * the timestamp SET by gap-adjacency is independent of arrival order,
+    * so unordered rows within a batch cannot change the sessions. One
+    * close timer per open interval at end+gap; [[handleExpiredTimer]]
+    * emits and drops every interval whose close time the watermark has
+    * passed. Sessions still open at end-of-stream are intentionally NOT
+    * emitted (they are not closed — the oracle applies the same final-
+    * watermark predicate).
+    *
+    * Scale: state is O(open intervals per key) — at most
+    * span/gap — and timers are O(open intervals); both RocksDB-backed.
+    */
+  class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var sessions: ListState[SessInterval] = _
+
+    private def gapMs = gapUs / 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[SessInterval](
+        "sessions", Encoders.product[SessInterval], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var ivs: List[SessInterval] = sessions.get().toList
+      rows.foreach { e =>
+        val ts = e.ts_us
+        val (touch, rest) = ivs.partition(iv =>
+          ts >= iv.start_us - gapUs && ts <= iv.end_us + gapUs)
+        val merged = touch.foldLeft(SessInterval(ts, ts, 1L)) { (a, b) =>
+          SessInterval(math.min(a.start_us, b.start_us),
+            math.max(a.end_us, b.end_us), a.n + b.n)
+        }
+        ivs = merged :: rest
+      }
+      if (ivs.isEmpty) sessions.clear() else sessions.put(ivs.toArray)
+      // one close timer per open interval; re-derive the whole set so
+      // extended intervals stop carrying their stale close time
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      ivs.map(iv => iv.end_us / 1000 + gapMs).distinct
+        .foreach(getHandle.registerTimer)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      val (closed, open) = sessions.get().toList
+        .partition(iv => iv.end_us / 1000 + gapMs <= expiry)
+      // the store rejects empty list writes — clear() is the empty put
+      if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
+      closed.sortBy(_.start_us)
+        .map(iv => SessionOut(key, iv.start_us, iv.end_us, iv.n))
+        .iterator
+    }
+  }
+
+  /** Session gap for the catalog query: 60 s, the reference's timeout. */
+  val SessionGapUs: Long = 60L * 1000000
+
+  val qTwsSessionTimers = Q(
+    "q_tws_session_timers",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sinkName = s"twst_${System.nanoTime()}"
+      withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
+              "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
+            .withWatermark("event_time", "0 seconds")
+            .as[SessEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new SessionTimerProcessor(SessionGapUs),
+              TimeMode.EventTime(), OutputMode.Append(), Encoders.product[SessionOut])
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      spark.table(sinkName)
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .orderBy($"user_id", $"start_us")
+    },
+    // Same gap-sessionization as q_sessionize but at the 60 s gap, KEPT
+    // only where the final watermark (= max event ts, 0 s delay) passed
+    // the close time — the ms arithmetic mirrors the timer grid.
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+mx AS (SELECT max(ts_us) AS max_us FROM e),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+), s AS (
+  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT user_id, start_us, end_us, n_events
+FROM s, mx
+WHERE end_us // 1000 + ${SessionGapUs / 1000} <= max_us // 1000
+ORDER BY user_id, start_us"""))
+
+  val all: Seq[Q] = Seq(qTwsRunningTotals, qTwsTopEventType, qTwsSessionTimers)
 }

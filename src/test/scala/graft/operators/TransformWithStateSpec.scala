@@ -87,4 +87,133 @@ class TransformWithStateSpec extends AnyFunSuite {
       .filter(_.user_id == 7L).map(_.n_events).sorted
     assert(emissions.toSeq == Seq(1L, 2L), "each batch must emit the running count")
   }
+
+  // ======== event-time timers (SessionTimerProcessor) ========
+
+  import graft.operators.StatefulTotals.{SessEvent, SessionOut, SessionTimerProcessor}
+
+  private def sessEvent(user: Long, sec: Double): SessEvent = {
+    val us = math.round(sec * 1e6)
+    SessEvent(user, us, new java.sql.Timestamp(us / 1000))
+  }
+
+  private def runSessions(batches: Seq[Seq[SessEvent]], sinkName: String): Seq[SessionOut] = {
+    import spark.implicits._
+    StatefulTotals.withRocksDb(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[SessEvent]
+      val q = input.toDS()
+        .withWatermark("event_time", "0 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(StatefulTotals.SessionGapUs),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[SessionOut])
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    spark.table(sinkName).as[SessionOut].collect().toSeq
+      .sortBy(s => (s.user_id, s.start_us))
+  }
+
+  test("event-time timers close sessions as the watermark passes; open sessions never emit") {
+    // u1 sessions at 10-20s and 200-230s; u99 is also real data (100s,
+    // 300s) and doubles as the watermark pusher. Gap = 60 s.
+    val b1 = Seq(sessEvent(1, 10), sessEvent(1, 20), sessEvent(99, 100))
+    val b2 = Seq(sessEvent(1, 200), sessEvent(1, 230), sessEvent(99, 300))
+    val split = runSessions(Seq(b1, b2), s"sess2_${System.nanoTime()}")
+    val expected = Seq(
+      SessionOut(1, 10000000L, 20000000L, 2),
+      SessionOut(1, 200000000L, 230000000L, 2),
+      SessionOut(99, 100000000L, 100000000L, 1))
+    assert(split == expected, "u99@300s is still open at end-of-stream and must NOT emit")
+    // batch-split invariance: same rows in one batch -> same sessions
+    val whole = runSessions(Seq(b1 ++ b2), s"sess1_${System.nanoTime()}")
+    assert(whole == expected)
+  }
+
+  test("interval merge is arrival-order free (late middle event bridges two sessions)") {
+    // 50s and 170s are two sessions (gap 120s > 60s) until 110s arrives
+    // BETWEEN them in the same batch (60s to each side, <= gap): the
+    // merge must bridge into one 50-170s session whatever the order.
+    val b1 = Seq(sessEvent(7, 50), sessEvent(7, 170), sessEvent(7, 110))
+    val flush = Seq(sessEvent(99, 1000))
+    val got = runSessions(Seq(b1, flush), s"sessm_${System.nanoTime()}")
+    assert(got == Seq(SessionOut(7, 50000000L, 170000000L, 3)))
+  }
+
+  test("timer at exactly the final watermark fires (non-strict close boundary)") {
+    // u5's close timer lands at 1060000 ms; the flusher puts the final
+    // watermark at exactly 1060000 ms. Pins the <= firing semantics the
+    // q_tws_session_timers oracle predicate relies on.
+    val got = runSessions(
+      Seq(Seq(sessEvent(5, 1000)), Seq(sessEvent(99, 1060))),
+      s"sessb_${System.nanoTime()}")
+    assert(got == Seq(SessionOut(5, 1000000000L, 1000000000L, 1)),
+      "a timer with expiry == watermark must fire; if this fails, Spark's boundary changed and the oracle predicate needs '<'")
+  }
+
+  // ======== TTL eviction ========
+
+  /** One continuously-running ProcessingTime-mode query: batch 1, wait
+    * past the TTL, batch 2, polling the sink for each emission.
+    *
+    * `processAllAvailable`/AvailableNow CANNOT be used here: in
+    * TimeMode.ProcessingTime the engine triggers micro-batches forever
+    * — data or not — because that is how wall-clock timers and TTL get
+    * evaluated, so "all available processed" never holds. A 500 ms
+    * trigger interval keeps those empty batches to ~2/s (the default
+    * 0 ms interval floods the scheduler), and the sink poll is the
+    * termination condition the engine cannot provide.
+    */
+  private def runTtlBatches(ttl: org.apache.spark.sql.streaming.TTLConfig,
+      sleepMs: Long): Seq[TwsTotals] = {
+    import spark.implicits._
+    val sink = s"ttl_${System.nanoTime()}"
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table(sink).count() < n) {
+        assert(System.nanoTime() < deadline, s"sink $sink never reached $n rows")
+        Thread.sleep(100)
+      }
+    }
+    StatefulTotals.withRocksDb(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[TwsEvent]
+      val q = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotalsProcessor(ttl),
+          TimeMode.ProcessingTime(), OutputMode.Update(), Encoders.product[TwsTotals])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
+        .start()
+      try {
+        input.addData(Seq(TwsEvent(1L, 100L, 10L)))
+        awaitRows(1)
+        Thread.sleep(sleepMs)
+        input.addData(Seq(TwsEvent(1L, 200L, 20L)))
+        awaitRows(2)
+      } finally q.stop()
+    }
+    spark.table(sink).as[TwsTotals].collect().toSeq.sortBy(_.last_ts_us)
+  }
+
+  test("TTL'd ValueState evicts after the TTL elapses; totals restart") {
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(2))
+    assert(runTtlBatches(ttl, sleepMs = 3500) == Seq(
+      TwsTotals(1L, 1L, 10L, 100L, 100L),
+      TwsTotals(1L, 1L, 20L, 200L, 200L)),
+      "batch-2 totals must RESTART (n=1), proving the TTL evicted the state")
+  }
+
+  test("control: without TTL the same two-batch run carries state (eviction is TTL, not batching)") {
+    assert(runTtlBatches(org.apache.spark.sql.streaming.TTLConfig.NONE, sleepMs = 3500) == Seq(
+      TwsTotals(1L, 1L, 10L, 100L, 100L),
+      TwsTotals(1L, 2L, 30L, 100L, 200L)),
+      "without a TTL the same wait must NOT reset the totals")
+  }
 }
