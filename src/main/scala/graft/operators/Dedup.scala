@@ -436,7 +436,8 @@ ORDER BY d.doc_id"""
   // differing bits fall in one half; both engines band identically, so
   // the oracle stays exact about what IS reported. For guaranteed-recall
   // near-dup at scale, use q_dedup_minhash_lsh (independent hashes) or
-  // widen the fingerprint before adding bands.
+  // q_dedup_simhash64 below — the widened-fingerprint spelling whose 4
+  // 16-bit bands DO guarantee candidacy at hamming ≤ 3.
 
   private def simhashSql(d: SqlDialect): String = {
     // token hash: first 8 md5 nibbles → 32-bit int
@@ -520,6 +521,123 @@ ORDER BY doc_a, doc_b""")
   }
 
   val qSimhash = Q("q_dedup_simhash", runSimhash _, Some(simhashSql(DuckSql)))
+
+  // ================= SimHash-64 (4 16-bit bands, GUARANTEED hamming ≤ 3) =================
+  //
+  // The guaranteed-recall spelling of the 32-bit query above: a 64-bit
+  // fingerprint banded into 4×16 bits. Pigeonhole: ≤ 3 differing bits
+  // cannot touch all 4 bands, so every pair at hamming ≤ 3 shares at
+  // least one full band and IS a candidate — no recall gap — while the
+  // bands keep 65k distinct values, so buckets stay sub-quadratic at
+  // scale (the reason h≤2 could not be guaranteed on 32 bits without
+  // 11-bit/2k-value bands). Widening the fingerprint, not narrowing the
+  // bands, is the scale-correct way to buy recall.
+  //
+  // Signed-64 safety: neither engine gets a full 64-bit fingerprint
+  // value — token hashes and fingerprints live as two 32-bit halves
+  // (lo = md5 nibbles 9-16, hi = nibbles 1-8), so no expression ever
+  // needs 1<<63 (which is negative in BIGINT and an overflow error in
+  // DuckDB). Hamming distance is the sum of the two halves' bit_counts.
+
+  /** Eight md5 nibbles starting at 1-based position `off`+1 → 32-bit
+    * value as BIGINT.
+    */
+  private def md5Half(d: SqlDialect, off: Int): String = (1 to 8)
+    .map { i =>
+      val c = s"substr(md5(t), ${off + i}, 1)"
+      s"(${d.strpos("'0123456789abcdef'", c)} - 1) * CAST(${1L << (4 * (8 - i))} AS BIGINT)"
+    }
+    .mkString(" + ")
+
+  private def bitSums32(d: SqlDialect, src: String, pfx: String): String = (0 to 31)
+    .map(j => s"sum(CASE WHEN (${d.shr(src, j.toString)} & 1) = 1 THEN 1 ELSE -1 END) AS $pfx$j")
+    .mkString(", ")
+
+  private def pack32(pfx: String): String = (0 to 31)
+    .map(j => s"(CASE WHEN $pfx$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  /** Everything downstream of a (doc_id, sim_lo, sim_hi) relation named
+    * `sim64`: band into 4×16 bits, self-join, exact hamming ≤ 3.
+    */
+  private def simhash64Tail(d: SqlDialect): String = {
+    val ham = s"CAST(bit_count(${d.xor("la", "lb")}) + bit_count(${d.xor("ha", "hb")}) AS BIGINT)"
+    s"""
+bs4 AS (${d.seriesTable("4", "bseq")}),
+bb4 AS (SELECT doc_id, sim_lo, sim_hi, bseq - 1 AS band,
+               (CASE WHEN bseq <= 2 THEN ${d.shr("sim_lo", "(bseq - 1) * 16")}
+                     ELSE ${d.shr("sim_hi", "(bseq - 3) * 16")} END) & 65535 AS bv
+        FROM sim64 CROSS JOIN bs4),
+cand4 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sim_lo AS la, a.sim_hi AS ha, b.sim_lo AS lb, b.sim_hi AS hb
+          FROM bb4 a JOIN bb4 b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, $ham AS hamming
+FROM cand4
+WHERE $ham <= 3
+ORDER BY doc_a, doc_b"""
+  }
+
+  private def simhash64Sql(d: SqlDialect): String = {
+    val tokCte = d match {
+      case SparkSql => "tok AS (SELECT doc_id, t FROM tok_v)"
+      case DuckSql => s"""dwa AS (SELECT doc_id, ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
+ti AS (${d.series("doc_id, w", "nw", "j", "dwa")}),
+tok AS (SELECT DISTINCT doc_id, ${d.el("w", "j")} AS t FROM ti)"""
+    }
+    s"""
+WITH $tokCte,
+vh AS (SELECT t, ${md5Half(d, 8)} AS vlo, ${md5Half(d, 0)} AS vhi
+       FROM (SELECT DISTINCT t FROM tok)),
+bits AS (SELECT doc_id, ${bitSums32(d, "vlo", "l")}, ${bitSums32(d, "vhi", "h")}
+         FROM tok JOIN vh USING (t) GROUP BY doc_id),
+sim64 AS (SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM bits),
+${simhash64Tail(d)}"""
+  }
+
+  /** Spark side shares tok_v with the 32-bit query and caches the
+    * 3-column (doc_id, sim_lo, sim_hi) relation — the band self-join
+    * reads that tiny relation, not the corpus-wide token join.
+    */
+  private def runSimhash64(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkSql
+    StageViews.documents(spark, dir)
+    StageViews.ensureCached(spark, "tok_v", dir)(spark.sql(
+      "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS t FROM documents"))
+    StageViews.ensureCached(spark, "sim64_v", dir)(spark.sql(s"""
+SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
+  SELECT doc_id, ${bitSums32(d, "vlo", "l")}, ${bitSums32(d, "vhi", "h")}
+  FROM tok_v JOIN (SELECT t, ${md5Half(d, 8)} AS vlo, ${md5Half(d, 0)} AS vhi
+                   FROM (SELECT DISTINCT t FROM tok_v)) vh USING (t)
+  GROUP BY doc_id)"""))
+    spark.sql(s"WITH sim64 AS (SELECT * FROM sim64_v),\n${simhash64Tail(d)}")
+  }
+
+  /** SimHash-64 fingerprints over an arbitrary documents frame
+    * ([[MinhashRecallSpec]]'s guarantee probe).
+    */
+  private[graft] def simhash64FingerprintsOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    val d = SparkSql
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    StageViews.ensure(spark, "tok_v", key)(spark.sql(
+      "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS t FROM documents"))
+    spark.sql(s"""
+SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
+  SELECT doc_id, ${bitSums32(d, "vlo", "l")}, ${bitSums32(d, "vhi", "h")}
+  FROM tok_v JOIN (SELECT t, ${md5Half(d, 8)} AS vlo, ${md5Half(d, 0)} AS vhi
+                   FROM (SELECT DISTINCT t FROM tok_v)) vh USING (t)
+  GROUP BY doc_id)""")
+  }
+
+  /** Banded candidates over an arbitrary documents frame. */
+  private[graft] def simhash64On(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    simhash64FingerprintsOn(spark, key, docs).createOrReplaceTempView("sim64")
+    spark.sql("WITH" + simhash64Tail(SparkSql))
+  }
+
+  val qSimhash64 = Q("q_dedup_simhash64", runSimhash64 _, Some(simhash64Sql(DuckSql)))
 
   // ================= embedding cosine near-dup (12-bit sign-bucket LSH) =================
 
@@ -606,6 +724,6 @@ SELECT source, count(DISTINCT md5(text)) AS n_distinct_texts
 FROM documents GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] =
-    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qEmbed,
-      qDedupStreamExact)
+    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qSimhash64,
+      qEmbed, qDedupStreamExact)
 }

@@ -68,4 +68,36 @@ class MinhashRecallSpec extends AnyFunSuite {
     val copies = docs.groupBy("text").count().filter("count > 1").collect()
     assert(copies.length == 1 && copies.head.getLong(1) == 200L)
   }
+
+  test("simhash64 recall LAW: every pair at hamming <= 3 is a banded candidate (pigeonhole)") {
+    import spark.implicits._
+    // Word-overlap docs drive fingerprints toward small hamming
+    // distances: 60 docs in 20 families of 3, each family sharing 95 of
+    // 100 words. The law is checked against ground truth computed from
+    // the fingerprints themselves (brute-force all-pairs hamming), so
+    // it holds for WHATEVER distances the corpus realises — no
+    // distributional assumption, pure pigeonhole: <= 3 differing bits
+    // cannot touch all 4 of the 16-bit bands.
+    val docs = (0 until 20).flatMap { f =>
+      val base = words(f)
+      (0 until 3).map { v =>
+        val t = (0 until 5).foldLeft(base)((w, k) => w.updated(19 * k + v, s"f${f}v${v}k$k"))
+        ((f * 3 + v).toLong, t.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val fps = Dedup.simhash64FingerprintsOn(spark, "sim64-law", docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = (for {
+      (a, la, ha) <- fps; (b, lb, hb) <- fps if a < b
+      h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(truth.nonEmpty, "corpus produced no hamming<=3 pairs - law not exercised")
+    val got = Dedup.simhash64On(spark, "sim64-law", docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth,
+      s"banded candidates must EQUAL brute-force hamming<=3 pairs; missing=${truth -- got} extra=${got -- truth}")
+    // contrast: the 32-bit 2-band query CAN miss h<=2 pairs (documented
+    // gap) - the 64-bit 4-band spelling is the guaranteed one.
+  }
 }
