@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * apply produces the CURRENT state, SCD2 the full history.
   *
   * Spark shape: one window pass picks each key's latest change (shuffle
-  * on key), one full-outer join applies it to the base (same key
-  * partitioning — AQE reuses the exchange), deletes drop, upserts
-  * override, untouched rows pass through. At 100 TB the change log is
+  * on key), one LEFT join applies it to the base — left, not full-outer,
+  * because every change key here derives from the base so there are no
+  * pure inserts (same key partitioning — AQE reuses the exchange);
+  * deletes drop, upserts override, untouched rows pass through. A log
+  * with genuine inserts would widen this to full-outer, which is the
+  * [[Scd]] spelling. At 100 TB the change log is
   * usually far smaller than the snapshot, so the join broadcasts the
   * folded log; nothing ever scans the snapshot twice.
   *

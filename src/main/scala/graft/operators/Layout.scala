@@ -14,7 +14,7 @@ import graft.Q
   *  Spark and DuckDB, so the oracle gates the actual interleaving.
   *
   * The catalog query aggregates per z-bucket (bounded output, one
-  * map-side-combinable shuffle); [[graft.operators.LayoutSpec]]-side
+  * map-side-combinable shuffle); [[graft.operators.SketchLayoutSpec]]-side
   * tests pin the interleave/deinterleave roundtrip and the skipping
   * benefit of a z-sorted write.
   */

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * enough that Spark broadcasts it.
   *
   * Determinism: money as exact cents, versions as integer epochs,
-  * total ORDER BY (key, valid_from).
+  * total ORDER BY (key, valid_from). The synthetic insert keys are
+  * offset by max(c_custkey)+1 — computed, not a constant (and +1
+  * because keys are 0-based) — so they can never collide with real
+  * base keys at any scale factor (r5 ADVICE);
+  * the 1-row max aggregate broadcasts, costing nothing at 100 TB.
   */
 object Scd {
 
@@ -28,11 +32,12 @@ object Scd {
 WITH base AS (SELECT c_custkey AS key, c_mktsegment AS seg,
                      CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
               FROM customer),
+mx AS (SELECT max(key) + 1 AS m FROM base),
 inc AS (SELECT key, 'PROMOTED' AS seg, bal_cents + 10000 AS bal_cents
         FROM base WHERE key % 3 = 0
         UNION ALL
-        SELECT key + 1000000 AS key, 'NEW' AS seg, bal_cents
-        FROM base WHERE key % 7 = 0)
+        SELECT key + m AS key, 'NEW' AS seg, bal_cents
+        FROM base, mx WHERE key % 7 = 0)
 SELECT b.key AS c_custkey, b.seg AS c_mktsegment, b.bal_cents,
        CAST(0 AS BIGINT) AS valid_from,
        CASE WHEN i.key IS NOT NULL THEN CAST(1 AS BIGINT) END AS valid_to
@@ -50,11 +55,13 @@ ORDER BY c_custkey, valid_from""")
       val base = Tables.customer(spark, dir)
         .select($"c_custkey".as("key"), $"c_mktsegment".as("seg"),
           expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("bal_cents"))
+      val maxKey = base.agg((max($"key") + 1).as("m"))
       val inc = base.where($"key" % 3 === 0)
         .select($"key", lit("PROMOTED").as("i_seg"),
           ($"bal_cents" + 10000).as("i_bal"))
         .unionAll(base.where($"key" % 7 === 0)
-          .select(($"key" + 1000000).as("key"), lit("NEW").as("i_seg"),
+          .crossJoin(broadcast(maxKey))
+          .select(($"key" + $"m").as("key"), lit("NEW").as("i_seg"),
             $"bal_cents".as("i_bal")))
       base.join(inc, Seq("key"), "full_outer")
         .select($"key", explode(expr("""

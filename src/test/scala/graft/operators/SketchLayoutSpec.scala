@@ -117,7 +117,12 @@ class SketchLayoutSpec extends AnyFunSuite {
   test("SCD2 upsert: exactly one open version per key; updates close at 1") {
     val out = Scd.qScd2Upsert.run(spark, dir)
     out.createOrReplaceTempView("scd")
-    val laws = spark.sql("""
+    // classification is relative to the real base-key range, not a
+    // constant threshold: inserts are exactly the keys above max(base)
+    val maxKey = graft.Tables.customer(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).collect()(0)
+      .getAs[Number](0).longValue
+    val laws = spark.sql(s"""
       SELECT
         count_if(open_n != 1) AS bad_open,
         count_if(is_update AND (n != 2 OR closed_n != 1)) AS bad_update,
@@ -130,8 +135,8 @@ class SketchLayoutSpec extends AnyFunSuite {
                count_if(valid_to IS NULL) AS open_n,
                count_if(valid_to IS NOT NULL) AS closed_n,
                min(valid_from) AS min_vf,
-               c_custkey % 3 = 0 AND c_custkey < 1000000 AS is_update,
-               c_custkey >= 1000000 AS is_insert
+               c_custkey % 3 = 0 AND c_custkey <= $maxKey AS is_update,
+               c_custkey > $maxKey AS is_insert
         FROM scd GROUP BY c_custkey)
       """).collect()(0)
     (0 until 4).foreach(i => assert(laws.getLong(i) == 0L,
