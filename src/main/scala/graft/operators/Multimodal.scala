@@ -23,11 +23,18 @@ case class FeatureRow(
   * that processes partitions in fixed-size batches (the shape a real
   * image/audio decoder needs — per-batch amortized model/codec setup).
   *
-  * The container has no imaging libs, so `decodeBatch` is a STUB: a
-  * deterministic fake decoder deriving width/height/frame-count from the
-  * byte length. The Spark-side plumbing — binary column, schema,
-  * partition batching, typed Dataset output — is real and tested; swap
-  * `decodeBatch` for a JNI/ffmpeg call in production.
+  * `decodeBatch` is a HYBRID: payloads carrying a real still-image
+  * magic number (PNG/JPEG/GIF/BMP) decode for REAL through the JDK's
+  * `javax.imageio` — true pixel dimensions, no native libs needed —
+  * while all other payloads (the synthetic text-bytes corpus, and any
+  * codec the JDK lacks, e.g. video) fall back to a deterministic fake
+  * deriving width/height/frame-count from the byte length. The
+  * Spark-side plumbing — binary column, schema, partition batching,
+  * typed Dataset output — is identical on both paths;
+  * [[MultimodalRealDecodeSpec]] drives real in-memory-encoded PNGs
+  * through it, and the catalog oracle gates the fake path (the driver
+  * corpus is text bytes, which never match an image magic). Swap the
+  * fallback for a JNI/ffmpeg call in production.
   *
   * Scale: mapPartitions is narrow (no shuffle); binary payloads stay in
   * the partition where parquet put them. The oracle reproduces only the
@@ -38,13 +45,42 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** STUB decoder — deterministic fake in lieu of an imaging lib. */
+  // pure-memory decode on executors — never spill ImageIO's stream
+  // cache to local temp files
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** True iff the payload leads with a magic number the JDK's ImageIO
+    * can decode without native libs: PNG, JPEG, GIF, or BMP.
+    */
+  def looksLikeRealImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
+      (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** Hybrid decoder: real `javax.imageio` decode for real image bytes
+    * (a sniffed-but-corrupt image reports `decode_ok = false` with
+    * zeroed dims — it must NOT fall through to the fake, or corruption
+    * would masquerade as success); deterministic fake for everything
+    * else.
+    */
   def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaRow] =
     batch.map { case (id, mime, bytes) =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(bytes).map("%02x".format(_)).mkString
       val len = bytes.length.toLong
-      MediaRow(
+      if (looksLikeRealImage(bytes)) {
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(i) => MediaRow(id, mime, len, md5,
+            width = i.getWidth.toLong, height = i.getHeight.toLong,
+            n_frames = 1, decode_ok = true)
+          case None => MediaRow(id, mime, len, md5,
+            width = 0, height = 0, n_frames = 0, decode_ok = false)
+        }
+      } else MediaRow(
         doc_id = id, mime = mime, byte_len = len, content_md5 = md5,
         width = 16 + len % 640, height = 16 + len % 480,
         n_frames = if (mime == "video/mp4") 1 + len / 100 else 1,
