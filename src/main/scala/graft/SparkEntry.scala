@@ -37,6 +37,7 @@ object SparkEntry {
       operators.OpsDiagnostics.all ++
       operators.Quantize.all ++
       operators.Cdc.all ++
+      operators.Packing.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

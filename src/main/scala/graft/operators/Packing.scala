@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators: sequence packing and corpus
+  * mixture weights.
+  *
+  * `q_sequence_pack` assigns every document its place in the
+  * concatenate-and-slice packing LLM pretraining uses: documents are
+  * laid end-to-end in doc_id order and cut into fixed `SeqLen`-token
+  * training sequences, so each doc needs its global token offset — a
+  * prefix sum. The Spark spelling is the SCALABLE two-phase scan, not
+  * a single-partition window: (1) bucket docs by `doc_id DIV
+  * BucketDocs` and cumsum WITHIN each bucket (shuffle on bucket,
+  * parallel); (2) total each bucket and prefix-sum the bucket totals —
+  * a relation of n/BucketDocs rows, the only single-partition window,
+  * bounded and broadcast back. At 100 TB phase 2 is a few thousand
+  * rows while phase 1 stays fully parallel; the naive
+  * `Window.orderBy(doc_id)` with no partition key would serialize the
+  * whole corpus through one task. The DuckDB oracle states the same
+  * math as the plain global window it can afford.
+  *
+  * `q_corpus_mix` computes per-language token shares and the
+  * upsampling weight that would rebalance the corpus to uniform
+  * per-language token mass — the mixture arithmetic every pretraining
+  * data recipe starts from. Exact integer basis points (BIGINT floor
+  * division), so both engines agree bit-for-bit; one
+  * map-side-combinable groupBy, output bounded by |langs|.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence. */
+  val SeqLen = 2048L
+
+  /** Docs per prefix-sum bucket (phase-2 relation is n/this rows). */
+  val BucketDocs = 1024L
+
+  private def nTok(d: SqlDialect): String = d.len(d.split("text"))
+
+  private def packSql(d: SqlDialect): String = s"""
+WITH tok AS (SELECT doc_id, CAST(${nTok(d)} AS BIGINT) AS n_tok FROM documents),
+cum AS (SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM tok)
+SELECT doc_id, n_tok,
+       CAST(cum_tok - n_tok AS BIGINT) AS start_tok,
+       ${d.idiv("CAST(cum_tok - n_tok AS BIGINT)", SeqLen.toString)} AS first_seq,
+       ${d.idiv("CAST(cum_tok - 1 AS BIGINT)", SeqLen.toString)} AS last_seq,
+       ${d.idiv("CAST(cum_tok - 1 AS BIGINT)", SeqLen.toString)} -
+         ${d.idiv("CAST(cum_tok - n_tok AS BIGINT)", SeqLen.toString)} + 1 AS n_seqs
+FROM cum
+ORDER BY doc_id"""
+
+  val qSequencePack = Q(
+    "q_sequence_pack",
+    (spark, dir) => {
+      import spark.implicits._
+      // narrow (doc_id, n_tok, bucket) relation cached once — both scan
+      // phases read it, so the wide text column is scanned exactly once
+      val tok = StageViews.ensureCached(spark, "pack_tok", dir) {
+        StageViews.documents(spark, dir)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_tok"),
+            expr(s"doc_id DIV $BucketDocs").as("bucket"))
+      }
+      // phase 1: parallel within-bucket running sum (shuffle on bucket)
+      val withinW = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = tok.withColumn("within_cum", sum($"n_tok").over(withinW))
+      // phase 2: bucket totals → exclusive prefix over the TINY bucket
+      // relation (n/BucketDocs rows — the only single-partition window)
+      val offsetW = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = tok.groupBy("bucket").agg(sum($"n_tok").as("bucket_tok"))
+        .withColumn("offset", coalesce(sum($"bucket_tok").over(offsetW), lit(0L)))
+        .select("bucket", "offset")
+      within.join(broadcast(offsets), "bucket")
+        .withColumn("cum_tok", $"offset" + $"within_cum")
+        .select($"doc_id", $"n_tok",
+          ($"cum_tok" - $"n_tok").as("start_tok"),
+          expr(s"(cum_tok - n_tok) DIV $SeqLen").as("first_seq"),
+          expr(s"(cum_tok - 1) DIV $SeqLen").as("last_seq"),
+          expr(s"(cum_tok - 1) DIV $SeqLen - (cum_tok - n_tok) DIV $SeqLen + 1")
+            .as("n_seqs"))
+        .orderBy("doc_id")
+    },
+    Some(packSql(DuckSql)))
+
+  private def mixSql(d: SqlDialect): String = s"""
+WITH tok AS (SELECT lang, CAST(${nTok(d)} AS BIGINT) AS n_tok FROM documents),
+agg AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+        FROM tok GROUP BY lang),
+tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS all_tokens,
+               count(*) AS n_langs
+        FROM agg)
+SELECT lang, n_docs, lang_tokens,
+       ${d.idiv("10000 * lang_tokens", "all_tokens")} AS actual_share_bp,
+       ${d.idiv("10000 * all_tokens", "n_langs * lang_tokens")} AS uniform_weight_bp
+FROM agg, tot
+ORDER BY lang"""
+
+  val qCorpusMix = Q(
+    "q_corpus_mix",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(mixSql(SparkSql))
+    },
+    Some(mixSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qSequencePack, qCorpusMix)
+}

@@ -67,5 +67,39 @@ ORDER BY lang"""
     },
     Some(stratifiedSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qSplit, qStratified)
+  /** Deterministic fixed-size per-stratum sample ("reservoir" k=20):
+    * rank every event inside its event_type by a content hash and keep
+    * the first K. Same reproducibility contract as the splits above —
+    * the sample is a pure function of the data, not of partition
+    * layout, so any engine and any cluster size draws the same rows.
+    *
+    * Scale: one shuffle on the stratum key; the rank sorts only within
+    * strata. At 100 TB, pre-filter with a hash-prefix threshold
+    * (keep hk < (K/n̂)·margin, then rank survivors) so the per-group
+    * sort touches a sliver of each stratum instead of all of it — the
+    * two-pass trick is worth it only past ~10⁶ rows per stratum, far
+    * above catalog scale.
+    */
+  val ReservoirK = 20
+
+  private def reservoirSql(d: SqlDialect): String = s"""
+WITH h AS (SELECT event_type, event_id, user_id,
+                  md5(CAST(event_id AS STRING) || ':rsv') AS hk
+           FROM events),
+r AS (SELECT event_type, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS rk
+      FROM h)
+SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
+FROM r WHERE rk <= $ReservoirK
+ORDER BY event_type, rk"""
+
+  val qReservoir = Q(
+    "q_reservoir_sample",
+    (spark, dir) => {
+      graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+      spark.sql(reservoirSql(SparkSql))
+    },
+    Some(reservoirSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir)
 }
