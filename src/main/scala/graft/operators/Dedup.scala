@@ -150,6 +150,65 @@ ORDER BY doc_a, doc_b""")
     },
     Some(ngramSql(DuckSql)))
 
+  // ================= shingle-containment near-dup =================
+
+  /** Document-frequency cap for the containment join: shingles present
+    * in more than this many documents (boilerplate headers, stock
+    * phrases) are dropped before the pair join — the same skew bound as
+    * [[BandCap]], applied at the shingle level. Both engines apply it
+    * identically; the containment DENOMINATOR stays the full per-doc
+    * shingle count, so capping can only lower scores, never inflate.
+    */
+  private[operators] val DfCap = 100L
+
+  /** Containment threshold in basis points (0.70). */
+  private[operators] val ContainBp = 7000L
+
+  /** Directed containment C(A→B) = |S(A)∩S(B)| / |S(A)|: detects A
+    * being quoted/embedded inside a larger B, which symmetric Jaccard
+    * misses when |S(B)| ≫ |S(A)| (J ≈ |S(A)|/|S(B)| → 0 while C → 1).
+    * Output is exact integer basis points (BIGINT floor division) —
+    * no doubles cross the engine boundary. Candidate generation is the
+    * shared shingle join with the DF cap; the pair relation is ordered
+    * (both directions emitted when both thresholds pass).
+    */
+  private def containSql(d: SqlDialect): String = s"""
+WITH ${shingleBase(d)},
+dfq AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+shf AS (SELECT s.doc_id, s.shingle FROM sh s
+        JOIN dfq ON s.shingle = dfq.shingle WHERE dfq.nd <= $DfCap),
+it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+       FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT it.doc_a, it.doc_b, it.ic, sz.nsh AS nsh_a,
+       ${d.idiv("10000 * it.ic", "sz.nsh")} AS containment_bp
+FROM it JOIN sz ON it.doc_a = sz.doc_id
+WHERE ${d.idiv("10000 * it.ic", "sz.nsh")} >= $ContainBp
+ORDER BY doc_a, doc_b"""
+
+  private[operators] def containmentOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureShingles(spark, key, docs)
+    val shf = s"""(SELECT s.doc_id, s.shingle FROM sh_v s
+        JOIN (SELECT shingle, count(*) AS nd FROM sh_v GROUP BY shingle) dfq
+          ON s.shingle = dfq.shingle WHERE dfq.nd <= $DfCap)"""
+      spark.sql(s"""
+SELECT it.doc_a, it.doc_b, it.ic, sz_v.nsh AS nsh_a,
+       (10000 * it.ic) DIV sz_v.nsh AS containment_bp
+FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+      FROM $shf a JOIN $shf b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id) it
+JOIN sz_v ON it.doc_a = sz_v.doc_id
+WHERE (10000 * it.ic) DIV sz_v.nsh >= $ContainBp
+ORDER BY doc_a, doc_b""")
+  }
+
+  val qContainment = Q(
+    "q_doc_containment",
+    (spark, dir) => containmentOn(spark, dir, Tables.documents(spark, dir)),
+    Some(containSql(DuckSql)))
+
   // ======== MinHash + LSH (16 universal hashes, 4 bands × 4 rows) ========
 
   /** Mersenne prime 2³¹−1 — the modulus of the min-wise hash family. */
@@ -724,6 +783,6 @@ SELECT source, count(DISTINCT md5(text)) AS n_distinct_texts
 FROM documents GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] =
-    Seq(qExact, qNgram, qMinhash, qClusters, qIncremental, qSimhash, qSimhash64,
-      qEmbed, qDedupStreamExact)
+    Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
+      qSimhash, qSimhash64, qEmbed, qDedupStreamExact)
 }

@@ -210,5 +210,50 @@ ORDER BY p.query_id"""
 
   val qKnn = Q("q_knn_classify", run(knnSql(SparkSql)), Some(knnSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids, qKnn)
+  // ---- matryoshka truncation quality (recall@10 of 32-dim prefixes) ----
+
+  /** MRL-style evaluation: how much nearest-neighbor structure survives
+    * truncating embeddings to their first 32 of 64 dims (the
+    * matryoshka/ANN-tiering question — serve a cheap prefix index, then
+    * rerank with full vectors). For each of the 20 probe queries, emits
+    * |top10(full cosine) ∩ top10(truncated cosine)| — integer output,
+    * so cross-engine double ulps stay internal (ties measure-zero, as
+    * for the rank queries above). Scale: same shard-and-merge shape as
+    * the brute baseline; the truncated pass reads a 32-dim slice, which
+    * is exactly the I/O saving the tiering buys at 100 TB.
+    */
+  private def mrlSql(d: SqlDialect): String = {
+    val (norm, cos) = normCos(d)
+    val sumT = (a: String, b: String) =>
+      s"(SELECT sum(CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE)) FROM range(1, 33) t(i))"
+    val cosT = d match {
+      case SparkSql => "cosine_similarity(slice(qe, 1, 32), slice(ne, 1, 32))"
+      case DuckSql =>
+        s"(${sumT("qe", "ne")} / (sqrt(${sumT("qe", "qe")}) * sqrt(${sumT("ne", "ne")})))"
+    }
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+          FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+scored AS (SELECT query_id, neighbor_id, $cos AS cosf, $cosT AS cost FROM pairs),
+rf AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosf DESC, neighbor_id) AS rkf
+       FROM scored),
+rt AS (SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cost DESC, neighbor_id) AS rkt
+       FROM scored),
+ov AS (SELECT f.query_id, count(*) AS n_common
+       FROM rf f JOIN rt t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       WHERE f.rkf <= 10 AND t.rkt <= 10
+       GROUP BY f.query_id)
+SELECT q.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT DISTINCT query_id FROM scored) q
+LEFT JOIN ov ON q.query_id = ov.query_id
+ORDER BY q.query_id"""
+  }
+
+  val qMrl = Q("q_mrl_recall", run(mrlSql(SparkSql)), Some(mrlSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids, qKnn, qMrl)
 }
