@@ -365,6 +365,41 @@ ORDER BY doc_id, chunk_idx"""
 
   val qChunks = Q("q_doc_chunks", run(chunksSql(SparkSql)), Some(chunksSql(DuckSql)))
 
+  // ---- canonical text normalization (native codegen'd expression) ----
+
+  /** Corpus canonicalization via [[graft.functions.NormalizeText]]
+    * (NFC + ASCII-control scrub + whitespace collapse — see its
+    * scaladoc for the exact contract and the engine-portable regex
+    * spelling). Emits the canonical hash — the key every downstream
+    * dedup would group on — plus lengths and a changed flag. Narrow
+    * one-pass projection, fully codegen'd, no shuffle.
+    */
+  private def normalizeSql(d: SqlDialect): String = {
+    val norm = d match {
+      case SparkSql => "normalize_text(text)"
+      case DuckSql =>
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))"
+    }
+    s"""
+WITH n AS (SELECT doc_id, text, $norm AS norm_text FROM documents)
+SELECT doc_id,
+       md5(norm_text) AS norm_md5,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       CAST(length(text) AS BIGINT) AS raw_len,
+       (norm_text <> text) AS changed
+FROM n
+ORDER BY doc_id"""
+  }
+
+  val qNormalize = Q(
+    "q_text_normalize",
+    (spark, dir) => {
+      graft.functions.NormalizeText.register(spark)
+      run(normalizeSql(SparkSql))(spark, dir)
+    },
+    Some(normalizeSql(DuckSql)))
+
   val all: Seq[Q] =
-    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms, qTfIdf, qChunks)
+    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms,
+      qTfIdf, qChunks, qNormalize)
 }
