@@ -25,7 +25,8 @@ object Bench {
     "q_rate_window_stream", "q_stream_stream_join", "q_top_customers",
     "q_revenue_by_nation", "q_sessionize", "q_gap_fill",
     "q_hll_sketch_merge", "q_heavy_hitters_salted", "q_multimodal_decode",
-    "q_text_quality", "q_csv_roundtrip")
+    "q_text_quality", "q_csv_roundtrip", "q_doc_containment",
+    "q_sequence_pack")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
