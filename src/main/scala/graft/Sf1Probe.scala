@@ -74,6 +74,10 @@ object Sf1Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events carries TIMESTAMP(NANOS) — readable only as nanos BIGINT
+    // under the legacy flag (see Tables.events); the replica write-out
+    // then stores plain BIGINT nanos, which every query already expects
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) build(spark, src, out)
 
     val results = SparkEntry.catalog.sortBy(_.name).map { q =>
