@@ -527,9 +527,13 @@ bs AS (${d.seriesTable("2", "bseq")}),
 bb AS (SELECT doc_id, simhash, bseq - 1 AS band,
               (${d.shr("simhash", "(bseq - 1) * 16")}) & 65535 AS bv
        FROM sim CROSS JOIN bs),
+bbf AS (SELECT b.doc_id, b.simhash, b.band, b.bv
+        FROM bb b JOIN (SELECT band, bv, count(*) AS nb FROM bb GROUP BY band, bv) f
+          ON b.band = f.band AND b.bv = f.bv
+        WHERE f.nb <= $BandCap),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.simhash AS sa, b.simhash AS sb
-         FROM bb a JOIN bb b
+         FROM bbf a JOIN bbf b
            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
        CAST(bit_count(${d.xor("sa", "sb")}) AS BIGINT) AS hamming
@@ -568,12 +572,17 @@ SELECT doc_id, $pack AS simhash FROM (
     val bb = s"""(SELECT doc_id, simhash, bseq - 1 AS band,
         (${d.shr("simhash", "(bseq - 1) * 16")}) & 65535 AS bv
       FROM sim_v CROSS JOIN (${d.seriesTable("2", "bseq")}))"""
+    // same band-frequency cap as the oracle's bbf CTE (skew bound)
+    val bbf = s"""(SELECT b.doc_id, b.simhash, b.band, b.bv
+      FROM $bb b JOIN (SELECT band, bv, count(*) AS nb FROM $bb x GROUP BY band, bv) f
+        ON b.band = f.band AND b.bv = f.bv
+      WHERE f.nb <= $BandCap)"""
     spark.sql(s"""
 SELECT doc_a, doc_b,
        CAST(bit_count(${d.xor("sa", "sb")}) AS BIGINT) AS hamming
 FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
-      FROM $bb a JOIN $bb b
+      FROM $bbf a JOIN $bbf b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) cand
 WHERE bit_count(${d.xor("sa", "sb")}) <= 2
 ORDER BY doc_a, doc_b""")
@@ -591,6 +600,16 @@ ORDER BY doc_a, doc_b""")
   // scale (the reason h≤2 could not be guaranteed on 32 bits without
   // 11-bit/2k-value bands). Widening the fingerprint, not narrowing the
   // bands, is the scale-correct way to buy recall.
+  //
+  // One bound on the guarantee (added r6 after the sf1 probe's 10.7M
+  // pair fan-out): band buckets holding more than BandCap docs — a
+  // mega-cluster of near-identical documents — are dropped before the
+  // self-join, identically in both engines, exactly like the minhash
+  // family. The pigeonhole guarantee therefore holds for every pair
+  // whose shared band is under the cap; clusters past the cap are
+  // exact-dedup's job (their members are near-identical by
+  // construction), and the cap is what keeps one hot bucket from
+  // emitting BandCap²-scale pairs at 100 TB.
   //
   // Signed-64 safety: neither engine gets a full 64-bit fingerprint
   // value — token hashes and fingerprints live as two 32-bit halves
@@ -627,9 +646,13 @@ bb4 AS (SELECT doc_id, sim_lo, sim_hi, bseq - 1 AS band,
                (CASE WHEN bseq <= 2 THEN ${d.shr("sim_lo", "(bseq - 1) * 16")}
                      ELSE ${d.shr("sim_hi", "(bseq - 3) * 16")} END) & 65535 AS bv
         FROM sim64 CROSS JOIN bs4),
+bbf4 AS (SELECT b.doc_id, b.sim_lo, b.sim_hi, b.band, b.bv
+         FROM bb4 b JOIN (SELECT band, bv, count(*) AS nb FROM bb4 GROUP BY band, bv) f
+           ON b.band = f.band AND b.bv = f.bv
+         WHERE f.nb <= $BandCap),
 cand4 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.sim_lo AS la, a.sim_hi AS ha, b.sim_lo AS lb, b.sim_hi AS hb
-          FROM bb4 a JOIN bb4 b
+          FROM bbf4 a JOIN bbf4 b
             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, $ham AS hamming
 FROM cand4
