@@ -48,7 +48,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_salted_join", "q_full_outer_join", "q_interval_join",
     "q_bloom_semi_join", "q_cms_heavy_hitters", "q_zorder_curve",
     "q_scd2_upsert", "q_key_skew", "q_compaction_plan",
-    "q_embedding_quantize", "q_cdc_apply")
+    "q_embedding_quantize", "q_cdc_apply",
+    // round 6: packing prefix sum, mix ratios, hash-rank sample,
+    // containment pair join, MRL rank overlap, normalize projection,
+    // capped simhash bands
+    "q_sequence_pack", "q_corpus_mix", "q_reservoir_sample",
+    "q_doc_containment", "q_mrl_recall", "q_text_normalize",
+    "q_dedup_simhash64")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {
