@@ -44,12 +44,13 @@ object ScaleSmoke {
     // construction of the DATA — masking whether the ALGORITHM scales.
     val docs = Tables.documents(spark, sfDir).cache()
     val nDocs = docs.count()
+    def distinctCorpus(m: Int) = docs
+      .crossJoin(spark.range(m).toDF("rep"))
+      .selectExpr(
+        "doc_id + rep * 100000000 AS doc_id",
+        "array_join(transform(split(text, ' '), w -> concat('r', CAST(rep AS STRING), w)), ' ') AS text")
     val dedupResults = multiples.map { m =>
-      val corpus = docs
-        .crossJoin(spark.range(m).toDF("rep"))
-        .selectExpr(
-          "doc_id + rep * 100000000 AS doc_id",
-          "array_join(transform(split(text, ' '), w -> concat('r', CAST(rep AS STRING), w)), ' ') AS text")
+      val corpus = distinctCorpus(m)
       val t0d = System.nanoTime()
       val pairsDf = operators.Dedup.minhashOn(spark, s"scale-minhash-$m", corpus)
       val pairs = pairsDf.count()
@@ -66,6 +67,27 @@ object ScaleSmoke {
       (m, sec + secC)
     }
     println(f"[scale] minhash+cc growth: input x${dedupResults.last._1 / dedupResults.head._1} -> time x${dedupResults.last._2 / dedupResults.head._2}%.1f")
+
+    // ---- containment: same distinct-ified replicas, so the TRUE pair
+    // count grows exactly ×m (per-replica structure repeats, replicas
+    // never share a shingle). The DF-capped shingle join must track
+    // that — pair growth beyond ~×m would mean the candidate join is
+    // doing super-linear work the cap failed to bound.
+    val containResults = multiples.map { m =>
+      val t0x = System.nanoTime()
+      val pairs = operators.Dedup
+        .containmentOn(spark, s"scale-contain-$m", distinctCorpus(m)).count()
+      val sec = (System.nanoTime() - t0x) / 1e9
+      println(f"[scale] contain x$m%-3d docs=${nDocs * m}%8d pairs=$pairs%8d  $sec%7.2f s")
+      (m, sec, pairs)
+    }
+    if (containResults.head._3 > 0 && containResults.size > 1) {
+      val inputRatio = containResults.last._1.toDouble / containResults.head._1
+      val pairRatio = containResults.last._3.toDouble / containResults.head._3
+      println(f"[scale] contain pairs: input x$inputRatio%.0f -> pairs x$pairRatio%.2f (linear bound ${1.1 * inputRatio}%.2f)")
+      require(pairRatio <= 1.1 * inputRatio,
+        s"containment pairs grew x$pairRatio for x$inputRatio input — candidate join not linear")
+    }
 
     // ---- IVF ANN: adaptive nlists ≈ √n with multi-probe ≈ √nlists, so
     // probed candidate rows must grow ~n^(3/4) — SUB-linearly. We assert

@@ -186,7 +186,7 @@ FROM it JOIN sz ON it.doc_a = sz.doc_id
 WHERE ${d.idiv("10000 * it.ic", "sz.nsh")} >= $ContainBp
 ORDER BY doc_a, doc_b"""
 
-  private[operators] def containmentOn(spark: SparkSession, key: String,
+  private[graft] def containmentOn(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     ensureShingles(spark, key, docs)
     val shf = s"""(SELECT s.doc_id, s.shingle FROM sh_v s
