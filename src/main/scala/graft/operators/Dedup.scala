@@ -421,6 +421,52 @@ ORDER BY comp.doc_id"""
     },
     Some(clustersSql(DuckSql)))
 
+  // ================= PageRank centrality over the dup graph =================
+
+  /** Which near-duplicate is the MOST CENTRAL copy? Connected
+    * components picks a canonical doc by min-id ([[qClusters]]); this
+    * ranks members of the pair graph by exact-integer PageRank
+    * ([[Graph.pageRankInt]], 5 power iterations, micro-units) so a
+    * corpus build could keep the most-linked variant instead of an
+    * arbitrary one. The oracle restates the same five iterations as
+    * chained CTEs over the shared verified-pair chain — every rank is
+    * BIGINT arithmetic, so both engines agree bit-for-bit (a
+    * double-valued PageRank could not be oracle-gated: neighbor sums
+    * would differ by summation order).
+    */
+  private val PrIters = 5
+
+  private def pagerankSql(d: SqlDialect): String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT e.v AS id,
+           150000 + ${d.idiv(s"85 * sum(${d.idiv("p.r", "g.d")})", "100")} AS r
+         FROM se e JOIN r${k - 1} p ON e.u = p.id JOIN dg g ON g.u = e.u
+         GROUP BY e.v)"""
+    }.mkString(",\n")
+    s"""
+WITH ${minhashCtes(d)},
+se AS (SELECT doc_a AS u, doc_b AS v FROM dpairs
+       UNION SELECT doc_b, doc_a FROM dpairs),
+dg AS (SELECT u, count(*) AS d FROM se GROUP BY u),
+r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM dg),
+$iterCtes
+SELECT dg.u AS doc_id, CAST(dg.d AS BIGINT) AS degree, r$PrIters.r AS rank_micros
+FROM dg JOIN r$PrIters ON dg.u = r$PrIters.id
+ORDER BY doc_id"""
+  }
+
+  val qPageRank = Q(
+    "q_pagerank_dup",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = minhashOn(spark, dir, Tables.documents(spark, dir))
+        .select($"doc_a".as("u"), $"doc_b".as("v"))
+      Graph.pageRankInt(pairs, PrIters)
+        .select($"id".as("doc_id"), $"degree", $"rank_micros")
+        .orderBy("doc_id")
+    },
+    Some(pagerankSql(DuckSql)))
+
   // ================= incremental dedup (new batch vs existing corpus) =================
 
   /** The production shape of LSH dedup: dedupe an incoming batch
@@ -807,5 +853,5 @@ FROM documents GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
-      qSimhash, qSimhash64, qEmbed, qDedupStreamExact)
+      qSimhash, qSimhash64, qEmbed, qDedupStreamExact, qPageRank)
 }

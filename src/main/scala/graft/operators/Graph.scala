@@ -145,4 +145,44 @@ object Graph {
     e.select(col("u").as("id"), col("v").as("rep"))
       .union(e.select(col("v").as("id"), col("v").as("rep")).distinct())
   }
+
+  /** Fixed-iteration PageRank in EXACT integer micro-units over an
+    * undirected pair list — centrality without floats, so two engines
+    * agree bit-for-bit (double PageRank sums neighbor contributions in
+    * partition order; integer sums are order-free).
+    *
+    * Per-node form, damping 0.85, ranks in millionths:
+    * r₀ = 1,000,000;  rₖ₊₁(v) = 150,000 + (85 · Σ_{u→v} (rₖ(u) DIV
+    * deg(u))) DIV 100. Each DIV floors exactly the same way everywhere;
+    * the (bounded, documented) truncation loss is the price of
+    * determinism. Symmetric edges mean in-degree = out-degree ≥ 1 for
+    * every node in the pair graph, so there is no dangling mass.
+    *
+    * Scale: the edge list with degrees is cached once; each of the
+    * `iters` rounds is ONE shuffle join (ranks ⋈ edges on the source)
+    * plus a sum aggregation on the destination — the same join keys
+    * every round, so a cluster run co-partitions edges once and reuses
+    * the layout. Iterations are a fixed constant: this is power
+    * iteration for ranking, not convergence detection.
+    */
+  def pageRankInt(pairs: DataFrame, iters: Int): DataFrame = {
+    val sym = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val edges = sym.join(deg, "u")
+      .select(col("u"), col("v"), col("d")).cache()
+    val nodes = edges.select(col("u").as("id")).distinct()
+    var r = nodes.select(col("id"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      r = edges.join(r, edges("u") === r("id"))
+        .select(col("v").as("id"), expr("r DIV d").as("c"))
+        .groupBy("id")
+        .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
+    }
+    val out = edges.select(col("u").as("id"), col("d")).distinct()
+      .join(r, "id")
+      .select(col("id"), col("d").as("degree"), col("r").as("rank_micros"))
+    out
+  }
 }

@@ -79,4 +79,40 @@ class GraphSpec extends AnyFunSuite {
       cc.values.toSet.foreach { (rep: Long) => assert(cc(rep) == rep) }
     }
   }
+
+  private def prOf(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.pageRankInt(edges.toDF("u", "v"), iters).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("rank_micros"))).toMap
+  }
+
+  test("pageRankInt: star center outranks leaves; leaves are symmetric") {
+    val star = (1L to 8L).map(i => (0L, i))
+    val pr = prOf(star)
+    val (centerDeg, centerRank) = pr(0L)
+    assert(centerDeg == 8L)
+    val leafRanks = (1L to 8L).map(pr(_)._2).distinct
+    assert(leafRanks.size == 1, "symmetric leaves must have equal ranks")
+    assert(centerRank > leafRanks.head, "hub must outrank leaves")
+  }
+
+  test("pageRankInt: regular graphs are rank-uniform fixpoints (isolated pair, ring)") {
+    // every node of a k-regular graph keeps r = 1,000,000 exactly:
+    // contribution sum = r, and 150000 + (85*r) DIV 100 = r at r=1e6
+    val pair = Seq((10L, 11L))
+    assert(prOf(pair).values.map(_._2).toSet == Set(1000000L))
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(prOf(ring).values.map(_._2).toSet == Set(1000000L))
+  }
+
+  test("pageRankInt: disconnected components rank independently; iteration count matters") {
+    val g = Seq((0L, 1L), (0L, 2L), (5L, 6L))  // a path-star + an isolated pair
+    val pr = prOf(g)
+    assert(pr(5L)._2 == 1000000L && pr(6L)._2 == 1000000L)
+    assert(pr(0L)._2 > pr(1L)._2)
+    // 1 iteration differs from 5 on the non-regular component
+    val pr1 = prOf(g, iters = 1)
+    assert(pr1(0L)._2 != pr(0L)._2)
+  }
 }
