@@ -101,5 +101,37 @@ ORDER BY event_type, rk"""
     },
     Some(reservoirSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir)
+  /** Token-weighted deterministic subsampling: include each document
+    * with probability min(1, n_tok/256) — the token-budget sampling a
+    * pretraining mix uses so short fragments don't dominate the doc
+    * count — implemented as `hash28(doc_id) < n_tok · 2²⁰` (2²⁸·p
+    * exactly when n_tok ≤ 256, since 2²⁸/256 = 2²⁰). Pure integer
+    * comparison on a content hash: the decision is reproducible
+    * per-document across engines and cluster layouts, and the sample
+    * composition is auditable (the threshold rides along). Narrow
+    * one-pass projection + filter, no shuffle.
+    */
+  private def weightedSql(d: SqlDialect): String = s"""
+WITH t AS (SELECT doc_id, lang, CAST(${d.len(d.split("text"))} AS BIGINT) AS n_tok
+           FROM documents),
+w AS (SELECT doc_id, lang, n_tok,
+             CASE WHEN n_tok >= 256 THEN CAST(${1L << 28} AS BIGINT)
+                  ELSE n_tok * CAST(${1L << 20} AS BIGINT) END AS thresh
+      FROM t),
+h AS (SELECT doc_id, lang, n_tok, thresh, ${nibble28(d, "h")} AS hv
+      FROM (SELECT w.*, md5(CAST(doc_id AS STRING) || ':wsmp') AS h FROM w))
+SELECT doc_id, lang, n_tok, thresh, hv
+FROM h
+WHERE hv < thresh
+ORDER BY doc_id"""
+
+  val qWeighted = Q(
+    "q_weighted_sample",
+    (spark, dir) => {
+      StageViews.documents(spark, dir)
+      spark.sql(weightedSql(SparkSql))
+    },
+    Some(weightedSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir, qWeighted)
 }

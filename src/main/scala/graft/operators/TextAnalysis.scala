@@ -229,6 +229,79 @@ ORDER BY w.doc_id""")
     },
     Some(repetitionSql(DuckSql)))
 
+  // ---- per-source boilerplate shingles (CCNet-style) ----
+
+  /** Within-source boilerplate detection: a 5-gram shingle present in
+    * ≥30% of a source's documents (sources with ≥5 docs) is boilerplate
+    * — the header/footer/navigation mass a per-SOURCE frequency test
+    * catches but corpus-global stats miss (a template that is 30% of
+    * one site is noise at corpus level). Emits each doc's shingle count
+    * and boilerplate fraction in exact basis points; the integer
+    * threshold `10·df ≥ 3·n_docs` avoids float ratios entirely. Docs
+    * too short to shingle (<5 words) have no fraction and drop, as in
+    * the other shingle-stage queries. Reuses the cached shingle stage;
+    * the per-source DF aggregation shuffles the shingle relation once
+    * on (source, shingle) and the boilerplate set is tiny (bounded by
+    * template mass, not corpus size), so the rejoin broadcasts at
+    * scale.
+    */
+  private def boilerTail(shRel: String, cap: String => String): String = s"""
+${cap("meta")} AS (SELECT doc_id, source FROM documents),
+${cap("ssh")} AS (SELECT m.source, s.doc_id, s.shingle
+       FROM $shRel s JOIN ${cap("meta")} m ON s.doc_id = m.doc_id),
+${cap("srcn")} AS (SELECT source, count(*) AS n_docs FROM ${cap("meta")} GROUP BY source),
+${cap("bdf")} AS (SELECT source, shingle, count(*) AS df
+      FROM ${cap("ssh")} GROUP BY source, shingle),
+${cap("boiler")} AS (SELECT b.source, b.shingle
+         FROM ${cap("bdf")} b JOIN ${cap("srcn")} n ON b.source = n.source
+         WHERE 10 * b.df >= 3 * n.n_docs AND n.n_docs >= 5),
+${cap("per_doc")} AS (SELECT s.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN bo.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+            FROM ${cap("ssh")} s
+            LEFT JOIN ${cap("boiler")} bo
+              ON s.source = bo.source AND s.shingle = bo.shingle
+            GROUP BY s.doc_id)"""
+
+  private def boilerSelect(d: SqlDialect, perDoc: String): String = s"""
+SELECT doc_id, n_shingles, n_boiler,
+       ${d.idiv("10000 * n_boiler", "n_shingles")} AS boiler_bp
+FROM $perDoc
+ORDER BY doc_id"""
+
+  private def boilerplateSql(d: SqlDialect): String = s"""
+WITH ${Dedup.shingleCore(d)},
+${boilerTail("sh", identity)}
+${boilerSelect(d, "per_doc")}"""
+
+  private[graft] def boilerplateOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+      // DataFrame spelling over the cached stage views — a WITH-CTE
+      // reference to sh_v would replan past the cache (StageViews note)
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      Dedup.ensureShingles(spark, key, docs)
+      val meta = spark.table("documents").select($"doc_id", $"source")
+      val ssh = spark.table("sh_v").join(meta, "doc_id")
+        .select($"source", $"doc_id", $"shingle")
+      val srcn = meta.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val boiler = ssh.groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
+        .join(broadcast(srcn), "source")
+        .where(lit(10) * $"df" >= lit(3) * $"n_docs" && $"n_docs" >= 5)
+        .select($"source", $"shingle", lit(1).as("is_b"))
+      ssh.join(broadcast(boiler), Seq("source", "shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce($"is_b", lit(0))).cast("long").as("n_boiler"))
+        .select($"doc_id", $"n_shingles", $"n_boiler",
+          expr("(10000 * n_boiler) DIV n_shingles").as("boiler_bp"))
+        .orderBy("doc_id")
+  }
+
+  val qBoilerplate = Q(
+    "q_source_boilerplate",
+    (spark, dir) => boilerplateOn(spark, dir, graft.Tables.documents(spark, dir)),
+    Some(boilerplateSql(DuckSql)))
+
   // ---- keyword extraction (top-3 terms per document by frequency) ----
 
   /** Integer-exact keyword extraction: per document, the 3 most
@@ -401,5 +474,5 @@ ORDER BY doc_id"""
 
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms,
-      qTfIdf, qChunks, qNormalize)
+      qTfIdf, qChunks, qNormalize, qBoilerplate)
 }

@@ -89,6 +89,50 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b, _) => a == 3L || b == 3L })
   }
 
+  test("source boilerplate: planted template flagged per source; small sources exempt") {
+    import spark.implicits._
+    val template = (1 to 10).map(i => s"tmpl$i").mkString(" ")
+    // source A: 6 docs sharing a 10-word template prefix + distinct tails
+    val a = (0 until 6).map { i =>
+      (i.toLong, template + " " + (0 until 20).map(j => s"a${i}w$j").mkString(" "), "srcA")
+    }
+    // source B: 4 docs (< 5-doc floor) sharing the same template
+    val b = (0 until 4).map { i =>
+      (100L + i, template + " " + (0 until 20).map(j => s"b${i}w$j").mkString(" "), "srcB")
+    }
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplateOn(spark, "boiler-r6", docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_boiler"), r.getAs[Long]("boiler_bp"))).toMap
+    // the 6 template shingles appear in all 6 srcA docs -> boilerplate
+    (0L until 6L).foreach { id =>
+      assert(out(id)._1 == 6L, s"doc $id: expected 6 boiler shingles, got ${out(id)._1}")
+      assert(out(id)._2 > 0L)
+    }
+    // srcB is under the 5-doc floor: nothing flagged
+    (100L until 104L).foreach(id => assert(out(id)._1 == 0L))
+  }
+
+  test("weighted sample: saturated docs always kept; kept rate grows with token count") {
+    import spark.implicits._
+    val out = Sampling.qWeighted.run(spark, dir)
+    out.createOrReplaceTempView("wsmp")
+    graft.Tables.documents(spark, dir).createOrReplaceTempView("docs_w")
+    // every kept row satisfies its own threshold, and every EXCLUDED
+    // doc fails it (recompute hv independently in SQL)
+    val laws = spark.sql("""
+      WITH t AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok FROM docs_w),
+      w AS (SELECT doc_id, n_tok,
+                   CASE WHEN n_tok >= 256 THEN CAST(268435456 AS BIGINT)
+                        ELSE n_tok * CAST(1048576 AS BIGINT) END AS thresh FROM t)
+      SELECT
+        count_if(s.doc_id IS NOT NULL AND s.hv >= w.thresh) AS kept_over_threshold,
+        count_if(s.doc_id IS NULL AND w.n_tok >= 256) AS saturated_dropped
+      FROM w LEFT JOIN wsmp s USING (doc_id)
+      """).collect()(0)
+    assert(laws.getLong(0) == 0L && laws.getLong(1) == 0L)
+  }
+
   test("mrl recall: one row per probe query (zero-overlap included), overlap in [0,10]") {
     val out = Similarity.qMrl.run(spark, dir).collect()
     assert(out.length == 20)
