@@ -170,19 +170,27 @@ object Graph {
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .distinct()
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    // materialize ONCE and cut lineage: without the per-round
+    // truncation the rank plan re-embeds the (possibly huge) pair
+    // derivation per iteration and Catalyst replans a multiplying DAG
+    // (measured: ~3k Exchange nodes and 72 s at sf1 for 5 rounds; ~2 s
+    // truncated). Same device as connectedComponents; on a cluster,
+    // substitute reliable checkpoints.
     val edges = sym.join(deg, "u")
-      .select(col("u"), col("v"), col("d")).cache()
+      .select(col("u"), col("v"), col("d")).localCheckpoint(true)
     val nodes = edges.select(col("u").as("id")).distinct()
-    var r = nodes.select(col("id"), lit(1000000L).as("r"))
+    var r = nodes.select(col("id"), lit(1000000L).as("r")).localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      r = edges.join(r, edges("u") === r("id"))
+      val next = edges.join(r, edges("u") === r("id"))
         .select(col("v").as("id"), expr("r DIV d").as("c"))
         .groupBy("id")
         .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
+        .localCheckpoint(true)
+      r.unpersist(blocking = false)
+      r = next
     }
-    val out = edges.select(col("u").as("id"), col("d")).distinct()
+    edges.select(col("u").as("id"), col("d")).distinct()
       .join(r, "id")
       .select(col("id"), col("d").as("degree"), col("r").as("rank_micros"))
-    out
   }
 }
