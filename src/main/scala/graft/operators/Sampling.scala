@@ -133,5 +133,49 @@ ORDER BY doc_id"""
     },
     Some(weightedSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir, qWeighted)
+  /** Leakage-safe 90/5/5 split: hash the duplicate-CLUSTER
+    * representative, not the doc id, so near-duplicate documents can
+    * never straddle train and test — the eval-contamination failure
+    * mode a doc-id split has by construction whenever dedup is
+    * imperfect upstream. Composes the LSH cluster assignment
+    * ([[Dedup.clusterAssignments]]: pairs → connected components,
+    * singletons map to themselves) with the same 28-bit md5 bucketing
+    * as `q_split_assign`; the oracle restates the cluster fixpoint as
+    * the recursive CTE. One extra broadcast-size join over the plain
+    * split; the cluster stage is shared with the dedup family's cached
+    * views, so at 100 TB this is the persisted cluster table joined at
+    * split time.
+    */
+  private def leakageSafeSql(d: SqlDialect): String = s"""
+WITH RECURSIVE ${Dedup.clusterCtes(d)},
+mh2 AS (SELECT doc_id, cluster_rep,
+               md5(CAST(cluster_rep AS STRING) || ':csplit') AS h
+        FROM comp),
+b2 AS (SELECT doc_id, cluster_rep, (${nibble28(d, "h")}) % 100 AS bucket FROM mh2)
+SELECT doc_id, cluster_rep, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b2
+ORDER BY doc_id"""
+
+  val qLeakageSafeSplit = Q(
+    "q_split_leakage_safe",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val comp = Dedup.clusterAssignments(spark, dir,
+        graft.Tables.documents(spark, dir))
+      comp
+        .withColumn("h", md5(concat(col("cluster_rep").cast("string"), lit(":csplit"))))
+        .withColumn("bucket", expr(s"(${nibble28(SparkSql, "h")}) % 100"))
+        .select(col("doc_id"), col("cluster_rep"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(leakageSafeSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir, qWeighted,
+    qLeakageSafeSplit)
 }

@@ -133,6 +133,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(laws.getLong(0) == 0L && laws.getLong(1) == 0L)
   }
 
+  test("leakage-safe split: a cluster never straddles splits; buckets cover 90/5/5") {
+    val out = Sampling.qLeakageSafeSplit.run(spark, dir)
+    out.createOrReplaceTempView("lsplit")
+    val laws = spark.sql("""
+      SELECT
+        count_if(n_splits > 1) AS straddling_clusters,
+        count_if(bad_label) AS bad_labels
+      FROM (SELECT cluster_rep,
+                   count(DISTINCT split) AS n_splits,
+                   bool_or(split NOT IN ('train', 'val', 'test') OR
+                           (split = 'train') <> (min_b < 90)) AS bad_label
+            FROM (SELECT *, min(bucket) OVER (PARTITION BY cluster_rep) AS min_b
+                  FROM lsplit)
+            GROUP BY cluster_rep)
+      """).collect()(0)
+    assert(laws.getLong(0) == 0L, "near-dup cluster split across train/test")
+    assert(laws.getLong(1) == 0L)
+    // same corpus as q_split_assign: every doc appears exactly once
+    assert(out.count() == graft.Tables.documents(spark, dir).count())
+  }
+
   test("mrl recall: one row per probe query (zero-overlap included), overlap in [0,10]") {
     val out = Similarity.qMrl.run(spark, dir).collect()
     assert(out.length == 20)
