@@ -88,25 +88,29 @@ ORDER BY doc_id"""
     },
     Some(packSql(DuckSql)))
 
-  private def mixSql(d: SqlDialect): String = s"""
-WITH tok AS (SELECT lang, CAST(${nTok(d)} AS BIGINT) AS n_tok FROM documents),
+  private def mixSql(d: SqlDialect, rel: String = "documents"): String = s"""
+WITH tok AS (SELECT lang, CAST(${nTok(d)} AS BIGINT) AS n_tok FROM $rel),
 agg AS (SELECT lang, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS lang_tokens
         FROM tok GROUP BY lang),
-tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS all_tokens,
-               count(*) AS n_langs
-        FROM agg)
+w AS (SELECT lang, n_docs, lang_tokens,
+             CAST(sum(lang_tokens) OVER () AS BIGINT) AS all_tokens,
+             count(*) OVER () AS n_langs
+      FROM agg)
 SELECT lang, n_docs, lang_tokens,
        ${d.idiv("10000 * lang_tokens", "all_tokens")} AS actual_share_bp,
        ${d.idiv("10000 * all_tokens", "n_langs * lang_tokens")} AS uniform_weight_bp
-FROM agg, tot
+FROM w
 ORDER BY lang"""
 
   val qCorpusMix = Q(
     "q_corpus_mix",
     (spark, dir) => {
-      StageViews.documents(spark, dir)
-      spark.sql(mixSql(SparkSql))
+      // direct read: a straight groupBy needs no pre-repartition, and
+      // the totals come from a window over the |langs|-row aggregate —
+      // one scan, no self-join
+      graft.Tables.documents(spark, dir).createOrReplaceTempView("documents_mix")
+      spark.sql(mixSql(SparkSql, "documents_mix"))
     },
     Some(mixSql(DuckSql)))
 

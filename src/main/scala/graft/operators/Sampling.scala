@@ -111,9 +111,9 @@ ORDER BY event_type, rk"""
     * composition is auditable (the threshold rides along). Narrow
     * one-pass projection + filter, no shuffle.
     */
-  private def weightedSql(d: SqlDialect): String = s"""
+  private def weightedSql(d: SqlDialect, rel: String = "documents"): String = s"""
 WITH t AS (SELECT doc_id, lang, CAST(${d.len(d.split("text"))} AS BIGINT) AS n_tok
-           FROM documents),
+           FROM $rel),
 w AS (SELECT doc_id, lang, n_tok,
              CASE WHEN n_tok >= 256 THEN CAST(${1L << 28} AS BIGINT)
                   ELSE n_tok * CAST(${1L << 20} AS BIGINT) END AS thresh
@@ -128,8 +128,11 @@ ORDER BY doc_id"""
   val qWeighted = Q(
     "q_weighted_sample",
     (spark, dir) => {
-      StageViews.documents(spark, dir)
-      spark.sql(weightedSql(SparkSql))
+      // narrow projection + filter — read the table directly, skipping
+      // the shared view's repartition (see q_text_normalize note)
+      graft.Tables.documents(spark, dir)
+        .createOrReplaceTempView("documents_ws")
+      spark.sql(weightedSql(SparkSql, "documents_ws"))
     },
     Some(weightedSql(DuckSql)))
 

@@ -467,8 +467,20 @@ ORDER BY doc_id"""
   val qNormalize = Q(
     "q_text_normalize",
     (spark, dir) => {
-      graft.functions.NormalizeText.register(spark)
-      run(normalizeSql(SparkSql))(spark, dir)
+      // direct table read, not the widened StageViews view: this is a
+      // pure narrow projection (no explode), so the shared view's
+      // repartition would be a wasted full shuffle of the text column
+      import org.apache.spark.sql.functions._
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.NormalizeText(col("text")).as("norm_text"),
+          col("text"))
+        .select(col("doc_id"),
+          md5(col("norm_text")).as("norm_md5"),
+          length(col("norm_text")).cast("long").as("norm_len"),
+          length(col("text")).cast("long").as("raw_len"),
+          (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
     },
     Some(normalizeSql(DuckSql)))
 
