@@ -253,7 +253,40 @@ LEFT JOIN ov ON q.query_id = ov.query_id
 ORDER BY q.query_id"""
   }
 
-  val qMrl = Q("q_mrl_recall", run(mrlSql(SparkSql)), Some(mrlSql(DuckSql)))
+  /** Spark side: the scored pair relation (full + truncated cosine per
+    * candidate pair) is computed ONCE into a cached stage view — the
+    * WITH-CTE spelling would inline `scored` into BOTH rank branches
+    * and score every pair twice off six parquet scans (audited). The
+    * cache is 4 narrow columns × (queries · corpus) rows; both rankings
+    * and the total-query spine read it.
+    */
+  private def runMrl(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.embeddings(spark, dir)
+    StageViews.ensureCached(spark, "mrl_scored_v", dir)(spark.sql("""
+SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       cosine_similarity(q.embedding, n.embedding) AS cosf,
+       cosine_similarity(slice(q.embedding, 1, 32), slice(n.embedding, 1, 32)) AS cost
+FROM embeddings q JOIN embeddings n
+  ON q.vec_id < 20 AND n.vec_id <> q.vec_id"""))
+    spark.sql("""
+SELECT q.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT DISTINCT query_id FROM mrl_scored_v) q
+LEFT JOIN (SELECT f.query_id, count(*) AS n_common
+           FROM (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosf DESC, neighbor_id) AS rkf
+                 FROM mrl_scored_v) f
+           JOIN (SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cost DESC, neighbor_id) AS rkt
+                 FROM mrl_scored_v) t
+             ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+           WHERE f.rkf <= 10 AND t.rkt <= 10
+           GROUP BY f.query_id) ov
+  ON q.query_id = ov.query_id
+ORDER BY q.query_id""")
+  }
+
+  val qMrl = Q("q_mrl_recall", runMrl _, Some(mrlSql(DuckSql)))
 
   val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids, qKnn, qMrl)
 }
