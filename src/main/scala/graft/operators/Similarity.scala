@@ -130,6 +130,46 @@ ORDER BY query_id, rank"""
 
   val qIvf = Q("q_ann_ivf", run(ivfSql(SparkSql)), Some(ivfSql(DuckSql)))
 
+  /** Index-quality gate: recall@5 of the IVF index against the brute
+    * exact ground truth, per probe query — the number an ANN deployment
+    * watches when tuning nlists/nprobe (the ScaleSmoke probe asserts
+    * the index is sub-linear; this measures what that costs in recall).
+    * Integer overlap counts only; zero-recall queries stay as explicit
+    * rows. Shares `meta` between the two chains; at 100 TB the brute
+    * side runs over a small held-out probe set only, exactly as here
+    * (20 probes), so ground truth stays affordable.
+    */
+  private def ivfRecallSql(d: SqlDialect): String = {
+    val (_, cos) = normCos(d)
+    ivfCte(d) + s""",
+pairs AS (SELECT c.query_id, c.neighbor_id,
+                 q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+          FROM cand c JOIN meta q ON c.query_id = q.vec_id
+                      JOIN meta n ON c.neighbor_id = n.vec_id),
+scored AS (SELECT query_id, neighbor_id, $cos AS cos FROM pairs),
+ivfr AS (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored),
+bpairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+           FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+bscored AS (SELECT query_id, neighbor_id, $cos AS cos FROM bpairs),
+bru AS (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bscored),
+ov AS (SELECT i.query_id, count(*) AS n_common
+       FROM ivfr i JOIN bru b
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       WHERE i.rank <= 5 AND b.rank <= 5
+       GROUP BY i.query_id)
+SELECT q.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT vec_id AS query_id FROM meta WHERE vec_id < 20) q
+LEFT JOIN ov ON q.query_id = ov.query_id
+ORDER BY q.query_id"""
+  }
+
+  val qIvfRecall = Q("q_ann_ivf_recall", run(ivfRecallSql(SparkSql)), Some(ivfRecallSql(DuckSql)))
+
   /** Grouped embedding centroids with exact arithmetic: per group, the
     * per-dimension MEAN computed over milli-quantized components —
     * `sum(round(x·1000))` is an exact BIGINT fold (map-side
@@ -288,5 +328,5 @@ ORDER BY q.query_id""")
 
   val qMrl = Q("q_mrl_recall", runMrl _, Some(mrlSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBrute, qIvf, qCentroids, qKnn, qMrl)
+  val all: Seq[Q] = Seq(qBrute, qIvf, qIvfRecall, qCentroids, qKnn, qMrl)
 }

@@ -154,6 +154,18 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.count() == graft.Tables.documents(spark, dir).count())
   }
 
+  test("ivf recall: one row per probe, overlap in [0,5], multi-probe holds real recall") {
+    val out = Similarity.qIvfRecall.run(spark, dir).collect()
+    assert(out.length == 20)
+    val ns = out.map(_.getAs[Long]("n_common"))
+    assert(ns.forall(n => n >= 0L && n <= 5L))
+    // the multi-probe index must beat chance decisively — a broken
+    // assignment (wrong centroid join, probe list off-by-one) craters
+    // this to ~0 long before it fails the hash gate on fresh data
+    val mean = ns.sum.toDouble / ns.length
+    assert(mean > 3.0, s"mean recall@5 $mean — index quality collapsed")
+  }
+
   test("mrl recall: one row per probe query (zero-overlap included), overlap in [0,10]") {
     val out = Similarity.qMrl.run(spark, dir).collect()
     assert(out.length == 20)
