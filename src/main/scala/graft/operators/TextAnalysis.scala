@@ -229,6 +229,44 @@ ORDER BY w.doc_id""")
     },
     Some(repetitionSql(DuckSql)))
 
+  // ---- corpus vocabulary coverage (top-k terms + cumulative mass) ----
+
+  /** Vocabulary-design statistic: the top-200 terms by corpus frequency
+    * (non-distinct token counts) with each rank's CUMULATIVE share of
+    * all token mass in exact basis points — the curve that tells you
+    * what vocab size buys what coverage. The cumulative window runs
+    * over the top-200 relation only (cum mass at rank r needs exactly
+    * the ranks above r), so the one unpartitioned window touches 200
+    * rows regardless of corpus size; the global rank itself is a
+    * WindowGroupLimit-able top-k over the term-count aggregate. Ties
+    * break lexically for total determinism.
+    */
+  private val VocabTopK = 200
+
+  private def vocabSql(d: SqlDialect): String = {
+    val tkCte = d match {
+      case SparkSql => "tk AS (SELECT explode(split(text, ' ')) AS t FROM documents)"
+      case DuckSql => s"""dwv AS (SELECT ${d.split("text")} AS w, ${d.len(d.split("text"))} AS nw FROM documents),
+tv AS (${d.series("w", "nw", "j", "dwv")}),
+tk AS (SELECT ${d.el("w", "j")} AS t FROM tv)"""
+    }
+    s"""
+WITH $tkCte,
+tc AS (SELECT t, count(*) AS n FROM tk GROUP BY t),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tc),
+rk AS (SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rnk FROM tc),
+topk AS (SELECT * FROM rk WHERE rnk <= $VocabTopK),
+cum AS (SELECT t, n, rnk,
+               CAST(sum(n) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        FROM topk)
+SELECT CAST(rnk AS BIGINT) AS rnk, t AS term, CAST(n AS BIGINT) AS term_count,
+       ${d.idiv("10000 * cum_n", "total")} AS coverage_bp
+FROM cum, tt
+ORDER BY rnk"""
+  }
+
+  val qVocab = Q("q_vocab_coverage", run(vocabSql(SparkSql)), Some(vocabSql(DuckSql)))
+
   // ---- per-source boilerplate shingles (CCNet-style) ----
 
   /** Within-source boilerplate detection: a 5-gram shingle present in
@@ -486,5 +524,5 @@ ORDER BY doc_id"""
 
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms,
-      qTfIdf, qChunks, qNormalize, qBoilerplate)
+      qTfIdf, qChunks, qNormalize, qBoilerplate, qVocab)
 }

@@ -55,7 +55,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_sequence_pack", "q_corpus_mix", "q_reservoir_sample",
     "q_doc_containment", "q_mrl_recall", "q_text_normalize",
     "q_dedup_simhash64", "q_pagerank_dup", "q_weighted_sample",
-    "q_source_boilerplate", "q_split_leakage_safe", "q_ann_ivf_recall")
+    "q_source_boilerplate", "q_split_leakage_safe", "q_ann_ivf_recall",
+    "q_vocab_coverage")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {
