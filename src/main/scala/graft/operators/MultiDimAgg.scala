@@ -341,6 +341,46 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Exact WEIGHTED median (lower): per return flag, the smallest
+    * price (exact cents) whose cumulative l_quantity weight reaches
+    * half the group's total — the quantity-weighted "typical price" no
+    * Spark builtin provides (percentile/quantile are row-weighted).
+    * Pure integer arithmetic: the crossing test is `2·cum_w ≥ tot_w`.
+    * Tie-safety: rows with equal (price, w) may accumulate in any
+    * order, but a price group's END-of-group cumulative weight is
+    * order-free, and min(price) over crossing rows depends only on
+    * which group's end first reaches the threshold — so the result is
+    * deterministic in both engines despite the non-unique sort key.
+    * One shuffle on the group key; windows and the final min cluster
+    * on it.
+    */
+  private def weightedMedianSql(rel: String): String = s"""
+WITH t AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM $rel),
+c AS (SELECT flag, price_cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_cents, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             sum(w) OVER (PARTITION BY flag) AS tot_w
+      FROM t)
+SELECT flag AS l_returnflag,
+       CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(min(tot_w) AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cum_w >= tot_w
+GROUP BY flag
+ORDER BY l_returnflag"""
+
+  val qWeightedMedian = Q(
+    "q_weighted_median",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_wm")
+      spark.sql(weightedMedianSql("lineitem_wm"))
+    },
+    Some(weightedMedianSql("lineitem")))
+
   val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube,
-    qSetOps, qSessionWindowStream, qGroupingSets, qUnpivot, qMedianCont)
+    qSetOps, qSessionWindowStream, qGroupingSets, qUnpivot, qMedianCont,
+    qWeightedMedian)
 }
