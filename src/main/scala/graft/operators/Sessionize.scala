@@ -65,11 +65,14 @@ ORDER BY user_id, session_idx""")
 
   /** Funnel-stage analysis: how far does each user progress through the
     * ORDERED chain view → click → purchase (each step strictly after
-    * the previous one in event time)? Three conditional-min
-    * aggregations chained by time predicates — every join and groupBy
-    * keys on user_id, so the whole funnel reuses ONE hash partitioning
-    * (AQE broadcasts the shrinking per-stage tables at small scale; at
-    * 100 TB they're co-partitioned equi-joins). All-integer outputs.
+    * the previous one in event time)? Spelled as three chained
+    * conditional-min WINDOWS over one partitioning — ONE scan of the
+    * fact and one shuffle on user_id (the r6 plan audit showed the
+    * earlier join-chain spelling scanning events five times; the
+    * windows all preserve the same hash partitioning, so Spark runs
+    * them back-to-back with no re-exchange). NULL chaining carries the
+    * gate for free: no t_view ⇒ the click predicate is NULL ⇒ no
+    * t_click, exactly the old join semantics. All-integer outputs.
     *
     * The shared-SQL spelling runs verbatim in both engines.
     */
@@ -77,26 +80,26 @@ ORDER BY user_id, session_idx""")
     val ts = "ts_us"
     s"""
 WITH e AS (SELECT user_id, event_type, EPOCH_PLACEHOLDER AS $ts FROM events),
-s1 AS (SELECT user_id, min($ts) AS t_view FROM e
-       WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min($ts) AS t_click
-       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.$ts > s1.t_view
-       WHERE event_type = 'click' GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min($ts) AS t_purchase
-       FROM e JOIN s2 ON e.user_id = s2.user_id AND e.$ts > s2.t_click
-       WHERE event_type = 'purchase' GROUP BY e.user_id),
-funnel AS (
-  SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
-         CASE WHEN s3.user_id IS NOT NULL THEN 3
-              WHEN s2.user_id IS NOT NULL THEN 2
-              WHEN s1.user_id IS NOT NULL THEN 1
-              ELSE 0 END AS stage
-  FROM (SELECT DISTINCT user_id FROM e) u
-  LEFT JOIN s1 ON u.user_id = s1.user_id
-  LEFT JOIN s2 ON u.user_id = s2.user_id
-  LEFT JOIN s3 ON u.user_id = s3.user_id)
-SELECT user_id, CAST(stage AS BIGINT) AS stage, t_view, t_click, t_purchase,
-       CASE WHEN stage = 3 THEN t_purchase - t_view END AS funnel_us
+w1 AS (SELECT user_id, event_type, $ts,
+              min(CASE WHEN event_type = 'view' THEN $ts END)
+                OVER (PARTITION BY user_id) AS t_view
+       FROM e),
+w2 AS (SELECT user_id, event_type, $ts, t_view,
+              min(CASE WHEN event_type = 'click' AND $ts > t_view THEN $ts END)
+                OVER (PARTITION BY user_id) AS t_click
+       FROM w1),
+w3 AS (SELECT user_id, t_view, t_click,
+              min(CASE WHEN event_type = 'purchase' AND $ts > t_click THEN $ts END)
+                OVER (PARTITION BY user_id) AS t_purchase
+       FROM w2),
+funnel AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM w3)
+SELECT user_id,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       t_view, t_click, t_purchase,
+       CASE WHEN t_purchase IS NOT NULL THEN t_purchase - t_view END AS funnel_us
 FROM funnel
 ORDER BY user_id"""
   }
