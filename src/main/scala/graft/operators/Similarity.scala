@@ -330,7 +330,28 @@ WHERE p.pr = 1
 ORDER BY p.query_id"""
   }
 
-  val qKnn = Q("q_knn_classify", run(knnSql(SparkSql)), Some(knnSql(DuckSql)))
+  /** Spark side: the neighbor ranking is EXACTLY the cached brute
+    * relation (same cosine, same tie-break), so k-NN is a thin
+    * label-join + vote over `ann_brute_v` — nested subqueries, not a
+    * CTE, so the cache substitutes (StageViews note).
+    */
+  private def runKnn(spark: SparkSession, dir: String): DataFrame = {
+    ensureAnnStages(spark, dir)
+    spark.sql("""
+SELECT p.query_id, m.label AS true_label, p.nlabel AS predicted_label,
+       CAST(p.v AS BIGINT) AS votes
+FROM (SELECT query_id, nlabel, v,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS pr
+      FROM (SELECT b.query_id, n.label AS nlabel, count(*) AS v
+            FROM ann_brute_v b JOIN embeddings n ON b.neighbor_id = n.vec_id
+            WHERE b.rank <= 10
+            GROUP BY b.query_id, n.label) votes) p
+JOIN embeddings m ON p.query_id = m.vec_id
+WHERE p.pr = 1
+ORDER BY p.query_id""")
+  }
+
+  val qKnn = Q("q_knn_classify", runKnn _, Some(knnSql(DuckSql)))
 
   // ---- matryoshka truncation quality (recall@10 of 32-dim prefixes) ----
 
