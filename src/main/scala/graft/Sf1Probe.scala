@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * The driver ships sf0.001/0.01/0.1 only, so this probe synthesizes an
   * sf1-scale corpus under `target/sf1` by replicating sf0.1 `REPS`(=10)
-  * times with key columns shifted per replica (offset = max(key)+1 of
-  * the base, so replicas can never collide). Referential joins survive
-  * because foreign keys shift by the SAME offset as their primary key;
+  * times with key columns shifted per replica (offset = max+1 of the
+  * key's DOMAIN, read from the domain's defining table, so replicas can
+  * never collide). Referential joins survive because every column of a
+  * key domain — PK and FKs alike — shifts by that one shared offset;
   * the small dimension tables (region/nation/part/supplier) stay
   * unreplicated, exactly like a real 100 TB layout. Text/embedding
   * payloads are NOT perturbed — every document gains 10 exact copies,
@@ -27,37 +28,54 @@ object Sf1Probe {
   private val Reps = 10
 
   /** Replicate `df` `Reps` times, shifting each key column by
-    * replica × (max(key)+1 of the base).
+    * replica × its key DOMAIN's offset (pre-computed from the domain's
+    * defining table).
     */
-  private def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val base = df.cache()
-    val offsets: Map[String, Long] = keyCols.map { c =>
-      c -> (base.agg(max(col(c))).collect()(0).getAs[Number](0).longValue + 1L)
-    }.toMap
+  private def replicate(df: DataFrame, keyOffsets: Seq[(String, Long)]): DataFrame = {
     val parts = (0 until Reps).map { r =>
-      keyCols.foldLeft(base) { (d, c) =>
-        d.withColumn(c, col(c) + lit(r * offsets(c)))
+      keyOffsets.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(r * off))
       }
     }
-    val out = parts.reduce(_ unionAll _)
-    out
+    parts.reduce(_ unionAll _)
   }
 
   private def build(spark: SparkSession, src: String, out: String): Unit = {
-    val plans: Seq[(String, Seq[String])] = Seq(
+    // One offset per key DOMAIN, derived from the domain's defining
+    // (primary-key) table and applied to EVERY column referencing it.
+    // Deriving each column's offset independently breaks referential
+    // joins whenever the max PK value never appears in an FK column
+    // (orderless customers are standard in TPC-H-style data): replica
+    // r's o_custkey would land r·Δ away from replica r's c_custkey.
+    def domainOffset(table: String, keyCol: String): Long = {
+      val m = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(keyCol))).collect()(0)
+      require(!m.isNullAt(0),
+        s"sf1 probe: base table $table is empty — cannot derive the $keyCol domain offset")
+      m.getAs[Number](0).longValue + 1L
+    }
+    val dom: Map[String, Long] = Map(
+      "custkey" -> domainOffset("customer", "c_custkey"),
+      "orderkey" -> domainOffset("orders", "o_orderkey"),
+      "event_id" -> domainOffset("events", "event_id"),
+      "user_id" -> domainOffset("events", "user_id"),
+      "doc_id" -> domainOffset("documents", "doc_id"),
+      "vec_id" -> domainOffset("embeddings", "vec_id"))
+    val plans: Seq[(String, Seq[(String, String)])] = Seq(
       "region" -> Nil, "nation" -> Nil, "part" -> Nil, "supplier" -> Nil,
-      "customer" -> Seq("c_custkey"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "lineitem" -> Seq("l_orderkey"),
-      "events" -> Seq("event_id", "user_id"),
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"))
+      "customer" -> Seq("c_custkey" -> "custkey"),
+      "orders" -> Seq("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+      "lineitem" -> Seq("l_orderkey" -> "orderkey"),
+      "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
+      "documents" -> Seq("doc_id" -> "doc_id"),
+      "embeddings" -> Seq("vec_id" -> "vec_id"))
     plans.foreach { case (t, keys) =>
       val in = spark.read.parquet(s"$src/$t.parquet")
-      val rep = if (keys.isEmpty) in else replicate(in, keys)
+      val rep = if (keys.isEmpty) in
+                else replicate(in, keys.map { case (c, d) => c -> dom(d) })
       rep.write.mode("overwrite").parquet(s"$out/$t.parquet")
       spark.catalog.clearCache()
-      println(s"[sf1] built $t (${if (keys.isEmpty) "dim, as-is" else s"x$Reps on ${keys.mkString(",")}"})")
+      println(s"[sf1] built $t (${if (keys.isEmpty) "dim, as-is" else s"x$Reps on ${keys.map(_._1).mkString(",")}"})")
     }
   }
 
@@ -99,6 +117,24 @@ object Sf1Probe {
     failed.foreach(f => println(s"[sf1] FAILED: $f"))
     println("[sf1] slowest 10: " + results.sortBy(-_._2).take(10)
       .map { case (n, s, _) => f"$n=$s%.1f" }.mkString(", "))
+    // Persist the probe as a diffable per-round artifact (committed as
+    // SF1_rN.json): the 100×-scale evidence should live in the repo,
+    // not in commit messages.
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qjson = results.map { case (n, s, res) =>
+      val body = res match {
+        case Right(rows) => f"""{"sec":$s%.3f,"rows":$rows}"""
+        case Left(e)     => f"""{"sec":$s%.3f,"error":"${esc(e)}"}"""
+      }
+      s""""$n":$body"""
+    }.mkString(",")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/sf1_probe.json"),
+      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"queries":{$qjson}}""")
+    println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
   }
 }

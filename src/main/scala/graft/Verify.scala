@@ -6,12 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (local iteration only; the driver passes 2): a
-    // comma-separated query-name filter — dump + oracle subset.
+    // comma-separated query-name filter — dump + oracle subset — or the
+    // literal `--oracles-only`, which skips Spark execution entirely and
+    // dumps EVERY oracle (feeds tools/check.py's type sweep).
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
-    def keep(name: String): Boolean = only.forall(_.contains(name))
+    val oraclesOnly = only.contains(Set("--oracles-only"))
+    def keepQuery(name: String): Boolean =
+      !oraclesOnly && only.forall(_.contains(name))
+    def keepOracle(name: String): Boolean =
+      oraclesOnly || only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +27,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keepQuery(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +47,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => keepOracle(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

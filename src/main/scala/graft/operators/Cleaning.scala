@@ -44,7 +44,7 @@ object Cleaning {
            value AS maybe_inf,
            -value AS maybe_neg,
            upper(trim('  ' || event_type || ' ')) AS label,
-           CASE WHEN upper(trim('  ' || event_type || ' ')) = 'VIEW' THEN 0.0 ELSE 1.0 END AS binary_label
+           CAST(CASE WHEN upper(trim('  ' || event_type || ' ')) = 'VIEW' THEN 0.0 ELSE 1.0 END AS DOUBLE) AS binary_label
     FROM events
     WHERE event_id % 97 <> 0 AND event_id % 89 <> 0"""
 
@@ -77,7 +77,7 @@ object Cleaning {
         .orderBy("binary_label", "prediction")
     },
     Some(s"""SELECT binary_label,
-                    CASE WHEN maybe_inf > 50.0 THEN 1.0 ELSE 0.0 END AS prediction,
+                    CAST(CASE WHEN maybe_inf > 50.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
                     count(*) AS count
              FROM ($cleanedOracle)
              GROUP BY 1, 2 ORDER BY 1, 2""")

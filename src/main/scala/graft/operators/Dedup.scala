@@ -44,7 +44,23 @@ object Dedup {
     * exact dedup instead. The cap appears identically in the Spark SQL
     * and the DuckDB oracle.
     */
-  private[operators] val BandCap = 50L
+  private[operators] final val BandCap = 50L
+
+  /** Document-frequency cap for shingle-equality candidate joins
+    * (n-gram Jaccard, containment): shingles present in more than this
+    * many documents (boilerplate headers, stock phrases) are dropped
+    * before the pair join — the same skew bound as [[BandCap]], applied
+    * at the shingle level. Both engines apply it identically; score
+    * DENOMINATORS stay the full per-doc shingle count, so capping can
+    * only lower scores, never inflate.
+    *
+    * `final val` (compile-time constant, like [[BandCap]] and
+    * [[ContainBp]]): a plain object val initializes in declaration
+    * order, and a query val whose oracle string interpolates `$DfCap`
+    * from earlier in the file would silently capture 0 — which is
+    * exactly how the first capped ngram oracle shipped empty.
+    */
+  private[operators] final val DfCap = 100L
 
   // ================= shared stage views (Spark side) =================
 
@@ -133,36 +149,50 @@ ORDER BY text_hash"""
 
   // ================= n-gram Jaccard near-dup =================
 
+  /** Candidate generation is DF-capped like every other family: a
+    * shingle present in more than [[DfCap]] documents (boilerplate
+    * headers, stock phrases) is dropped BEFORE the equality self-join —
+    * without the cap one hot shingle in k docs emits k² intermediate
+    * pairs, a quadratic the small SFs absorb but 100 TB does not. The
+    * Jaccard DENOMINATOR stays the full per-doc shingle count, so
+    * capping can only LOWER scores (drop borderline pairs), never
+    * inflate them — the same one-sided exactness caveat as containment.
+    * Both engines apply the identical filter.
+    */
   private def ngramSql(d: SqlDialect): String = s"""
-WITH ${shingleBase(d)},${jacCtes("sh")}
+WITH ${shingleBase(d)},
+ndfq AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+nshf AS (SELECT s.doc_id, s.shingle FROM sh s
+         JOIN ndfq ON s.shingle = ndfq.shingle WHERE ndfq.nd <= $DfCap),${jacCtes("nshf")}
 SELECT doc_a, doc_b, jaccard FROM jac
 WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b"""
 
-  val qNgram = Q(
-    "q_dedup_ngram_jaccard",
-    (spark, dir) => {
-      ensureShingles(spark, dir, Tables.documents(spark, dir))
-      spark.sql(s"""
-SELECT doc_a, doc_b, jaccard FROM (${jacSub("sh_v")}) j
+  /** Spark-side capped shingle relation (inline subquery over the
+    * cached `sh_v` stage, so the cache substitutes — StageViews note).
+    */
+  private def cappedShingles: String = s"""(SELECT s.doc_id, s.shingle FROM sh_v s
+      JOIN (SELECT shingle, count(*) AS nd FROM sh_v GROUP BY shingle) ndfq
+        ON s.shingle = ndfq.shingle WHERE ndfq.nd <= $DfCap)"""
+
+  private[graft] def ngramJaccardOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureShingles(spark, key, docs)
+    spark.sql(s"""
+SELECT doc_a, doc_b, jaccard FROM (${jacSub(cappedShingles)}) j
 WHERE jaccard >= 0.5
 ORDER BY doc_a, doc_b""")
-    },
+  }
+
+  val qNgram = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => ngramJaccardOn(spark, dir, Tables.documents(spark, dir)),
     Some(ngramSql(DuckSql)))
 
   // ================= shingle-containment near-dup =================
 
-  /** Document-frequency cap for the containment join: shingles present
-    * in more than this many documents (boilerplate headers, stock
-    * phrases) are dropped before the pair join — the same skew bound as
-    * [[BandCap]], applied at the shingle level. Both engines apply it
-    * identically; the containment DENOMINATOR stays the full per-doc
-    * shingle count, so capping can only lower scores, never inflate.
-    */
-  private[operators] val DfCap = 100L
-
   /** Containment threshold in basis points (0.70). */
-  private[operators] val ContainBp = 7000L
+  private[operators] final val ContainBp = 7000L
 
   /** Directed containment C(A→B) = |S(A)∩S(B)| / |S(A)|: detects A
     * being quoted/embedded inside a larger B, which symmetric Jaccard
@@ -438,8 +468,11 @@ ORDER BY comp.doc_id"""
 
   private def pagerankSql(d: SqlDialect): String = {
     val iterCtes = (1 to PrIters).map { k =>
+      // CAST: DuckDB widens sum(BIGINT) to HUGEINT (INT128); uncast, the
+      // oracle column arrives as INT128 and the driver's typed hash
+      // mismatches Spark's BIGINT despite integer-equal values.
       s"""r$k AS (SELECT e.v AS id,
-           150000 + ${d.idiv(s"85 * sum(${d.idiv("p.r", "g.d")})", "100")} AS r
+           CAST(150000 + ${d.idiv(s"85 * sum(${d.idiv("p.r", "g.d")})", "100")} AS BIGINT) AS r
          FROM se e JOIN r${k - 1} p ON e.u = p.id JOIN dg g ON g.u = e.u
          GROUP BY e.v)"""
     }.mkString(",\n")

@@ -35,7 +35,7 @@ object Detection {
     Some(s"""WITH flows AS (${FlowFeatureSql.oracleBody})
 SELECT flow_id, source_ip, destination_ip, flow_packets_s, syn_flag_count,
        total_fwd_packets, total_backward_packets,
-       CASE WHEN flow_packets_s >= 1 AND total_fwd_packets + total_backward_packets >= 8 THEN 1.0 ELSE 0.0 END AS prediction,
+       CAST(CASE WHEN flow_packets_s >= 1 AND total_fwd_packets + total_backward_packets >= 8 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
        CASE WHEN flow_packets_s >= 1 AND total_fwd_packets + total_backward_packets >= 8 THEN 'DDoS' ELSE 'Normal' END AS Label
 FROM flows
 WHERE instr(flow_id, '_TIMEOUT') > 0

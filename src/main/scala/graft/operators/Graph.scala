@@ -74,6 +74,25 @@ object Graph {
     orient(relink.union(mins.select(col("u"), col("m").as("v"))))
   }
 
+  /** One large-star ∘ small-star round over raw (u, v) pairs — exposed
+    * for PlanHygieneSpec: the converged loop localCheckpoints every
+    * round, so the final output's physical plan no longer contains the
+    * iterated join shape and a plan sweep over the query result would
+    * silently skip it.
+    */
+  private[graft] def ccRound(edges: DataFrame): DataFrame =
+    smallStar(largeStar(orient(edges)))
+
+  /** One PageRank power-iteration round: (u, v, d) weighted edges ⋈
+    * (id, r) ranks → next ranks. Exposed for the same plan-sweep reason
+    * as [[ccRound]]; [[pageRankInt]] iterates exactly this.
+    */
+  private[graft] def prRound(edges: DataFrame, ranks: DataFrame): DataFrame =
+    edges.join(ranks, edges("u") === ranks("id"))
+      .select(col("v").as("id"), expr("r DIV d").as("c"))
+      .groupBy("id")
+      .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
+
   /** Edge count under which the whole graph is solved on the driver —
     * the same adaptive logic as a broadcast join threshold: a verified
     * duplicate-pair graph is typically orders of magnitude smaller than
@@ -181,11 +200,7 @@ object Graph {
     val nodes = edges.select(col("u").as("id")).distinct()
     var r = nodes.select(col("id"), lit(1000000L).as("r")).localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val next = edges.join(r, edges("u") === r("id"))
-        .select(col("v").as("id"), expr("r DIV d").as("c"))
-        .groupBy("id")
-        .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
-        .localCheckpoint(true)
+      val next = prRound(edges, r).localCheckpoint(true)
       r.unpersist(blocking = false)
       r = next
     }

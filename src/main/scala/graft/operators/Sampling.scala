@@ -93,12 +93,20 @@ SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, user_id
 FROM r WHERE rk <= $ReservoirK
 ORDER BY event_type, rk"""
 
+  /** Reservoir over a caller-supplied events frame — the test seam for
+    * the partition-invariance spec: run() registers the BASE table as
+    * the `events` view, which would clobber any repartitioned view a
+    * test had registered under the same name.
+    */
+  private[graft] def reservoirOn(spark: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    events.createOrReplaceTempView("events")
+    spark.sql(reservoirSql(SparkSql))
+  }
+
   val qReservoir = Q(
     "q_reservoir_sample",
-    (spark, dir) => {
-      graft.Tables.events(spark, dir).createOrReplaceTempView("events")
-      spark.sql(reservoirSql(SparkSql))
-    },
+    (spark, dir) => reservoirOn(spark, graft.Tables.events(spark, dir)),
     Some(reservoirSql(DuckSql)))
 
   /** Token-weighted deterministic subsampling: include each document

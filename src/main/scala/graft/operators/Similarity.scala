@@ -85,13 +85,19 @@ ORDER BY query_id, rank"""
   private def ensureAnnStages(spark: SparkSession, dir: String): Unit = {
     graft.functions.CosineSimilarity.register(spark)
     StageViews.embeddings(spark, dir)
-    // every vector's centroid ranking (broadcast ≤4096-row centroid table)
+    // Every vector's centroid ranking (broadcast ≤4096-row centroid
+    // table). The ranking itself is O(n·nlists) COMPUTE, but only the
+    // rows downstream actually reads survive into the cache — members
+    // (rnk = 1, O(n)) and the 20 probe queries' probe lists — so the
+    // cached stage is O(n), not the n^1.5 full ranking.
     StageViews.ensureCached(spark, "ann_asg_v", dir)(spark.sql(s"""
-SELECT /*+ BROADCAST(c) */ m.vec_id, c.cid,
-       ROW_NUMBER() OVER (PARTITION BY m.vec_id
-                          ORDER BY cosine_similarity(m.embedding, c.embedding) DESC, c.cid) AS rnk
-FROM embeddings m CROSS JOIN
-     (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $nlSub) c"""))
+SELECT vec_id, cid, rnk FROM (
+  SELECT /*+ BROADCAST(c) */ m.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                            ORDER BY cosine_similarity(m.embedding, c.embedding) DESC, c.cid) AS rnk
+  FROM embeddings m CROSS JOIN
+       (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $nlSub) c)
+WHERE rnk = 1 OR (vec_id < 20 AND rnk <= $npSub)"""))
     // exact ground-truth ranks for the probe queries (top-10 kept)
     StageViews.ensureCached(spark, "ann_brute_v", dir)(spark.sql("""
 SELECT query_id, neighbor_id, rank FROM (
@@ -323,7 +329,8 @@ votes AS (SELECT query_id, nlabel, count(*) AS v
 pred AS (SELECT query_id, nlabel, v,
                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS pr
          FROM votes)
-SELECT p.query_id, m.label AS true_label, p.nlabel AS predicted_label,
+SELECT p.query_id, CAST(m.label AS BIGINT) AS true_label,
+       CAST(p.nlabel AS BIGINT) AS predicted_label,
        CAST(p.v AS BIGINT) AS votes
 FROM pred p JOIN meta m ON p.query_id = m.vec_id
 WHERE p.pr = 1
@@ -338,7 +345,8 @@ ORDER BY p.query_id"""
   private def runKnn(spark: SparkSession, dir: String): DataFrame = {
     ensureAnnStages(spark, dir)
     spark.sql("""
-SELECT p.query_id, m.label AS true_label, p.nlabel AS predicted_label,
+SELECT p.query_id, CAST(m.label AS BIGINT) AS true_label,
+       CAST(p.nlabel AS BIGINT) AS predicted_label,
        CAST(p.v AS BIGINT) AS votes
 FROM (SELECT query_id, nlabel, v,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS pr

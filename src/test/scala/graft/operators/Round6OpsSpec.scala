@@ -66,9 +66,10 @@ class Round6OpsSpec extends AnyFunSuite {
       assert(sizes(t) == math.min(Sampling.ReservoirK.toLong, n))
     }
     // determinism: a differently-partitioned input draws the same rows
-    graft.Tables.events(spark, dir).repartition(13)
-      .createOrReplaceTempView("events")
-    val again = Sampling.qReservoir.run(spark, dir).collect().toSet
+    // (fed through reservoirOn — run() re-registers the base `events`
+    // view and would clobber a repartitioned view of the same name)
+    val again = Sampling.reservoirOn(spark,
+      graft.Tables.events(spark, dir).repartition(13)).collect().toSet
     assert(again == out.collect().toSet)
   }
 

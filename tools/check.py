@@ -21,6 +21,19 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Every oracle output column must land on one of these DuckDB types.
+# Anything else — above all HUGEINT, which DuckDB silently widens
+# sum(BIGINT) to — makes the driver's TYPED hash mismatch Spark's output
+# even when every value is integer-equal (round-6 q_pagerank_dup).
+ALLOWED_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+def typecheck(con, sql):
+    """Return [(col, type), ...] for columns outside ALLOWED_TYPES."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) not in ALLOWED_TYPES]
+
 
 def norm(v):
     if isinstance(v, float):
@@ -30,12 +43,40 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
+    return con
+
+
+def types_only(sf_dir, out_dir):
+    """Sweep ONLY oracle output types (no Spark results needed).
+
+    Pair with `runMain graft.Verify <sf> <out> --oracles-only`, which
+    dumps every oracle's SQL without executing any Spark query.
+    """
+    con = connect(sf_dir)
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            bad = typecheck(con, sql)
+        except Exception as e:
+            bad = [("<oracle error>", str(e))]
+        if bad:
+            n_fail += 1
+            print(f"[FAIL] {name} — {bad}")
+        else:
+            print(f"[PASS] {name}")
+    print(f"\n{len(oracles) - n_fail} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
@@ -61,6 +102,9 @@ def main(sf_dir, out_dir):
 
 def compare(con, sql, spark_dir):
     try:
+        bad = typecheck(con, sql)
+        if bad:
+            return "FAIL", f"oracle type(s) outside {sorted(ALLOWED_TYPES)}: {bad}"
         oracle = con.execute(sql)
         ocols = [d[0] for d in oracle.description]
         orows = oracle.fetchall()
@@ -87,4 +131,6 @@ def compare(con, sql, spark_dir):
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--types":
+        sys.exit(types_only(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
