@@ -800,12 +800,72 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
 
   val qSimhash64 = Q("q_dedup_simhash64", runSimhash64 _, Some(simhash64Sql(DuckSql)))
 
-  // ================= embedding cosine near-dup (12-bit sign-bucket LSH) =================
+  // ============ embedding cosine near-dup (adaptive sign-bucket LSH) ============
 
+  /** Target mean occupancy of an embedding sign-bucket. The bucket
+    * modulus (a power of two) doubles until expected members-per-bucket
+    * ≤ this, so the candidate self-join emits O(n · EmbedTargetBucket)
+    * pairs — LINEAR in corpus size. The previous fixed 12-bit scheme
+    * held 4096 buckets at every n, so expected pairs grew as n²/4096:
+    * invisible at sf0.1, ~3×10¹⁰ pairs per bucket at 10⁹ vectors.
+    */
+  private[operators] final val EmbedTargetBucket = 16L
+
+  /** Skew backstop — the [[BandCap]] of this family. Balanced sign bits
+    * keep buckets near [[EmbedTargetBucket]] in expectation, but a
+    * mega-cluster of near-identical vectors (or adversarially
+    * sign-aligned data) concentrates in ONE bucket no matter how many
+    * bits the modulus uses; such a bucket is dropped whole BEFORE the
+    * self-join, so no single bucket can emit a quadratic pair set.
+    * Dropped clusters are exactly the ones exact dedup already catches
+    * (identical vectors), the same trade-off [[BandCap]] documents.
+    * Applied identically in both engines; at driver scale the max
+    * observed bucket is ~32, so the cap only binds under planted skew
+    * (Round8OpsSpec).
+    */
+  private[operators] final val EmbedBucketCap = 200L
+
+  /** Adaptive-modulus range: the sign word packs the signs of the first
+    * 48 of 64 dims into a BIGINT; the modulus ranges over 2³..2⁴⁸
+    * (2⁴⁸ · EmbedTargetBucket ≈ 4.5×10¹⁵ vectors before saturation).
+    */
+  private[operators] final val EmbedMinBits = 3
+  private[operators] final val EmbedMaxBits = 48
+
+  /** 48-bit sign word: bit i−1 set iff embedding[i] ≥ 0. Masking this
+    * with a power-of-two modulus selects the first k sign bits — the
+    * driver corpus' per-dim sign balance is ~0.5 (measured), so buckets
+    * stay near-uniform at any k.
+    */
+  private def signWord(d: SqlDialect): String = (1 to EmbedMaxBits)
+    .map(i =>
+      s"(CASE WHEN ${d.el("embedding", i.toString)} >= 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  /** Smallest power-of-two modulus m with m · EmbedTargetBucket ≥ 2n,
+    * as a scalar subquery over a LITERAL powers table — pure integer
+    * arithmetic, identical text in both engines. A `ceil(log2(...))`
+    * spelling would hand each engine's libm a power-of-two boundary
+    * where one rounds 6.999… and the other 7.0, silently diverging the
+    * bucketing — the cross-engine float-determinism class of bug this
+    * catalog bans.
+    */
+  private def embedModulusSub: String = {
+    val powers = (EmbedMinBits to EmbedMaxBits)
+      .map(k => s"(CAST(${1L << k} AS BIGINT))")
+      .mkString(", ")
+    s"""(SELECT coalesce(min(p), CAST(${1L << EmbedMaxBits} AS BIGINT))
+   FROM (VALUES $powers) pw(p)
+   WHERE p * $EmbedTargetBucket >= (SELECT 2 * count(*) FROM embeddings))"""
+  }
+
+  /** Oracle rendering: doubled corpus → adaptive sign-bucket →
+    * frequency cap → bucket-equality candidate join → exact cosine
+    * verify. The Spark side restates the same computation over the
+    * cached [[ensureEmbedBuckets]] stage (CTE mentions would re-derive
+    * the union per reference — StageViews note).
+    */
   private def embedSql(d: SqlDialect): String = {
-    val bucket = (1 to 12)
-      .map(i => s"(CASE WHEN ${d.el("embedding", i.toString)} >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-      .mkString(" + ")
     // Spark side: native codegen'd expression; oracle: identical
     // sequential math (see Similarity.normCos)
     val (normExpr, cosExpr) = d match {
@@ -822,23 +882,80 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings
 ),
-meta AS (SELECT vec_id, embedding, $normExpr AS nrm, $bucket AS bucket FROM corpus),
+meta AS (SELECT vec_id, embedding, $normExpr AS nrm,
+                (${signWord(d)}) % $embedModulusSub AS bucket
+         FROM corpus),
+bf AS (SELECT bucket, count(*) AS nmem FROM meta GROUP BY bucket),
+metaf AS (SELECT m.vec_id, m.embedding, m.nrm, m.bucket
+          FROM meta m JOIN bf f ON m.bucket = f.bucket
+          WHERE f.nmem <= $EmbedBucketCap),
 pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
-          FROM meta a JOIN meta b
+          FROM metaf a JOIN metaf b
             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b FROM pairs
 WHERE $cosExpr >= 0.995
 ORDER BY vec_a, vec_b"""
   }
 
+  /** Register the cached bucketed corpus for `key`: the doubled corpus
+    * with its adaptive sign-bucket, read by the frequency cap and both
+    * sides of the candidate self-join (4 mentions — the cache is one
+    * corpus pass instead of four).
+    */
+  private[graft] def ensureEmbedBuckets(spark: SparkSession, key: String,
+      emb: => DataFrame): Unit = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    StageViews.ensureCached(spark, "emb_bkt_v", key)(spark.sql(s"""
+SELECT vec_id, embedding,
+       (${signWord(SparkSql)}) % $embedModulusSub AS bucket
+FROM (SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings)"""))
+    ()
+  }
+
+  /** Frequency-capped bucketed corpus (Spark side of `metaf`). */
+  private def cappedBuckets: String = s"""(SELECT m.vec_id, m.embedding, m.bucket
+      FROM emb_bkt_v m JOIN (SELECT bucket, count(*) AS nmem FROM emb_bkt_v GROUP BY bucket) f
+        ON m.bucket = f.bucket
+      WHERE f.nmem <= $EmbedBucketCap)"""
+
+  private[graft] def embedOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame = {
+    ensureEmbedBuckets(spark, key, emb)
+    spark.sql(s"""
+SELECT vec_a, vec_b FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         cosine_similarity(a.embedding, b.embedding) AS cs
+  FROM $cappedBuckets a JOIN $cappedBuckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cs >= 0.995
+ORDER BY vec_a, vec_b""")
+  }
+
+  /** Candidate (pre-verify) pair count — the quantity Round8OpsSpec
+    * bounds on a planted dense bucket.
+    */
+  private[graft] def embedCandidatesOn(spark: SparkSession, key: String,
+      emb: => DataFrame): Long = {
+    ensureEmbedBuckets(spark, key, emb)
+    spark.sql(s"""
+SELECT count(*) AS n FROM $cappedBuckets a JOIN $cappedBuckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id""").head().getLong(0)
+  }
+
+  /** The adaptive modulus chosen for `key`'s corpus (spec observability). */
+  private[graft] def embedModulusOn(spark: SparkSession, key: String,
+      emb: => DataFrame): Long = {
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(s"SELECT $embedModulusSub AS m").head().getLong(0)
+  }
+
   val qEmbed = Q(
     "q_dedup_embedding",
-    (spark, dir) => {
-      graft.functions.CosineSimilarity.register(spark)
-      StageViews.embeddings(spark, dir)
-      spark.sql(embedSql(SparkSql))
-    },
+    (spark, dir) => embedOn(spark, dir, Tables.embeddings(spark, dir)),
     Some(embedSql(DuckSql)))
 
   // ================= streaming exact dedup =================

@@ -27,6 +27,9 @@ class Round7OpsSpec extends AnyFunSuite {
     val out = Dedup.ngramJaccardOn(spark, "hotshingle-r7", docs)
     assert(out.count() == 0, "no pair shares enough low-DF shingles to pass 0.5")
 
+    // sh_v is read directly below — make the stage dependency explicit
+    // rather than relying on ngramJaccardOn's registration order
+    Dedup.ensureShingles(spark, "hotshingle-r7", docs)
     // The INTERMEDIATE pair relation is what the cap bounds: uncapped,
     // the one hot shingle alone emits k·(k−1)/2 pairs (the quadratic the
     // judge flagged); capped, it contributes zero.

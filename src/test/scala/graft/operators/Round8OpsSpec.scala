@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 behavioral specs: the embedding near-dup candidate join is
+  * bounded (adaptive modulus + bucket-frequency cap) — the last
+  * candidate-generation family to get a skew bound.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 64-dim embedding whose first 6 signs encode `j` (bit set →
+    * positive) and whose remaining dims are negative — with a 64-bucket
+    * modulus the vector lands in bucket `j`.
+    */
+  private def patterned(j: Int): Array[Float] =
+    Array.tabulate(64) { d =>
+      if (d < 6) { if (((j >> d) & 1) == 1) 1.0f else -1.0f }
+      else -0.5f - 0.01f * ((j + d) % 7)
+    }
+
+  /** All-positive embedding (bucket = modulus − 1 at any modulus) with
+    * per-vector jitter so dense-bucket members are not exact copies.
+    */
+  private def allPositive(i: Int): Array[Float] =
+    Array.tabulate(64)(d => 1.0f + 0.001f * ((i * (d + 1)) % 7))
+
+  test("embedding near-dup: planted dense bucket is frequency-capped out of the self-join") {
+    import spark.implicits._
+    val nDense = 300 // doubled corpus puts 600 > EmbedBucketCap=200 in one bucket
+    val nOk = 20
+    val emb =
+      ((0 until nOk).map(j => (j.toLong, patterned(j))) ++
+        (0 until nDense).map(i => (100L + i, allPositive(i))))
+        .toDF("vec_id", "embedding")
+
+    // corpus = 640 rows → smallest 2^k with 2^k·16 ≥ 640 is 64
+    assert(Dedup.embedModulusOn(spark, "dense-r8", emb) == 64L)
+    Dedup.ensureEmbedBuckets(spark, "dense-r8", emb) // registers emb_bkt_v
+
+    // UNCAPPED, the dense bucket alone would emit 600·599/2 pairs —
+    // the n²-class blow-up the cap exists for; the 20 patterned vectors
+    // contribute one (self, shifted-self) pair each.
+    val uncapped = spark.sql("""
+      SELECT count(*) FROM emb_bkt_v a
+      JOIN emb_bkt_v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""")
+      .head().getLong(0)
+    assert(uncapped == 600L * 599 / 2 + nOk, s"uncapped fan-out: $uncapped")
+
+    // Capped: the dense bucket is dropped whole; only the 20 two-member
+    // buckets survive into the candidate join.
+    val capped = Dedup.embedCandidatesOn(spark, "dense-r8", emb)
+    assert(capped == nOk.toLong, s"capped candidates: $capped")
+
+    // …and the verified output is exactly the 20 true duplicate pairs
+    // (each patterned vector with its IdShift copy, cosine 1.0); the
+    // dense mega-cluster is the documented exact-dedup hand-off.
+    val pairs = Dedup.embedOn(spark, "dense-r8", emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == (0 until nOk).map(j => (j.toLong, 10000000L + j)))
+  }
+
+  test("embedding near-dup: bucket modulus doubles with corpus size") {
+    import spark.implicits._
+    def corpus(n: Int) =
+      spark.range(n).selectExpr("id AS vec_id", "array_repeat(CAST(1.0 AS FLOAT), 64) AS embedding")
+    // 2n=1000 → 64·16=1024 ≥ 1000; 2n=10000 → 1024·16=16384 ≥ 10000
+    assert(Dedup.embedModulusOn(spark, "mod-500-r8", corpus(500)) == 64L)
+    assert(Dedup.embedModulusOn(spark, "mod-5000-r8", corpus(5000)) == 1024L)
+  }
+}
