@@ -89,9 +89,10 @@ object ScaleSmoke {
         s"containment pairs grew x$pairRatio for x$inputRatio input — candidate join not linear")
     }
 
-    // ---- IVF ANN: adaptive nlists ≈ √n with multi-probe ≈ √nlists, so
-    // probed candidate rows must grow ~n^(3/4) — SUB-linearly. We assert
-    // it: probed(×mN)/probed(×m1) must be well under the input ratio.
+    // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
+    // multi-probe at both levels, so probed candidate rows must grow
+    // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)
+    // must be well under the input ratio.
     val emb = Tables.embeddings(spark, sfDir).cache()
     val nVec = emb.count()
     val ivfResults = multiples.map { m =>

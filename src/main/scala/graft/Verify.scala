@@ -12,12 +12,20 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [name,name,... | --oracles-only[,name,...]]")
+        sys.exit(2)
     }
-    val oraclesOnly = only.contains(Set("--oracles-only"))
+    // sentinel detected per-token, so `--oracles-only,q_x` means "dump
+    // only q_x's oracle, run no Spark" rather than silently treating the
+    // sentinel as a (nonexistent) query name
+    val oraclesOnly = only.exists(_.contains("--oracles-only"))
+    val filter = only.map(_ - "--oracles-only").filter(_.nonEmpty)
     def keepQuery(name: String): Boolean =
-      !oraclesOnly && only.forall(_.contains(name))
+      !oraclesOnly && filter.forall(_.contains(name))
     def keepOracle(name: String): Boolean =
-      oraclesOnly || only.forall(_.contains(name))
+      filter.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -10,11 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    of the corpus (the 100 TB path would shard the corpus and merge
   *    per-shard top-k, which is exactly what Spark's window-rank over a
   *    hash-partitioned join does);
-  *  - IVF: an adaptive inverted file — nlists = min(4096, ⌈√n⌉)
-  *    (broadcast centroid table, no corpus shuffle for assignment),
-  *    each vector assigned to its nearest list, queries multi-probe
-  *    the nearest max(2, ⌈√nlists⌉) lists — probed rows ≈ n^(3/4),
-  *    sub-linear in corpus size.
+  *  - IVF: a TWO-LEVEL adaptive inverted file — T = ⌈√n⌉ total lists
+  *    factored as nl1 = min(4096, ⌈√T⌉) coarse cells × nl2 = ⌈T/nl1⌉
+  *    sub-cells per cell, so the list count tracks √n with NO ceiling
+  *    (the former single-level 4096 cap froze T at 16.7M vectors);
+  *    assignment applies the same broadcast-centroid join shape twice
+  *    (O(n·(nl1+nl2)) = O(n·n^(1/4)) cosines, vs O(n·√n) single-level),
+  *    and queries multi-probe np1 = max(2, ⌈√nl1⌉) cells ×
+  *    np2 = max(2, ⌈√nl2⌉) sub-cells — probed rows ≈ n^(3/4),
+  *    sub-linear in corpus size at every n.
   *
   * Outputs are (query, rank, neighbor) only — integer-exact across
   * engines; cosine doubles stay internal so cross-engine summation-order
@@ -76,28 +80,63 @@ ORDER BY query_id, rank"""
   // the standalone queries emit, exactly the dedup-family pattern.
   // The oracles keep the self-contained CTE spelling.
 
-  /** nlists scalar (adaptive, capped) as a SQL subexpression. */
-  private val nlSub = "(SELECT LEAST(4096, CAST(ceil(sqrt(count(*))) AS INT)) FROM embeddings)"
-  /** nprobe scalar derived from nlists. */
-  private val npSub =
-    s"(SELECT GREATEST(2, CAST(ceil(sqrt(LEAST(4096, CAST(ceil(sqrt(count(*))) AS INT)))) AS INT)) FROM embeddings)"
+  // Two-level IVF params, each a scalar subquery over count(*) so both
+  // engines agree at every scale factor with no out-of-band input.
+  // sqrt is IEEE-correctly-rounded (identical across libms — unlike
+  // log2, which the embedding-dedup modulus therefore avoids), and the
+  // nl2 division is exact in doubles (both operands < 2²⁶).
+
+  /** T = total inverted lists ≈ √n (uncapped — the point of 2 levels). */
+  private val tSub =
+    "(SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS INT)) FROM embeddings)"
+  /** Level-1 cell count ⌈√T⌉ ≈ n^(1/4); 4096 caps the broadcast table
+    * (reached only past n ≈ 2.8×10¹⁴ — a third level's territory). */
+  private val nl1Sub = s"(SELECT LEAST(4096, CAST(ceil(sqrt($tSub)) AS INT)))"
+  /** Sub-cells per level-1 cell: ⌈T/nl1⌉. */
+  private val nl2Sub = s"(SELECT CAST(ceil(CAST($tSub AS DOUBLE) / $nl1Sub) AS INT))"
+  private val np1Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl1Sub)) AS INT)))"
+  private val np2Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl2Sub)) AS INT)))"
 
   private def ensureAnnStages(spark: SparkSession, dir: String): Unit = {
     graft.functions.CosineSimilarity.register(spark)
     StageViews.embeddings(spark, dir)
-    // Every vector's centroid ranking (broadcast ≤4096-row centroid
-    // table). The ranking itself is O(n·nlists) COMPUTE, but only the
-    // rows downstream actually reads survive into the cache — members
-    // (rnk = 1, O(n)) and the 20 probe queries' probe lists — so the
-    // cached stage is O(n), not the n^1.5 full ranking.
-    StageViews.ensureCached(spark, "ann_asg_v", dir)(spark.sql(s"""
-SELECT vec_id, cid, rnk FROM (
-  SELECT /*+ BROADCAST(c) */ m.vec_id, c.cid,
+    // Level-1 assignment ranking (broadcast ≤4096-row centroid table).
+    // PRUNED view — the name is the contract: only the rows the two
+    // consumers below read survive into the cache — cell membership
+    // (rnk = 1, O(n)) and the 20 probe queries' probe lists
+    // (rnk ≤ np1). A consumer wanting other ranks must extend THIS
+    // predicate, not read around it.
+    StageViews.ensureCached(spark, "ann_asg1_pruned_v", dir)(spark.sql(s"""
+SELECT vec_id, c1, rnk FROM (
+  SELECT /*+ BROADCAST(c) */ m.vec_id, c.c1,
          ROW_NUMBER() OVER (PARTITION BY m.vec_id
-                            ORDER BY cosine_similarity(m.embedding, c.embedding) DESC, c.cid) AS rnk
+                            ORDER BY cosine_similarity(m.embedding, c.embedding) DESC, c.c1) AS rnk
   FROM embeddings m CROSS JOIN
-       (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $nlSub) c)
-WHERE rnk = 1 OR (vec_id < 20 AND rnk <= $npSub)"""))
+       (SELECT vec_id AS c1, embedding FROM embeddings WHERE vec_id < $nl1Sub) c)
+WHERE rnk = 1 OR (vec_id < 20 AND rnk <= $np1Sub)"""))
+    // Level-2 sub-centroids: the first nl2 members of each level-1 cell
+    // by vec_id — a deterministic per-cell seed both engines reproduce.
+    // Narrow (c1, c2) only; embeddings joined at use sites.
+    StageViews.ensureCached(spark, "ann_cent2_v", dir)(spark.sql(s"""
+SELECT c1, c2 FROM (
+  SELECT c1, vec_id AS c2, ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) AS srnk
+  FROM ann_asg1_pruned_v WHERE rnk = 1)
+WHERE srnk <= $nl2Sub"""))
+    // Level-2 assignment — the SAME join shape one level down: each
+    // (vector, cell) row ranks that cell's sub-centroids. Members rank
+    // their home cell only; probe queries rank every probed cell.
+    // Pruned to the consumers' contract like level 1: membership rows
+    // (home cell, rnk = 1) + probe rows (rnk ≤ np2).
+    StageViews.ensureCached(spark, "ann_asg2_pruned_v", dir)(spark.sql(s"""
+SELECT vec_id, c1, c2, a1rnk, rnk FROM (
+  SELECT /*+ BROADCAST(c) */ p.vec_id, p.c1, p.rnk AS a1rnk, c.c2,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.c1
+                            ORDER BY cosine_similarity(me.embedding, ce.embedding) DESC, c.c2) AS rnk
+  FROM ann_asg1_pruned_v p
+  JOIN ann_cent2_v c ON p.c1 = c.c1
+  JOIN embeddings me ON p.vec_id = me.vec_id
+  JOIN embeddings ce ON c.c2 = ce.vec_id)
+WHERE (a1rnk = 1 AND rnk = 1) OR (vec_id < 20 AND rnk <= $np2Sub)"""))
     // exact ground-truth ranks for the probe queries (top-10 kept)
     StageViews.ensureCached(spark, "ann_brute_v", dir)(spark.sql("""
 SELECT query_id, neighbor_id, rank FROM (
@@ -106,16 +145,17 @@ SELECT query_id, neighbor_id, rank FROM (
                             ORDER BY cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
   FROM embeddings q JOIN embeddings n ON q.vec_id < 20 AND n.vec_id <> q.vec_id)
 WHERE rank <= 10"""))
-    // IVF: multi-probe candidates reranked exactly (top-5 kept)
+    // IVF: (cell, sub-cell)-probed candidates reranked exactly (top-5)
     StageViews.ensureCached(spark, "ann_ivfr_v", dir)(spark.sql(s"""
 SELECT query_id, neighbor_id, rank FROM (
   SELECT p.query_id, m.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY p.query_id
                             ORDER BY cosine_similarity(q.embedding, n.embedding) DESC, m.vec_id) AS rank
-  FROM (SELECT vec_id AS query_id, cid FROM ann_asg_v
-        WHERE vec_id < 20 AND rnk <= $npSub) p
-  JOIN (SELECT vec_id, cid FROM ann_asg_v WHERE rnk = 1) m
-    ON p.cid = m.cid AND m.vec_id <> p.query_id
+  FROM (SELECT vec_id AS query_id, c1, c2 FROM ann_asg2_pruned_v
+        WHERE vec_id < 20 AND rnk <= $np2Sub) p
+  JOIN (SELECT vec_id, c1, c2 FROM ann_asg2_pruned_v
+        WHERE a1rnk = 1 AND rnk = 1) m
+    ON p.c1 = m.c1 AND p.c2 = m.c2 AND m.vec_id <> p.query_id
   JOIN embeddings q ON p.query_id = q.vec_id
   JOIN embeddings n ON m.vec_id = n.vec_id)
 WHERE rank <= 5"""))
@@ -132,26 +172,26 @@ ORDER BY query_id, rank""")
 
   val qBrute = Q("q_ann_cosine_topk", runBrute _, Some(bruteSql(DuckSql)))
 
-  // ---- IVF (adaptive nlists ≈ √n capped at 4096, multi-probe ≈ √nlists) ----
+  // ---- two-level IVF (T ≈ √n lists = nl1 × nl2, multi-probe both levels) ----
 
-  /** Inverted-file ANN with corpus-ADAPTIVE coarse lists:
-    * nlists = min(4096, ⌈√n⌉) deterministic centroids (first nlists
-    * vectors by dense id — a k-means|| seed stand-in both engines
-    * reproduce exactly), and multi-probe nprobe = max(2, ⌈√nlists⌉).
+  /** Inverted-file ANN with a TWO-LEVEL corpus-adaptive coarse
+    * quantizer. T = ⌈√n⌉ total lists, factored as
+    * nl1 = min(4096, ⌈√T⌉) level-1 cells × nl2 = ⌈T/nl1⌉ sub-cells.
+    * Level-1 centroids are the first nl1 vectors by dense id; level-2
+    * sub-centroids are the first nl2 MEMBERS of each cell by id — both
+    * deterministic k-means||-seed stand-ins each engine reproduces
+    * exactly. Queries probe np1 = max(2, ⌈√nl1⌉) nearest cells and,
+    * within each, np2 = max(2, ⌈√nl2⌉) nearest sub-cells.
     *
-    * Scale shape: probed rows per query ≈ nprobe · n/nlists
-    * ≈ n / √nlists ≈ n^(3/4) — genuinely SUB-LINEAR in corpus size
-    * (the r2-r5 version fixed nlists=64, so the "index" was a 1/64
-    * scan: linear with a nice constant). Multi-probe is what holds
-    * recall while nlists grows — a single-probe √n-list index misses
-    * any neighbor whose list differs from the query's. Assignment is
-    * O(n · nlists) with the ≤4096-row centroid table broadcast — the
-    * 4096 cap keeps the one-time build linear in n (at 10⁹ vectors:
-    * ~244k vectors/list, √4096 = 64 probed lists ≈ 1.5% of the corpus
-    * per query; past that scale the real fix is a two-level coarse
-    * quantizer, same join shape applied twice).
+    * Scale shape: np1·np2 ≈ √T probed lists of ~n/T rows each →
+    * probed rows ≈ n^(3/4), sub-linear at EVERY n — the r6-r7
+    * single-level version capped nlists at 4096, so past 16.7M vectors
+    * T stopped tracking √n and probing re-linearized. Assignment pays
+    * O(n·(nl1+nl2)) = O(n·n^(1/4)) cosines across two broadcast joins
+    * (both centroid tables ≤4096 rows; the same shape applied twice —
+    * a third level buys n^(1/6) factors past 2.8×10¹⁴ vectors).
     *
-    * Both engines derive nlists/nprobe from `count(*)` IN the query
+    * Both engines derive every parameter from `count(*)` IN the query
     * (scalar subqueries), so the Spark result and the DuckDB oracle
     * agree at every scale factor without out-of-band parameters.
     */
@@ -160,22 +200,53 @@ ORDER BY query_id, rank""")
     val hint = d match { case SparkSql => "/*+ BROADCAST(c) */ "; case DuckSql => "" }
     s"""
 WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
-params AS (SELECT nl, GREATEST(2, CAST(ceil(sqrt(nl)) AS INT)) AS np
-           FROM (SELECT LEAST(4096, CAST(ceil(sqrt(count(*))) AS INT)) AS nl FROM meta) t),
-cent AS (SELECT vec_id AS cid, embedding, nrm FROM meta
-         WHERE vec_id < (SELECT nl FROM params)),
-ac AS (SELECT ${hint}m.vec_id, c.cid, m.embedding AS qe, c.embedding AS ne,
+params AS (SELECT nl1, nl2,
+                  GREATEST(2, CAST(ceil(sqrt(nl1)) AS INT)) AS np1,
+                  GREATEST(2, CAST(ceil(sqrt(nl2)) AS INT)) AS np2
+           FROM (SELECT nl1, CAST(ceil(CAST(t AS DOUBLE) / nl1) AS INT) AS nl2
+                 FROM (SELECT t, LEAST(4096, CAST(ceil(sqrt(t)) AS INT)) AS nl1
+                       FROM (SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS INT)) AS t
+                             FROM meta) t0) t1) t2),
+cent1 AS (SELECT vec_id AS c1, embedding, nrm FROM meta
+          WHERE vec_id < (SELECT nl1 FROM params)),
+a1 AS (SELECT ${hint}m.vec_id, c.c1, m.embedding AS qe, c.embedding AS ne,
               m.nrm AS qn, c.nrm AS nn
-       FROM meta m CROSS JOIN cent c),
-acs AS (SELECT vec_id, cid, $cos AS cos FROM ac),
-asg AS (SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
-        FROM acs),
-members AS (SELECT vec_id, cid FROM asg WHERE rnk = 1),
-probes AS (SELECT vec_id AS query_id, cid FROM asg
-           WHERE vec_id < 20 AND rnk <= (SELECT np FROM params)),
+       FROM meta m CROSS JOIN cent1 c),
+a1s AS (SELECT vec_id, c1, $cos AS cos FROM a1),
+asg1 AS (SELECT vec_id, c1,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c1) AS rnk
+         FROM a1s),
+cell1 AS (SELECT vec_id, c1 FROM asg1 WHERE rnk = 1),
+cent2 AS (SELECT c1, c2, embedding, nrm FROM (
+            SELECT cm.c1, cm.vec_id AS c2, m.embedding, m.nrm,
+                   ROW_NUMBER() OVER (PARTITION BY cm.c1 ORDER BY cm.vec_id) AS srnk
+            FROM cell1 cm JOIN meta m ON cm.vec_id = m.vec_id) s
+          WHERE srnk <= (SELECT nl2 FROM params)),
+a2 AS (SELECT cm.vec_id, c.c1, c.c2, m.embedding AS qe, c.embedding AS ne,
+              m.nrm AS qn, c.nrm AS nn
+       FROM cell1 cm JOIN meta m ON cm.vec_id = m.vec_id
+       JOIN cent2 c ON cm.c1 = c.c1),
+a2s AS (SELECT vec_id, c1, c2, $cos AS cos FROM a2),
+members AS (SELECT vec_id, c1, c2 FROM (
+              SELECT vec_id, c1, c2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c2) AS rnk
+              FROM a2s) r
+            WHERE rnk = 1),
+probe1 AS (SELECT vec_id AS query_id, c1 FROM asg1
+           WHERE vec_id < 20 AND rnk <= (SELECT np1 FROM params)),
+p2 AS (SELECT p.query_id, c.c1, c.c2, q.embedding AS qe, c.embedding AS ne,
+              q.nrm AS qn, c.nrm AS nn
+       FROM probe1 p JOIN meta q ON p.query_id = q.vec_id
+       JOIN cent2 c ON p.c1 = c.c1),
+p2s AS (SELECT query_id, c1, c2, $cos AS cos FROM p2),
+probe2 AS (SELECT query_id, c1, c2 FROM (
+             SELECT query_id, c1, c2,
+                    ROW_NUMBER() OVER (PARTITION BY query_id, c1 ORDER BY cos DESC, c2) AS rnk
+             FROM p2s) r
+           WHERE rnk <= (SELECT np2 FROM params)),
 cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
-         FROM probes p JOIN members m ON p.cid = m.cid AND m.vec_id <> p.query_id)"""
+         FROM probe2 p JOIN members m
+           ON p.c1 = m.c1 AND p.c2 = m.c2 AND m.vec_id <> p.query_id)"""
   }
 
   private def ivfSql(d: SqlDialect): String = {
@@ -301,6 +372,20 @@ ORDER BY grp"""
     StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
     spark.sql(ivfCte(SparkSql) + "\nSELECT count(*) AS probed FROM cand")
       .head().getLong(0)
+  }
+
+  /** The derived (T, nl1, nl2, np1, np2) for `key`'s corpus — spec
+    * observability for the parameter math at synthetic corpus sizes
+    * the assignment joins could never run at inside a test (the
+    * 30M-vector case where the old single-level 4096 cap froze T).
+    * Count-only: embedding values are never read.
+    */
+  private[graft] def ivfParamsOn(spark: SparkSession, key: String,
+      emb: => DataFrame): (Int, Int, Int, Int, Int) = {
+    StageViews.ensure(spark, "embeddings", key)(emb)
+    val r = spark.sql(
+      s"SELECT $tSub AS t, $nl1Sub AS nl1, $nl2Sub AS nl2, $np1Sub AS np1, $np2Sub AS np2").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
 
   // ---- k-NN classification (majority vote over brute top-10) ----

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale semantics: both sides carry a watermark and the join predicate
   * bounds event-time distance in BOTH directions (e.ts ≥ c.ts AND
-  * e.ts ≤ c.ts + 10 min), so each side's buffered state is GC-able once
+  * e.ts ≤ c.ts + 2 h; the 10 min is the WATERMARK, not the range), so
+  * each side's buffered state is GC-able once
   * the other side's watermark passes — the state store holds a sliding
   * ~(watermark + range) horizon per side, not the whole stream. Inner
   * matches emit as soon as both rows are present (no watermark-end

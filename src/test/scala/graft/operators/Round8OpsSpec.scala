@@ -75,4 +75,20 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(Dedup.embedModulusOn(spark, "mod-500-r8", corpus(500)) == 64L)
     assert(Dedup.embedModulusOn(spark, "mod-5000-r8", corpus(5000)) == 1024L)
   }
+
+  test("two-level IVF: total lists track sqrt(n) past the old 4096 single-level ceiling") {
+    def corpus(n: Long) =
+      spark.range(n).selectExpr("id AS vec_id", "array(CAST(1.0 AS FLOAT)) AS embedding")
+    // 30M vectors: T = ceil(sqrt 3e7) = 5478 — the r7 single-level cap
+    // froze nlists at 4096 here; two levels factor T as 75 × 74 with
+    // both centroid tables broadcastable
+    val (t, nl1, nl2, np1, np2) =
+      Similarity.ivfParamsOn(spark, "params-30m-r8", corpus(30000000L))
+    assert((t, nl1, nl2) == ((5478, 75, 74)), s"got ($t, $nl1, $nl2)")
+    assert(nl1 * nl2 >= t, "factored list count must cover T")
+    assert((np1, np2) == ((9, 9)))
+    // …and at driver scale the same formulas stay sane
+    val (t2, a, b, p1, p2) = Similarity.ivfParamsOn(spark, "params-2k-r8", corpus(2000))
+    assert((t2, a, b, p1, p2) == ((45, 7, 7, 3, 3)))
+  }
 }

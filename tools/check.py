@@ -131,6 +131,10 @@ def compare(con, sql, spark_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3 or (sys.argv[1] == "--types" and len(sys.argv) < 4):
+        print("usage: check.py <sfDir> <outDir> | check.py --types <sfDir> <outDir>",
+              file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "--types":
         sys.exit(types_only(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
