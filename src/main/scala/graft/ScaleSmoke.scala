@@ -115,6 +115,36 @@ object ScaleSmoke {
         s"IVF probed rows grew x$probedRatio for x$inputRatio input — index is not sub-linear")
     }
 
+    // ---- embedding near-dup: the adaptive sign-bucket modulus (+
+    // frequency cap) must keep CANDIDATE pairs ~linear in corpus size.
+    // Replicas get a rep-dependent deterministic dim-wise sign flip so
+    // they occupy different buckets — replicating identical vectors
+    // would grow true dup clusters ×m and the candidate count
+    // quadratically BY CONSTRUCTION of the data (same reasoning as the
+    // distinct-ified texts above). The bound allows 2.2× the input
+    // ratio: the power-of-two modulus quantizes mean occupancy into
+    // (8, 16], so per-vector candidates legitimately wobble up to 2×
+    // between scale points — while the pre-fix fixed-4096-bucket scheme
+    // would grow ×(input ratio)² and blow straight through it.
+    val embDedupResults = multiples.map { m =>
+      val corpus = emb.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          "vec_id + rep * 100000000 AS vec_id",
+          "transform(embedding, (x, i) -> CASE WHEN ((CAST(rep AS INT) >> (i % 8)) & 1) = 1 THEN -x ELSE x END) AS embedding")
+      val t0e = System.nanoTime()
+      val cands = operators.Dedup.embedCandidatesOn(spark, s"scale-embdup-$m", corpus)
+      val sec = (System.nanoTime() - t0e) / 1e9
+      println(f"[scale] embdup  x$m%-3d vecs=${nVec * m}%8d cands=$cands%8d  $sec%7.2f s")
+      (m, sec, cands)
+    }
+    if (embDedupResults.head._3 > 0 && embDedupResults.size > 1) {
+      val inputRatio = embDedupResults.last._1.toDouble / embDedupResults.head._1
+      val candRatio = embDedupResults.last._3.toDouble / embDedupResults.head._3
+      println(f"[scale] embdup candidates: input x$inputRatio%.0f -> cands x$candRatio%.2f (linear bound ${2.2 * inputRatio}%.2f)")
+      require(candRatio <= 2.2 * inputRatio,
+        s"embedding-dedup candidates grew x$candRatio for x$inputRatio input — adaptive modulus not holding")
+    }
+
     // ---- sketches: bloom is broadcast-probe-only on the fact side and
     // CMS partial aggregates are capped at d·w rows per task, so both
     // must track input size linearly (dim AND fact replicated ×m)
