@@ -61,6 +61,12 @@ object CsvFlows {
     * comparison is at µs because DuckDB reads parquet TIMESTAMP(NANOS)
     * at µs precision, and min/max not sum because a BIGINT sum of nano
     * epochs overflows in Spark where DuckDB silently widens.
+    *
+    * Bench note: this query's time is dominated by the tmp-dir write
+    * leg and is I/O-contention-prone — the r7 driver bench's 1.85 s
+    * outlier (vs 0.86 s in r6) did not reproduce across 3 clean r8
+    * runs (0.45/0.63/0.48 s, same plan), so treat >2× moves here as
+    * noise unless they repeat.
     */
   def roundtripQuery(fmt: String): graft.Q = graft.Q(
     s"q_${fmt}_roundtrip",
