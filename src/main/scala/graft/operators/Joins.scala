@@ -20,21 +20,35 @@ object Joins {
   private val revCents =
     "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
 
-  /** TPC-H Q3/Q10-flavoured: revenue per customer, top 100. */
+  /** TPC-H Q3/Q10-flavoured: revenue per customer, top 100.
+    *
+    * Plan shape: lineitem is pre-aggregated per l_orderkey FIRST
+    * (map-side-combinable sums, the widest shuffle now carries one
+    * narrow row per ORDER instead of one per line item), and because
+    * o_orderkey is unique in orders, the per-customer n_orders is a
+    * plain count(*) over the pre-aggregate — the naive spelling's
+    * countDistinct(o_orderkey) forced a distinct-expand re-shuffle of
+    * the full joined fact relation (carrying c_name strings) and was
+    * the dominant cost at sf1 (r8 audit: 11.7 s → this shape).
+    */
   val qTopCustomers = Q(
     "q_top_customers",
     (spark, dir) => {
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir)
       val ord = Tables.orders(spark, dir)
       val cust = Tables.customer(spark, dir)
-      li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(
+          sum(expr(revCents)).as("rev_cents"),
+          count(lit(1)).as("n_items"))
+      perOrder.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
         .agg(
-          (sum(expr(revCents)) / 10000.0).as("revenue"),
-          count(lit(1)).as("n_items"),
-          countDistinct($"o_orderkey").as("n_orders"))
+          (sum($"rev_cents") / 10000.0).as("revenue"),
+          sum($"n_items").as("n_items"),
+          count(lit(1)).as("n_orders"))
         .orderBy($"revenue".desc, $"c_custkey")
         .limit(100)
     },

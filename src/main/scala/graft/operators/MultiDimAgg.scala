@@ -372,11 +372,50 @@ WHERE 2 * cum_w >= tot_w
 GROUP BY flag
 ORDER BY l_returnflag"""
 
+  /** Spark side: the flag-partitioned cumulative window above has only
+    * 3 partitions — a 2M-row single-task sort per flag at sf1 (audited:
+    * 11.2 s, the worst window skew in the catalog). Restated as the
+    * two-phase distributed prefix sum (q_sequence_pack's pattern):
+    * per-(flag, $1000-price-bucket) partial weights, a tiny bucket-
+    * offset window, then the per-row cumulative window partitioned by
+    * (flag, bucket) — hundreds of parallel sort partitions instead of
+    * 3. Row-level cum_w values can differ from the single-window
+    * spelling only in the accumulation order of identical
+    * (price, w) duplicates; every price GROUP's end-of-group cumulative
+    * weight is permutation-invariant, so the crossing price and the
+    * output are bit-identical to the oracle's one-window form.
+    */
+  private val wmBucketedSparkSql = """
+WITH t AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem_wm),
+boff AS (SELECT flag, pb,
+                coalesce(sum(bw_w) OVER (PARTITION BY flag ORDER BY pb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+                sum(bw_w) OVER (PARTITION BY flag) AS tot_w
+         FROM (SELECT flag, price_cents DIV 100000 AS pb, sum(w) AS bw_w
+               FROM t GROUP BY flag, price_cents DIV 100000) bw),
+c AS (SELECT tb.flag, tb.price_cents,
+             b.off + sum(tb.w) OVER (PARTITION BY tb.flag, tb.pb
+                     ORDER BY tb.price_cents, tb.w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             b.tot_w
+      FROM (SELECT flag, price_cents, w, price_cents DIV 100000 AS pb FROM t) tb
+      JOIN boff b ON tb.flag = b.flag AND tb.pb = b.pb)
+SELECT flag AS l_returnflag,
+       CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+       CAST(min(tot_w) AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cum_w >= tot_w
+GROUP BY flag
+ORDER BY l_returnflag"""
+
   val qWeightedMedian = Q(
     "q_weighted_median",
     (spark, dir) => {
       Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_wm")
-      spark.sql(weightedMedianSql("lineitem_wm"))
+      spark.sql(wmBucketedSparkSql)
     },
     Some(weightedMedianSql("lineitem")))
 
