@@ -850,14 +850,18 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
     * bucketing — the cross-engine float-determinism class of bug this
     * catalog bans.
     */
-  private def embedModulusSub: String = {
+  private def powModulusSub(cntSub: String): String = {
     val powers = (EmbedMinBits to EmbedMaxBits)
       .map(k => s"(CAST(${1L << k} AS BIGINT))")
       .mkString(", ")
     s"""(SELECT coalesce(min(p), CAST(${1L << EmbedMaxBits} AS BIGINT))
    FROM (VALUES $powers) pw(p)
-   WHERE p * $EmbedTargetBucket >= (SELECT 2 * count(*) FROM embeddings))"""
+   WHERE p * $EmbedTargetBucket >= $cntSub)"""
   }
+
+  /** Modulus for the doubled (self-union) corpus of [[qEmbed]]. */
+  private def embedModulusSub: String =
+    powModulusSub("(SELECT 2 * count(*) FROM embeddings)")
 
   /** Oracle rendering: doubled corpus → adaptive sign-bucket →
     * frequency cap → bucket-equality candidate join → exact cosine
@@ -958,6 +962,116 @@ SELECT count(*) AS n FROM $cappedBuckets a JOIN $cappedBuckets b
     (spark, dir) => embedOn(spark, dir, Tables.embeddings(spark, dir)),
     Some(embedSql(DuckSql)))
 
+  // ====== incremental embedding near-dup (new batch vs persisted index) ======
+
+  /** The production shape of embedding dedup, mirroring
+    * [[qIncremental]]: dedupe an incoming batch AGAINST the persisted
+    * sign-bucket index of an already-ingested corpus — an asymmetric
+    * bucket join (new × existing only; no new×new, no
+    * existing×existing), so the existing corpus contributes just its
+    * bucketed index while only the new batch is hashed at ingest. The
+    * index modulus is derived from the EXISTING corpus size (the
+    * parameter a persisted index carries), and the new batch is hashed
+    * with that same modulus. "New" is synthesized from the corpus:
+    * re-ingested copies of vec_id % 3 = 0 (each has exactly one exact
+    * duplicate — its source) plus element-wise NEGATED copies of
+    * vec_id % 3 = 1 (cos = −1 against their source and sign-complement
+    * buckets, so they exercise the miss path through candidate
+    * generation, not just the verify filter). Output: every new vector
+    * with its duplicate verdict and the smallest matching existing id
+    * (−1 when none).
+    */
+  private def embedIncrSql(d: SqlDialect): String = {
+    val idxM = powModulusSub("(SELECT count(*) FROM embeddings)")
+    val (normExpr, cosExpr) = d match {
+      case SparkSql => (
+        "CAST(0 AS DOUBLE)",
+        "cosine_similarity(ea, eb)")
+      case DuckSql => (
+        "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
+        "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i)) / (na * nb)")
+    }
+    s"""
+WITH newb AS (
+  SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + ${2 * IdShift} AS vec_id, ${d.negArr("embedding")} AS embedding
+  FROM embeddings WHERE vec_id % 3 = 1
+),
+ex AS (SELECT vec_id, embedding, $normExpr AS nrm,
+              (${signWord(d)}) % $idxM AS bucket
+       FROM embeddings),
+exq AS (SELECT bucket, count(*) AS nmem FROM ex GROUP BY bucket),
+exf AS (SELECT e.vec_id, e.embedding, e.nrm, e.bucket
+        FROM ex e JOIN exq f ON e.bucket = f.bucket
+        WHERE f.nmem <= $EmbedBucketCap),
+nbk AS (SELECT vec_id, embedding, $normExpr AS nrm,
+               (${signWord(d)}) % $idxM AS bucket
+        FROM newb),
+pairs AS (SELECT n.vec_id AS n_id, e.vec_id AS e_id,
+                 n.embedding AS ea, e.embedding AS eb, n.nrm AS na, e.nrm AS nb
+          FROM nbk n JOIN exf e ON n.bucket = e.bucket),
+dup AS (SELECT n_id, min(e_id) AS match_id FROM pairs
+        WHERE $cosExpr >= 0.995 GROUP BY n_id)
+SELECT n.vec_id, dup.n_id IS NOT NULL AS is_dup,
+       coalesce(dup.match_id, CAST(-1 AS BIGINT)) AS match_id
+FROM newb n LEFT JOIN dup ON n.vec_id = dup.n_id
+ORDER BY n.vec_id"""
+  }
+
+  /** Register the cached persisted-index stage for `key`: the existing
+    * corpus with its sign-bucket (the relation a production pipeline
+    * keeps on disk between ingests). Read by the frequency cap and the
+    * candidate join.
+    */
+  private[graft] def ensureEmbedIndex(spark: SparkSession, key: String,
+      emb: => DataFrame): Unit = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    StageViews.ensureCached(spark, "emb_idx_v", key)(spark.sql(s"""
+SELECT vec_id, embedding,
+       (${signWord(SparkSql)}) % ${powModulusSub("(SELECT count(*) FROM embeddings)")} AS bucket
+FROM embeddings"""))
+    ()
+  }
+
+  private def newBatchSub: String = s"""(
+  SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + ${2 * IdShift} AS vec_id, ${SparkSql.negArr("embedding")} AS embedding
+  FROM embeddings WHERE vec_id % 3 = 1)"""
+
+  private[graft] def embedIncrementalOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame = {
+    ensureEmbedIndex(spark, key, emb)
+    val idxM = powModulusSub("(SELECT count(*) FROM embeddings)")
+    spark.sql(s"""
+SELECT n.vec_id, dup.n_id IS NOT NULL AS is_dup,
+       coalesce(dup.match_id, CAST(-1 AS BIGINT)) AS match_id
+FROM $newBatchSub n
+LEFT JOIN (
+  SELECT n_id, min(e_id) AS match_id FROM (
+    SELECT nb.vec_id AS n_id, e.vec_id AS e_id,
+           cosine_similarity(nb.embedding, e.embedding) AS cs
+    FROM (SELECT vec_id, embedding,
+                 (${signWord(SparkSql)}) % $idxM AS bucket
+          FROM $newBatchSub) nb
+    JOIN (SELECT i.vec_id, i.embedding, i.bucket
+          FROM emb_idx_v i
+          JOIN (SELECT bucket, count(*) AS nmem FROM emb_idx_v GROUP BY bucket) f
+            ON i.bucket = f.bucket
+          WHERE f.nmem <= $EmbedBucketCap) e
+      ON nb.bucket = e.bucket)
+  WHERE cs >= 0.995 GROUP BY n_id) dup
+ON n.vec_id = dup.n_id
+ORDER BY n.vec_id""")
+  }
+
+  val qEmbedIncremental = Q(
+    "q_dedup_embedding_incremental",
+    (spark, dir) => embedIncrementalOn(spark, dir, Tables.embeddings(spark, dir)),
+    Some(embedIncrSql(DuckSql)))
+
   // ================= streaming exact dedup =================
 
   /** Exact dedup on a STREAM: documents arrive as a file stream,
@@ -1003,5 +1117,6 @@ FROM documents GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
-      qSimhash, qSimhash64, qEmbed, qDedupStreamExact, qPageRank)
+      qSimhash, qSimhash64, qEmbed, qEmbedIncremental, qDedupStreamExact,
+      qPageRank)
 }

@@ -26,6 +26,9 @@ sealed trait SqlDialect {
   def slice(arr: String, start1: String, len: String): String
   /** join a string array with a single-space separator */
   def joinArr(arr: String): String
+  /** element-wise negation of a numeric array (exact in IEEE — safe
+    * cross-engine, unlike arithmetic that rounds) */
+  def negArr(arr: String): String
 }
 
 case object SparkSql extends SqlDialect {
@@ -43,6 +46,7 @@ case object SparkSql extends SqlDialect {
   def slice(arr: String, start1: String, len: String) =
     s"slice($arr, CAST(($start1) AS INT), CAST(($len) AS INT))"
   def joinArr(arr: String) = s"array_join($arr, ' ')"
+  def negArr(arr: String) = s"transform($arr, x -> -x)"
 }
 
 /** Cross-engine hashing building block: md5() is the one hash function
@@ -80,4 +84,5 @@ case object DuckSql extends SqlDialect {
   def slice(arr: String, start1: String, len: String) =
     s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
   def joinArr(arr: String) = s"array_to_string($arr, ' ')"
+  def negArr(arr: String) = s"list_transform($arr, x -> -x)"
 }

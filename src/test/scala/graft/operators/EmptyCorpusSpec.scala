@@ -56,7 +56,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_doc_containment", "q_mrl_recall", "q_text_normalize",
     "q_dedup_simhash64", "q_pagerank_dup", "q_weighted_sample",
     "q_source_boilerplate", "q_split_leakage_safe", "q_ann_ivf_recall",
-    "q_vocab_coverage", "q_weighted_median")
+    "q_vocab_coverage", "q_weighted_median",
+    // round 8: adaptive-modulus embedding dedup + its incremental form
+    "q_dedup_embedding", "q_dedup_embedding_incremental")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

@@ -76,6 +76,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(Dedup.embedModulusOn(spark, "mod-5000-r8", corpus(5000)) == 1024L)
   }
 
+  test("incremental embedding dedup: copies match their source, negations miss, existing pairs stay silent") {
+    import spark.implicits._
+    // ids 0..11; the two planted IDENTICAL existing vectors (2 and 5,
+    // both % 3 == 2) must never be reported — the asymmetric join
+    // excludes existing×existing by construction
+    val emb = ((0 to 11).map {
+      case j @ (2 | 5) => (j.toLong, patterned(99))
+      case j           => (j.toLong, patterned(j))
+    }).toDF("vec_id", "embedding")
+    val out = Dedup.embedIncrementalOn(spark, "incr-r8", emb)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+    val copies = Seq(0L, 3L, 6L, 9L).map(j => (10000000L + j, true, j))
+    val negs = Seq(1L, 4L, 7L, 10L).map(j => (20000000L + j, false, -1L))
+    assert(out == (copies ++ negs).sortBy(_._1))
+  }
+
   test("two-level IVF: total lists track sqrt(n) past the old 4096 single-level ceiling") {
     def corpus(n: Long) =
       spark.range(n).selectExpr("id AS vec_id", "array(CAST(1.0 AS FLOAT)) AS embedding")
