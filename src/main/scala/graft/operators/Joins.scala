@@ -63,6 +63,25 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 100""")
   )
 
+  /** The pre-rewrite countDistinct spelling, kept as a test seam:
+    * Round8OpsSpec asserts the pre-aggregated plan returns the
+    * identical rows.
+    */
+  private[graft] def topCustomersNaiveForTest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+      .agg(
+        (sum(expr(revCents)) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(100)
+  }
+
   /** TPC-H Q5-flavoured: revenue by nation/region through the broadcast
     * dimension chain, with a region filter that prunes before the join.
     */

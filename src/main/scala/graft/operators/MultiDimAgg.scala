@@ -411,6 +411,11 @@ WHERE 2 * cum_w >= tot_w
 GROUP BY flag
 ORDER BY l_returnflag"""
 
+  // test seams: Round8OpsSpec proves the two spellings equal on
+  // tie-heavy synthetic data (the permutation-invariance argument above)
+  private[graft] def weightedMedianSqlForTest(rel: String): String = weightedMedianSql(rel)
+  private[graft] def wmBucketedSparkSqlForTest: String = wmBucketedSparkSql
+
   val qWeightedMedian = Q(
     "q_weighted_median",
     (spark, dir) => {

@@ -92,6 +92,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out == (copies ++ negs).sortBy(_._1))
   }
 
+  test("weighted median: bucketed prefix-sum == naive single-window on tie-heavy data") {
+    import spark.implicits._
+    // adversarially tie-heavy: few distinct prices, many duplicate
+    // (price, w) rows, prices straddling several $1000 buckets — the
+    // case where per-row cum_w DOES depend on accumulation order and
+    // only the end-of-price-group invariant saves determinism
+    val rows = for {
+      i <- 0 until 5000
+      flag = Seq("A", "N", "R")(i % 3)
+    } yield (flag, 900.0 + 997.0 * (i % 7), (1 + i % 5).toDouble)
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .createOrReplaceTempView("lineitem_wm")
+    val naive = spark.sql(MultiDimAgg.weightedMedianSqlForTest("lineitem_wm"))
+      .collect().map(_.toSeq).toSeq
+    val bucketed = spark.sql(MultiDimAgg.wmBucketedSparkSqlForTest)
+      .collect().map(_.toSeq).toSeq
+    assert(bucketed == naive)
+  }
+
+  test("top customers: per-order pre-aggregate == naive countDistinct spelling") {
+    val dir = "/root/testdata/sf0.001"
+    val opt = Joins.qTopCustomers.run(spark, dir).collect().map(_.toSeq).toSeq
+    val naive = Joins.topCustomersNaiveForTest(spark, dir).collect().map(_.toSeq).toSeq
+    assert(opt == naive)
+  }
+
   test("two-level IVF: total lists track sqrt(n) past the old 4096 single-level ceiling") {
     def corpus(n: Long) =
       spark.range(n).selectExpr("id AS vec_id", "array(CAST(1.0 AS FLOAT)) AS embedding")
