@@ -26,7 +26,11 @@ object Bench {
     "q_revenue_by_nation", "q_sessionize", "q_gap_fill",
     "q_hll_sketch_merge", "q_heavy_hitters_salted", "q_multimodal_decode",
     "q_text_quality", "q_csv_roundtrip", "q_doc_containment",
-    "q_sequence_pack")
+    "q_sequence_pack",
+    // round 8: the adaptive-modulus embedding dedup pair and the two
+    // window/shuffle-skew rewrites
+    "q_dedup_embedding", "q_dedup_embedding_incremental",
+    "q_weighted_median")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
