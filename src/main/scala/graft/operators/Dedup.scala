@@ -1072,6 +1072,70 @@ ORDER BY n.vec_id""")
     (spark, dir) => embedIncrementalOn(spark, dir, Tables.embeddings(spark, dir)),
     Some(embedIncrSql(DuckSql)))
 
+  /** Stream-STATIC join — the incremental dedup's production topology:
+    * the new batch arrives as a FILE STREAM and joins the static
+    * persisted sign-bucket index per micro-batch. This is Spark's
+    * third join mode (after batch-batch and stream-stream): the static
+    * side is simply re-planned each micro-batch with NO state store on
+    * either join side — the per-vector verdict aggregate is the only
+    * stateful operator, and it holds one row per new vector, exactly
+    * the output's size. The index modulus rides as a driver literal (a
+    * persisted index carries its parameters as metadata — same value
+    * the in-query derivation yields). Gated by the BATCH incremental
+    * oracle, so the streaming join must agree with the batch plan
+    * bit-for-bit.
+    */
+  val qEmbedIncrStream = Q(
+    "q_dedup_embedding_incr_stream",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      ensureEmbedIndex(spark, dir, Tables.embeddings(spark, dir))
+      val idxM = spark.sql(
+        s"SELECT ${powModulusSub("(SELECT count(*) FROM embeddings)")} AS m").head().getLong(0)
+      val index = spark.sql(s"""
+SELECT i.vec_id AS e_id, i.embedding AS e_emb, i.bucket
+FROM emb_idx_v i
+JOIN (SELECT bucket, count(*) AS nmem FROM emb_idx_v GROUP BY bucket) f
+  ON i.bucket = f.bucket
+WHERE f.nmem <= $EmbedBucketCap""")
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = spark.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val newb = stream
+        .where("vec_id % 3 = 0")
+        .selectExpr(s"vec_id + $IdShift AS vec_id", "embedding")
+        .union(stream.where("vec_id % 3 = 1")
+          .selectExpr(s"vec_id + ${2 * IdShift} AS vec_id",
+            s"${SparkSql.negArr("embedding")} AS embedding"))
+        .selectExpr("vec_id", "embedding",
+          s"(${signWord(SparkSql)}) % $idxM AS bucket")
+      val sinkName = s"eis_${System.nanoTime()}"
+      val q = newb.join(index, Seq("bucket"), "left_outer")
+        .withColumn("hit", $"e_emb".isNotNull &&
+          expr("cosine_similarity(embedding, e_emb) >= 0.995"))
+        .groupBy($"vec_id")
+        .agg(
+          max($"hit").as("is_dup"),
+          min(when($"hit", $"e_id")).as("match_raw"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName)
+        .selectExpr("vec_id", "coalesce(is_dup, false) AS is_dup",
+          "coalesce(match_raw, CAST(-1 AS BIGINT)) AS match_id")
+        .orderBy("vec_id")
+    },
+    Some(embedIncrSql(DuckSql)))
+
   // ================= streaming exact dedup =================
 
   /** Exact dedup on a STREAM: documents arrive as a file stream,
@@ -1117,6 +1181,6 @@ FROM documents GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
-      qSimhash, qSimhash64, qEmbed, qEmbedIncremental, qDedupStreamExact,
-      qPageRank)
+      qSimhash, qSimhash64, qEmbed, qEmbedIncremental, qEmbedIncrStream,
+      qDedupStreamExact, qPageRank)
 }

@@ -118,6 +118,13 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(opt == naive)
   }
 
+  test("stream-static incremental dedup == batch incremental dedup (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Dedup.qEmbedIncrStream.run(spark, dir).collect().map(_.toSeq).toSeq
+    val batch = Dedup.qEmbedIncremental.run(spark, dir).collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("two-level IVF: total lists track sqrt(n) past the old 4096 single-level ceiling") {
     def corpus(n: Long) =
       spark.range(n).selectExpr("id AS vec_id", "array(CAST(1.0 AS FLOAT)) AS embedding")
