@@ -58,6 +58,28 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** File-STREAM source for table `name` under `sfDir`, correct for
+    * both physical layouts a parquet table can have:
+    *  - a directory table (`<name>.parquet/part-*.parquet`, what
+    *    `df.write.parquet` produces — the Sf1Probe replicas, any real
+    *    dataset) streams as its own directory;
+    *  - a single-file table (driver testdata) streams the PARENT dir
+    *    with a glob filter, because FileStreamSource rejects a bare
+    *    file path ("basePath must be a directory").
+    * An alternation glob matching both the directory and its children
+    * is NOT equivalent: on a directory table it lists every file TWICE
+    * (caught at sf1: stream counts exactly 2× batch). The
+    * layout check is one driver-side `isDirectory` call at plan time;
+    * on a DFS deployment substitute `FileSystem.getFileStatus`.
+    */
+  def streamTable(spark: SparkSession, sfDir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val reader = spark.readStream.schema(schema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

@@ -228,10 +228,7 @@ object FlowFeaturizer {
     */
   def runFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file-stream source needs a directory; glob-filter to the events table
-    val events = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val events = graft.Tables.streamTable(spark, sfDir, "events", eventsSchema)
     val sinkName = s"flow_stream_${System.nanoTime()}"
     val q = featurize(packetsOf(events), timeoutMs = 0, emitOnUpdate = true)
       .writeStream.outputMode(OutputMode.Update())

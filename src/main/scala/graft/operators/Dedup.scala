@@ -1104,10 +1104,10 @@ WHERE f.nmem <= $EmbedBucketCap""")
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType)))
-      val stream = spark.readStream
-        .schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(dir)
+      // layout-aware stream source (Tables.streamTable): the former
+      // dir + pathGlobFilter spelling silently streamed ZERO files for
+      // directory-layout tables — caught by the sf1 probe's rows=0
+      val stream = Tables.streamTable(spark, dir, "embeddings", embSchema)
       val newb = stream
         .where("vec_id % 3 = 0")
         .selectExpr(s"vec_id + $IdShift AS vec_id", "embedding")
@@ -1160,10 +1160,8 @@ WHERE f.nmem <= $EmbedBucketCap""")
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
       val sinkName = s"dds_${System.nanoTime()}"
-      val q = spark.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      // layout-aware stream source (Tables.streamTable scaladoc)
+      val q = graft.Tables.streamTable(spark, dir, "documents", docSchema)
         .selectExpr("source", "md5(text) AS h")
         .dropDuplicates("source", "h")
         .groupBy($"source")

@@ -220,10 +220,8 @@ ORDER BY n_both""")
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.readStream
-        .schema(graft.flow.FlowFeaturizer.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val events = Tables.streamTable(spark, dir, "events",
+        graft.flow.FlowFeaturizer.eventsSchema)
       val sinkName = s"session_stream_${System.nanoTime()}"
       val q = events
         .selectExpr("user_id",

@@ -83,10 +83,8 @@ ORDER BY src_ip, window_start_us"""
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.readStream
-        .schema(graft.flow.FlowFeaturizer.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val events = Tables.streamTable(spark, dir, "events",
+        graft.flow.FlowFeaturizer.eventsSchema)
       val sinkName = s"rate_stream_${System.nanoTime()}"
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))
@@ -200,10 +198,8 @@ ORDER BY src_ip, window_start_us"""
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.readStream
-        .schema(graft.flow.FlowFeaturizer.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val events = Tables.streamTable(spark, dir, "events",
+        graft.flow.FlowFeaturizer.eventsSchema)
       val sinkName = s"slide_stream_${System.nanoTime()}"
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))

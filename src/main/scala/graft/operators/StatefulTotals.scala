@@ -82,8 +82,8 @@ object StatefulTotals {
       val sinkName = s"tws_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val q = graft.Tables.streamTable(spark, dir, "events",
+              graft.flow.FlowFeaturizer.eventsSchema)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "CAST(round(value * 100, 0) AS BIGINT) AS cents")
             .as[TwsEvent]
@@ -164,8 +164,8 @@ ORDER BY user_id"""))
       val sinkName = s"twsm_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val q = graft.Tables.streamTable(spark, dir, "events",
+              graft.flow.FlowFeaturizer.eventsSchema)
             .select($"user_id", $"event_type")
             .as[TypedEvent]
             .groupByKey(_.user_id)
@@ -281,8 +281,8 @@ ORDER BY r.user_id"""))
       val sinkName = s"twst_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = spark.readStream.schema(graft.flow.FlowFeaturizer.eventsSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val q = graft.Tables.streamTable(spark, dir, "events",
+              graft.flow.FlowFeaturizer.eventsSchema)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
             .withWatermark("event_time", "0 seconds")

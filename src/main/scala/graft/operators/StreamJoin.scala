@@ -40,10 +40,8 @@ ORDER BY c.user_id, click_id, error_id""")
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def side(tpe: String, prefix: String) =
-        spark.readStream
-          .schema(graft.flow.FlowFeaturizer.eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        graft.Tables.streamTable(spark, dir, "events",
+          graft.flow.FlowFeaturizer.eventsSchema)
           .where($"event_type" === tpe)
           .select(
             $"user_id".as(s"${prefix}_user"),
