@@ -125,6 +125,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("file-stream sources read directory-layout tables (sf1-probe regression)") {
+    // driver testdata is single-FILE parquet; df.write.parquet produces
+    // a DIRECTORY — the layout every real dataset has. The old
+    // dir+pathGlobFilter spelling silently streamed zero files from it.
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("dirlayout_r8").toString
+    graft.Tables.documents(spark, src).write.parquet(s"$dir/documents.parquet")
+    graft.Tables.embeddings(spark, src).write.parquet(s"$dir/embeddings.parquet")
+    val streamRows = Dedup.qDedupStreamExact.run(spark, dir).collect()
+    val batchRows = spark.sql(
+      "SELECT source, count(DISTINCT md5(text)) AS n FROM parquet.`" +
+        s"$dir/documents.parquet` GROUP BY source ORDER BY source").collect()
+    assert(streamRows.nonEmpty)
+    assert(streamRows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      batchRows.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // the stream-static join reads the same layout-aware source
+    val incr = Dedup.qEmbedIncrStream.run(spark, dir).count()
+    assert(incr > 0)
+  }
+
   test("two-level IVF: total lists track sqrt(n) past the old 4096 single-level ceiling") {
     def corpus(n: Long) =
       spark.range(n).selectExpr("id AS vec_id", "array(CAST(1.0 AS FLOAT)) AS embedding")
