@@ -68,15 +68,20 @@ object Tables {
     *    file path ("basePath must be a directory").
     * An alternation glob matching both the directory and its children
     * is NOT equivalent: on a directory table it lists every file TWICE
-    * (caught at sf1: stream counts exactly 2× batch). The
-    * layout check is one driver-side `isDirectory` call at plan time;
-    * on a DFS deployment substitute `FileSystem.getFileStatus`.
+    * (caught at sf1: stream counts exactly 2× batch). The layout check
+    * is one driver-side Hadoop-FS `getFileStatus` call at plan time —
+    * the Hadoop API (not `java.io.File`, which answers false for any
+    * non-local URI) so the same branch is taken on hdfs:// or s3://
+    * paths, where a false answer would silently stream zero files.
     */
   def streamTable(spark: SparkSession, sfDir: String, name: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val reader = spark.readStream.schema(schema)
-    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
+    if (isDir) reader.parquet(path)
     else reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 

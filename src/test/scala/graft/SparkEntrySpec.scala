@@ -36,6 +36,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("README's advertised query count matches the catalog (docs honesty)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val advertised = """all (\d+), no exceptions""".r.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+    assert(advertised.contains(SparkEntry.queries.size),
+      s"README says ${advertised.orNull}, catalog has ${SparkEntry.queries.size}")
+  }
+
   test("catalog covers the north-star operator families") {
     val names = SparkEntry.queries.keySet
     for (required <- Seq("q_flow_features", "q_flow_features_stream",

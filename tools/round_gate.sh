@@ -13,4 +13,7 @@ round="${1:?usage: tools/round_gate.sh <round> [sfDir]}"
 sf="${2:-/root/testdata/sf0.01}"
 out="$(mktemp -d)"
 sbt -batch "runMain graft.Verify $sf $out --oracles-only" >/dev/null 2>&1
-python3 tools/check.py --types "$sf" "$out" | tee "TYPES_r${round}.txt"
+# No pipe here: POSIX sh has no pipefail, so `... | tee` would make the
+# gate's exit status tee's and a FAILing sweep would still exit 0.
+python3 tools/check.py --types "$sf" "$out" > "TYPES_r${round}.txt"
+cat "TYPES_r${round}.txt"
