@@ -52,8 +52,15 @@ object Bench {
     // warmup: session init, parquet footer reads, first codegen
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
+    // Attribute shared-stage cache materialization: each cached stage
+    // view is built eagerly under a timer and charged to the query
+    // whose construction triggered it, so stage-build cost can't move
+    // silently between queries as catalog order changes (r8 VERDICT).
+    var currentQuery = "warmup"
+    operators.StageViews.enableBuildAttribution(() => currentQuery)
     val wall0 = System.nanoTime()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      currentQuery = name
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -71,13 +78,22 @@ object Bench {
       name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    val stageBuilds = operators.StageViews.buildLog
+    val stageSec = stageBuilds.map(_.sec).sum
     // evict shared stage caches (logs how much storage the run held)
     operators.StageViews.unpersistAll(spark)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def jsonLine(entries: Seq[(String, Double)]): String = {
+    // Per-query min-of-two excludes one-time stage builds (attempt 2
+    // hits the cache); stage_sec reports that excluded build cost, and
+    // the file sink carries the full per-build attribution array.
+    val stageJson = stageBuilds.map(b =>
+      s"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${fmt(b.sec)}}""")
+      .mkString("[", ",", "]")
+    def jsonLine(entries: Seq[(String, Double)], withBuilds: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"wall_sec":${fmt(wallSec)},"sf":"$sfDir"}"""
+      val builds = if (withBuilds) s""","stage_builds":$stageJson""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).
@@ -86,12 +102,13 @@ object Bench {
     val outPath = java.nio.file.Paths.get(out)
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
-      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonLine(results, withBuilds = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full per-query record: $out")
     spark.stop()
     // Compact headline subset → stdout: the driver parses a bounded tail
-    // of stdout, so this line must stay well under 2000 chars.
+    // of stdout, so this line must stay well under 2000 chars (builds
+    // array lives only in the file sink; stdout carries stage_sec).
     val byName = results.toMap
-    println(jsonLine(headline.flatMap(h => byName.get(h).map(h -> _))))
+    println(jsonLine(headline.flatMap(h => byName.get(h).map(h -> _)), withBuilds = false))
   }
 }

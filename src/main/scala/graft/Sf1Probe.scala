@@ -98,7 +98,13 @@ object Sf1Probe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) build(spark, src, out)
 
+    // same attributed eager stage materialization as Bench: at sf1 the
+    // shared-stage builds are seconds each, and which query pays must
+    // be visible, not inferred
+    var currentQuery = "warmup"
+    operators.StageViews.enableBuildAttribution(() => currentQuery)
     val results = SparkEntry.catalog.sortBy(_.name).map { q =>
+      currentQuery = q.name
       val t0 = System.nanoTime()
       val res =
         try Right(q.run(spark, out).count())
@@ -131,9 +137,12 @@ object Sf1Probe {
       }
       s""""$n":$body"""
     }.mkString(",")
+    val sjson = operators.StageViews.buildLog.map(b =>
+      f"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${b.sec}%.3f}""")
+      .mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),
-      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"queries":{$qjson}}""")
+      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"stage_builds":$sjson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
   }

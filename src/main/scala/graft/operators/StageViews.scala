@@ -40,6 +40,30 @@ private[graft] object StageViews {
 
   private final case class Entry(key: String, df: DataFrame, cached: Boolean)
 
+  /** One materialized cached-stage build: which view, how long the
+    * materializing count took, and which catalog query triggered it.
+    */
+  final case class Build(view: String, chargedTo: String, sec: Double)
+
+  // Opt-in build attribution (Bench/Sf1Probe): when set, every
+  // ensureCached registration eagerly materializes the relation with a
+  // timed count() and records who paid for it. Default OFF so
+  // explain-only consumers (PlanHygieneSpec, ExplainAudit) keep the
+  // lazy no-execution semantics.
+  @volatile private var attributionLabel: Option[() => String] = None
+  private val builds = mutable.ArrayBuffer.empty[Build]
+
+  /** Enable eager, attributed stage materialization. `currentLabel` is
+    * polled at build time (Bench points it at the query being timed).
+    */
+  def enableBuildAttribution(currentLabel: () => String): Unit = {
+    builds.synchronized(builds.clear())
+    attributionLabel = Some(currentLabel)
+  }
+
+  /** Builds recorded since [[enableBuildAttribution]], in build order. */
+  def buildLog: Seq[Build] = builds.synchronized(builds.toVector)
+
   private val sessions =
     new java.util.WeakHashMap[SparkSession, mutable.Map[String, Entry]]()
 
@@ -62,6 +86,19 @@ private[graft] object StageViews {
           if (cache) df.cache()
           df.createOrReplaceTempView(name)
           reg(name) = Entry(key, df, cache)
+          // Attributed eager materialization: without this, the build
+          // cost lands silently inside whichever query FIRST scans the
+          // view — bench numbers then move between queries when catalog
+          // order changes (r8: q_doc_containment vs q_corpus_build).
+          for (label <- attributionLabel if cache) {
+            val t0 = System.nanoTime()
+            df.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val b = Build(name, label(), sec)
+            builds.synchronized(builds += b)
+            System.err.println(
+              f"[stageviews] built ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+          }
       }
     }
     spark.table(name)
