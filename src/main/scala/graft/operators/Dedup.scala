@@ -1084,6 +1084,17 @@ ORDER BY n.vec_id""")
     * the in-query derivation yields). Gated by the BATCH incremental
     * oracle, so the streaming join must agree with the batch plan
     * bit-for-bit.
+    *
+    * Sink topology is the production shape: UPDATE mode +
+    * `foreachBatch` appending each micro-batch's changed verdicts to a
+    * parquet table stamped with the batch id — update mode emits only
+    * keys whose aggregate changed in the trigger (complete mode would
+    * re-emit the FULL verdict table every micro-batch, and a memory
+    * sink would collect it to the driver — both fine for a test
+    * harness, neither at production batch sizes). The final verdict
+    * per vector is then a batch `max_by(..., batch_id)` over the
+    * appended table: last write per key wins, exactly how a downstream
+    * consumer of the verdict table reads it.
     */
   val qEmbedIncrStream = Q(
     "q_dedup_embedding_incr_stream",
@@ -1116,7 +1127,8 @@ WHERE f.nmem <= $EmbedBucketCap""")
             s"${SparkSql.negArr("embedding")} AS embedding"))
         .selectExpr("vec_id", "embedding",
           s"(${signWord(SparkSql)}) % $idxM AS bucket")
-      val sinkName = s"eis_${System.nanoTime()}"
+      val outDir = java.nio.file.Files
+        .createTempDirectory("eis_verdicts").toString
       val q = newb.join(index, Seq("bucket"), "left_outer")
         .withColumn("hit", $"e_emb".isNotNull &&
           expr("cosine_similarity(embedding, e_emb) >= 0.995"))
@@ -1124,14 +1136,20 @@ WHERE f.nmem <= $EmbedBucketCap""")
         .agg(
           max($"hit").as("is_dup"),
           min(when($"hit", $"e_id")).as("match_raw"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(sinkName)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(sinkName)
-        .selectExpr("vec_id", "coalesce(is_dup, false) AS is_dup",
-          "coalesce(match_raw, CAST(-1 AS BIGINT)) AS match_id")
+      spark.read.parquet(outDir)
+        .groupBy($"vec_id")
+        .agg(max_by(
+          struct($"is_dup", $"match_raw"), $"batch_id").as("fin"))
+        .selectExpr("vec_id", "coalesce(fin.is_dup, false) AS is_dup",
+          "coalesce(fin.match_raw, CAST(-1 AS BIGINT)) AS match_id")
         .orderBy("vec_id")
     },
     Some(embedIncrSql(DuckSql)))
@@ -1147,7 +1165,7 @@ WHERE f.nmem <= $EmbedBucketCap""")
     * sources survives in both). At scale the un-watermarked state grows
     * with distinct keys — that IS exact streaming dedup's cost; the
     * bounded-memory variant is `dropDuplicatesWithinWatermark`
-    * (StreamingDedupSpec).
+    * (cataloged as q_dedup_stream_windowed below).
     */
   val qDedupStreamExact = Q(
     "q_dedup_stream_exact",
@@ -1177,8 +1195,59 @@ WHERE f.nmem <= $EmbedBucketCap""")
 SELECT source, count(DISTINCT md5(text)) AS n_distinct_texts
 FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Bounded-state streaming dedup — the 100-TB-safe variant the
+    * `q_dedup_stream_exact` scaladoc points at:
+    * `dropDuplicatesWithinWatermark` holds a state entry only until the
+    * watermark passes `event_time + delay`, so state is bounded by the
+    * key-arrival rate × watermark horizon instead of growing with all
+    * distinct keys forever. Keyed on (user_id, event_type) over the
+    * events stream; only the keys are emitted (the surviving row's
+    * non-key columns are whichever duplicate arrived first — not
+    * deterministic, so they never reach the compare), and the verdict
+    * aggregate (distinct users per type) runs as a BATCH query over the
+    * sink.
+    *
+    * Oracle = batch DISTINCT: with `Trigger.AvailableNow` and no
+    * `maxFilesPerTrigger`, FileStreamSource's admission control reads
+    * every available file in ONE micro-batch (ReadLimit.allAvailable),
+    * the watermark is at its initial floor for the whole pass, and
+    * within-batch dedup is exact — so the emitted key set equals
+    * DISTINCT regardless of the data's time span. The
+    * recurrence-past-watermark semantics (re-emission + state eviction)
+    * are pinned by StreamingDedupSpec's bounded-state test, the
+    * late-data-drop analogue of RateWindowSpec.
+    */
+  val qDedupStreamWindowed = Q(
+    "q_dedup_stream_windowed",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+      import org.apache.spark.sql.functions.{count, lit}
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = graft.Tables.streamTable(spark, dir, "events",
+        graft.flow.FlowFeaturizer.eventsSchema)
+      val sinkName = s"ddw_${System.nanoTime()}"
+      val q = events
+        .selectExpr("user_id", "event_type",
+          "timestamp_micros(ts DIV 1000) AS event_time")
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
       qSimhash, qSimhash64, qEmbed, qEmbedIncremental, qEmbedIncrStream,
-      qDedupStreamExact, qPageRank)
+      qDedupStreamExact, qDedupStreamWindowed, qPageRank)
 }
