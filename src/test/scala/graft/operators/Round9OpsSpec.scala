@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 behavioral specs: plan pins for the r8 perf rewrites —
+  * the audit conclusions that used to live only in a judge-read
+  * explain dump become CI assertions.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** The EXPLAIN_r9_top_customers.txt audit as an assertion: the
+    * pre-aggregate rewrite must stay shuffle-minimal — ONE fact-side
+    * exchange (lineitem → l_orderkey for the per-order pre-aggregate)
+    * plus ONE for the final per-customer aggregate. The orders and
+    * customer joins broadcast at test scale; the join must NOT
+    * re-shuffle the pre-aggregated fact side (its l_orderkey
+    * partitioning is exactly the join key). A third shuffle appearing
+    * here means the rewrite's whole point — killing the re-shuffle of
+    * the joined fact relation — has regressed.
+    *
+    * Planned at sf0.1 (the artifact's scale) but never executed.
+    * sf0.001 would pin nothing: its single-partition scans satisfy
+    * every required distribution trivially, so EnsureRequirements
+    * plans no Exchange at all there. The sweep reads the FORMATTED
+    * explain (same surface the artifact commits) because the plain
+    * `executedPlan` of an un-run AQE query is the pre-EnsureRequirements
+    * input plan, which never contains exchanges.
+    */
+  test("q_top_customers: exactly 2 shuffles (pre-agg + final customer agg)") {
+    val fmt = Joins.qTopCustomers.run(spark, "/root/testdata/sf0.1")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // detail-section headers, one per node: "(4) Exchange"
+    val shuffles = """(?m)^\(\d+\) Exchange\s*$""".r.findAllIn(fmt).size
+    assert(shuffles == 2,
+      s"expected 2 shuffle Exchanges in the formatted plan, got $shuffles:\n$fmt")
+    assert(fmt.contains("hashpartitioning(l_orderkey"),
+      s"no l_orderkey pre-aggregate shuffle:\n$fmt")
+    assert(fmt.contains("hashpartitioning(c_custkey"),
+      s"no per-customer aggregate shuffle:\n$fmt")
+  }
+}
