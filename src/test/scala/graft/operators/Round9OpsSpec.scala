@@ -49,4 +49,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(fmt.contains("hashpartitioning(c_custkey"),
       s"no per-customer aggregate shuffle:\n$fmt")
   }
+
+  /** The PageRank adaptive-threshold seam (same design as
+    * connectedComponents' local union-find): below the raw-pair
+    * threshold the power iteration runs on the driver with the exact
+    * integer recurrence, so both paths must return BIT-EQUAL rows.
+    * Exercised on a graph with a hub, a chain, a triangle with a
+    * self-loop, and duplicate/reversed pairs — the shapes where an
+    * adjacency or degree mistake would diverge.
+    */
+  test("pageRankInt: local and distributed paths are bit-equal") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), // hub
+      (5L, 6L), (6L, 7L),                     // chain
+      (8L, 9L), (9L, 10L), (10L, 8L),         // triangle
+      (8L, 8L),                               // self-loop
+      (2L, 1L), (1L, 2L)                      // reversed + duplicate pair
+    ).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("id", "degree", "rank_micros").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val local = rows(Graph.pageRankInt(pairs, 5))
+    val dist = rows(Graph.pageRankInt(pairs, 5, localThreshold = 0L))
+    assert(local == dist, s"local=$local\ndist=$dist")
+  }
 }
