@@ -30,7 +30,10 @@ object Bench {
     // round 8: the adaptive-modulus embedding dedup pair and the two
     // window/shuffle-skew rewrites
     "q_dedup_embedding", "q_dedup_embedding_incremental",
-    "q_weighted_median")
+    "q_weighted_median",
+    // round 9: the watermark-bounded streaming dedup and the two
+    // optimized sf1 heavies (driver-local PageRank, per-key timers)
+    "q_dedup_stream_windowed", "q_pagerank_dup", "q_tws_session_timers")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
