@@ -97,9 +97,21 @@ ORDER BY query_id, rank"""
   private val np1Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl1Sub)) AS INT)))"
   private val np2Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl2Sub)) AS INT)))"
 
-  private def ensureAnnStages(spark: SparkSession, dir: String): Unit = {
+  private def ensureEmbeddings(spark: SparkSession, dir: String): Unit = {
     graft.functions.CosineSimilarity.register(spark)
     StageViews.embeddings(spark, dir)
+  }
+
+  /** IVF index stages only. Split from the brute ground-truth stage so
+    * each catalog query builds exactly what it reads: the r9 bench
+    * attribution showed the brute baseline (alphabetically first)
+    * getting charged ~6 s of sf1 index builds it never consumes. Brute
+    * and k-NN call [[ensureBruteStage]]; IVF queries call this; recall
+    * (which compares the two) calls both. `ensureCached` is idempotent,
+    * so any order of first-touch builds each view once.
+    */
+  private def ensureIvfStages(spark: SparkSession, dir: String): Unit = {
+    ensureEmbeddings(spark, dir)
     // Level-1 assignment ranking (broadcast ≤4096-row centroid table).
     // PRUNED view — the name is the contract: only the rows the two
     // consumers below read survive into the cache — cell membership
@@ -137,14 +149,6 @@ SELECT vec_id, c1, c2, a1rnk, rnk FROM (
   JOIN embeddings me ON p.vec_id = me.vec_id
   JOIN embeddings ce ON c.c2 = ce.vec_id)
 WHERE (a1rnk = 1 AND rnk = 1) OR (vec_id < 20 AND rnk <= $np2Sub)"""))
-    // exact ground-truth ranks for the probe queries (top-10 kept)
-    StageViews.ensureCached(spark, "ann_brute_v", dir)(spark.sql("""
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                            ORDER BY cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
-  FROM embeddings q JOIN embeddings n ON q.vec_id < 20 AND n.vec_id <> q.vec_id)
-WHERE rank <= 10"""))
     // IVF: (cell, sub-cell)-probed candidates reranked exactly (top-5)
     StageViews.ensureCached(spark, "ann_ivfr_v", dir)(spark.sql(s"""
 SELECT query_id, neighbor_id, rank FROM (
@@ -162,8 +166,22 @@ WHERE rank <= 5"""))
     ()
   }
 
+  /** Exact ground-truth ranks for the 20 probe queries (top-10 kept) —
+    * what the brute baseline, k-NN, and the recall gate read.
+    */
+  private def ensureBruteStage(spark: SparkSession, dir: String): Unit = {
+    ensureEmbeddings(spark, dir)
+    StageViews.ensureCached(spark, "ann_brute_v", dir)(spark.sql("""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank
+  FROM embeddings q JOIN embeddings n ON q.vec_id < 20 AND n.vec_id <> q.vec_id)
+WHERE rank <= 10"""))
+  }
+
   private def runBrute(spark: SparkSession, dir: String): DataFrame = {
-    ensureAnnStages(spark, dir)
+    ensureBruteStage(spark, dir)
     spark.sql("""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
 FROM ann_brute_v WHERE rank <= 10
@@ -266,7 +284,7 @@ ORDER BY query_id, rank"""
   }
 
   private def runIvf(spark: SparkSession, dir: String): DataFrame = {
-    ensureAnnStages(spark, dir)
+    ensureIvfStages(spark, dir)
     spark.sql("""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
 FROM ann_ivfr_v WHERE rank <= 5
@@ -314,7 +332,8 @@ ORDER BY q.query_id"""
   }
 
   private def runIvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    ensureAnnStages(spark, dir)
+    ensureIvfStages(spark, dir)
+    ensureBruteStage(spark, dir)
     spark.sql("""
 SELECT s.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
 FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) s
@@ -428,7 +447,7 @@ ORDER BY p.query_id"""
     * CTE, so the cache substitutes (StageViews note).
     */
   private def runKnn(spark: SparkSession, dir: String): DataFrame = {
-    ensureAnnStages(spark, dir)
+    ensureBruteStage(spark, dir)
     spark.sql("""
 SELECT p.query_id, CAST(m.label AS BIGINT) AS true_label,
        CAST(p.nlabel AS BIGINT) AS predicted_label,
