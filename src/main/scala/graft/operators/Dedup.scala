@@ -415,18 +415,26 @@ comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u)"""
 
   /** Spark side of [[clusterCtes]]: (doc_id, cluster_rep) for every
     * document, via LSH pairs → distributed/local CC → singleton fill.
+    *
+    * Cached as a stage view: three catalog queries compose this mapping
+    * (clusters, leakage-safe split, corpus build) and the CC solve is
+    * seconds at sf1 — without the cache each caller re-ran the full
+    * iteration. The keyed registry ([[StageViews]]) already guarantees
+    * one build per (session, corpus); at 100 TB this is the persisted
+    * cluster-assignment table every downstream pass joins against.
     */
   private[operators] def clusterAssignments(spark: SparkSession, key: String,
-      docs: => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val pairs = minhashOn(spark, key, docs)
-      .select($"doc_a".as("u"), $"doc_b".as("v"))
-    val cc = Graph.connectedComponents(pairs)
-    spark.table("documents").select($"doc_id")
-      .join(cc, $"doc_id" === cc("id"), "left")
-      .select($"doc_id", coalesce(cc("rep"), $"doc_id").as("cluster_rep"))
-  }
+      docs: => DataFrame): DataFrame =
+    StageViews.ensureCached(spark, "cc_comp_v", key) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val pairs = minhashOn(spark, key, docs)
+        .select($"doc_a".as("u"), $"doc_b".as("v"))
+      val cc = Graph.connectedComponents(pairs)
+      spark.table("documents").select($"doc_id")
+        .join(cc, $"doc_id" === cc("id"), "left")
+        .select($"doc_id", coalesce(cc("rep"), $"doc_id").as("cluster_rep"))
+    }
 
   private def clustersSql(d: SqlDialect): String = s"""
 WITH RECURSIVE ${clusterCtes(d)},

@@ -82,6 +82,12 @@ private[graft] object StageViews {
         case Some(e) if e.key == key => () // already registered for this corpus
         case prior =>
           prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+          // Timed from BEFORE `build`: most stage views are lazy SQL
+          // (build is plan-only, the count below is the whole cost),
+          // but iterative builds (cc_comp_v's CC solve) do their work
+          // inside `build` itself — timing only the count would
+          // undercount exactly the views whose builds are heaviest.
+          val t0 = System.nanoTime()
           val df = build
           if (cache) df.cache()
           df.createOrReplaceTempView(name)
@@ -91,7 +97,6 @@ private[graft] object StageViews {
           // view — bench numbers then move between queries when catalog
           // order changes (r8: q_doc_containment vs q_corpus_build).
           for (label <- attributionLabel if cache) {
-            val t0 = System.nanoTime()
             df.count()
             val sec = (System.nanoTime() - t0) / 1e9
             val b = Build(name, label(), sec)
