@@ -378,16 +378,23 @@ FROM $bandsf a JOIN $bandsf b
     val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
       JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
         ON s.doc_id = cd.doc_id)"""
-    spark.sql(s"""
+    // The VERIFIED pairs are the expensive step (exact-Jaccard
+    // intersection join over the candidates' shingle sets) and the
+    // fan-in point of the family: minhash output, the CC solve
+    // (cc_comp_v materializes this relation inside localCheckpoint),
+    // and PageRank all consume it. Cached like the stages above it —
+    // at 100 TB this is the persisted verified-pair table.
+    StageViews.ensureCached(spark, "dpairs_v", key)(spark.sql(s"""
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand_v c JOIN (${jacSub(shC)}) j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= 0.5
-ORDER BY c.doc_a, c.doc_b""")
+WHERE j.jaccard >= 0.5"""))
   }
 
   val qMinhash = Q(
     "q_dedup_minhash_lsh",
-    (spark, dir) => minhashOn(spark, dir, Tables.documents(spark, dir)),
+    (spark, dir) =>
+      minhashOn(spark, dir, Tables.documents(spark, dir))
+        .orderBy("doc_a", "doc_b"),
     Some(minhashSql(DuckSql)))
 
   // ================= duplicate clusters (connected components) =================
