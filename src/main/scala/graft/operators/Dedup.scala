@@ -429,6 +429,15 @@ comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u)"""
     * iteration. The keyed registry ([[StageViews]]) already guarantees
     * one build per (session, corpus); at 100 TB this is the persisted
     * cluster-assignment table every downstream pass joins against.
+    *
+    * Measured decomposition at sf1 (250k pairs / 50k linked vertices,
+    * r9 timing probe): with dpairs_v already materialized, this build
+    * is ~2.5 s — orient+localCheckpoint ~1.0 s, edge collect ~0.2 s,
+    * driver union-find ~0.3 s, assignment join + cache ~0.75 s. The
+    * "15 s cc_comp_v" lines in earlier sf1 logs were the NESTED
+    * dpairs_v materialization double-counted into this view's span
+    * (fixed: [[StageViews.Build]] seconds are now exclusive of nested
+    * builds).
     */
   private[operators] def clusterAssignments(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame =

@@ -42,6 +42,11 @@ private[graft] object StageViews {
 
   /** One materialized cached-stage build: which view, how long the
     * materializing count took, and which catalog query triggered it.
+    * `sec` is EXCLUSIVE of nested stage builds: when view A's builder
+    * triggers view B's materialization (cc_comp_v → dpairs_v), B's cost
+    * appears only on B's line, so the per-view seconds sum to real wall
+    * time instead of double-counting shared parents (r9: the "15 s
+    * cc_comp_v" was ~13 s of nested dpairs_v plus ~2.5 s of CC work).
     */
   final case class Build(view: String, chargedTo: String, sec: Double)
 
@@ -64,6 +69,9 @@ private[graft] object StageViews {
   /** Builds recorded since [[enableBuildAttribution]], in build order. */
   def buildLog: Seq[Build] = builds.synchronized(builds.toVector)
 
+  /** Back to lazy, unattributed registration (spec teardown). */
+  def disableBuildAttribution(): Unit = attributionLabel = None
+
   private val sessions =
     new java.util.WeakHashMap[SparkSession, mutable.Map[String, Entry]]()
 
@@ -73,6 +81,13 @@ private[graft] object StageViews {
       if (m == null) { m = mutable.Map.empty; sessions.put(spark, m) }
       m
     }
+
+  // Wall seconds consumed by nested attributed builds inside the
+  // current build's dynamic extent (bench runs are single-threaded; a
+  // ThreadLocal keeps concurrent test sessions from cross-charging).
+  private val nestedSec = new ThreadLocal[java.lang.Double] {
+    override def initialValue: java.lang.Double = 0.0
+  }
 
   private def ensure0(spark: SparkSession, name: String, key: String, cache: Boolean)(
       build: => DataFrame): DataFrame = {
@@ -87,6 +102,10 @@ private[graft] object StageViews {
           // but iterative builds (cc_comp_v's CC solve) do their work
           // inside `build` itself — timing only the count would
           // undercount exactly the views whose builds are heaviest.
+          val attributing = attributionLabel.isDefined
+          val saved: Double = if (attributing) {
+            val s = nestedSec.get(); nestedSec.set(0.0); s
+          } else 0.0
           val t0 = System.nanoTime()
           val df = build
           if (cache) df.cache()
@@ -96,13 +115,21 @@ private[graft] object StageViews {
           // cost lands silently inside whichever query FIRST scans the
           // view — bench numbers then move between queries when catalog
           // order changes (r8: q_doc_containment vs q_corpus_build).
-          for (label <- attributionLabel if cache) {
-            df.count()
-            val sec = (System.nanoTime() - t0) / 1e9
-            val b = Build(name, label(), sec)
-            builds.synchronized(builds += b)
-            System.err.println(
-              f"[stageviews] built ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+          attributionLabel match {
+            case Some(label) if cache =>
+              df.count()
+              val raw = (System.nanoTime() - t0) / 1e9
+              // Children already logged their own lines; report only
+              // this view's exclusive cost, and hand the full span up
+              // so a grandparent excludes it too.
+              val b = Build(name, label(), raw - nestedSec.get())
+              builds.synchronized(builds += b)
+              System.err.println(
+                f"[stageviews] built ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+              nestedSec.set(saved + raw)
+            case Some(_) => // uncached ensure: pass nested spans through
+              nestedSec.set(saved + nestedSec.get())
+            case None => ()
           }
       }
     }

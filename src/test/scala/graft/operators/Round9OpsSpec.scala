@@ -58,6 +58,37 @@ class Round9OpsSpec extends AnyFunSuite {
     * self-loop, and duplicate/reversed pairs — the shapes where an
     * adjacency or degree mistake would diverge.
     */
+  /** Build-attribution seconds are EXCLUSIVE of nested stage builds:
+    * when a parent view's builder triggers a child ensureCached
+    * (cc_comp_v → dpairs_v in the real catalog), the child's cost must
+    * appear only on the child's line — otherwise per-view seconds
+    * double-count shared parents (the r9 "15 s cc_comp_v" was ~13 s of
+    * nested dpairs_v). The child's build sleeps a full second; the
+    * parent does no work of its own beyond the materializing count, so
+    * inclusive timing would report ≥1 s for BOTH lines.
+    */
+  test("StageViews attribution: parent build excludes nested child time") {
+    import spark.implicits._
+    StageViews.enableBuildAttribution(() => "spec_query")
+    try {
+      StageViews.ensureCached(spark, "r9_attr_parent_v", "k") {
+        val child = StageViews.ensureCached(spark, "r9_attr_child_v", "k") {
+          Thread.sleep(1000) // stand-in for a heavy child materialization
+          Seq(1, 2, 3).toDF("x")
+        }
+        child.select($"x" + 1 as "y")
+      }
+      val log = StageViews.buildLog.map(b => b.view -> b.sec).toMap
+      assert(log.keySet == Set("r9_attr_child_v", "r9_attr_parent_v"), s"log=$log")
+      assert(log("r9_attr_child_v") >= 1.0, s"child should carry its sleep: $log")
+      assert(log("r9_attr_parent_v") < 0.9,
+        s"parent must be exclusive of the child's 1 s build: $log")
+    } finally {
+      StageViews.disableBuildAttribution()
+      StageViews.unpersistAll(spark)
+    }
+  }
+
   test("pageRankInt: local and distributed paths are bit-equal") {
     import spark.implicits._
     val pairs = Seq(
