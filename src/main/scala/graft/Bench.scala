@@ -33,7 +33,9 @@ object Bench {
     "q_weighted_median",
     // round 9: the watermark-bounded streaming dedup and the two
     // optimized sf1 heavies (driver-local PageRank, per-key timers)
-    "q_dedup_stream_windowed", "q_pagerank_dup", "q_tws_session_timers")
+    "q_dedup_stream_windowed", "q_pagerank_dup", "q_tws_session_timers",
+    // round 9b: LSH-bucketed ANN, edit-distance verify, winnowing
+    "q_ann_lsh", "q_dedup_edit_distance", "q_text_winnow_fingerprint")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

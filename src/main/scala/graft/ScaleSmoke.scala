@@ -145,6 +145,30 @@ object ScaleSmoke {
         s"embedding-dedup candidates grew x$candRatio for x$inputRatio input — adaptive modulus not holding")
     }
 
+    // ---- LSH ANN: L sign-hyperplane tables with an adaptive modulus
+    // keep bucket occupancy ~constant, and hamming-1 multi-probing adds
+    // ONE bucket per modulus bit — so probed candidates must grow
+    // ~log(corpus), far under input growth (same sign-flipped replicas
+    // as embdup so replicas land in distinct buckets).
+    val lshResults = multiples.map { m =>
+      val corpus = emb.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          "vec_id + rep * 100000000 AS vec_id",
+          "transform(embedding, (x, i) -> CASE WHEN ((CAST(rep AS INT) >> (i % 8)) & 1) = 1 THEN -x ELSE x END) AS embedding")
+      val t0l = System.nanoTime()
+      val cands = operators.Similarity.lshCandidatesOn(spark, s"scale-lsh-$m", corpus)
+      val sec = (System.nanoTime() - t0l) / 1e9
+      println(f"[scale] annlsh  x$m%-3d vecs=${nVec * m}%8d cands=$cands%8d  $sec%7.2f s")
+      (m, sec, cands)
+    }
+    if (lshResults.head._3 > 0 && lshResults.size > 1) {
+      val inputRatio = lshResults.last._1.toDouble / lshResults.head._1
+      val candRatio = lshResults.last._3.toDouble / lshResults.head._3
+      println(f"[scale] annlsh candidates: input x$inputRatio%.0f -> cands x$candRatio%.2f (log-growth bound ${0.5 * inputRatio}%.2f)")
+      require(candRatio < 0.5 * inputRatio,
+        s"LSH probed candidates grew x$candRatio for x$inputRatio input — log-probe shape not holding")
+    }
+
     // ---- sketches: bloom is broadcast-probe-only on the fact side and
     // CMS partial aggregates are capped at d·w rows per task, so both
     // must track input size linearly (dim AND fact replicated ×m)

@@ -315,13 +315,19 @@ bandsf AS (SELECT b.doc_id, b.band, b.bh
            FROM bands b JOIN bfreq f ON b.band = f.band AND b.bh = f.bh
            WHERE f.nb <= $BandCap)"""
 
+  /** Oracle CTE chain ending in `cand`, the banded (frequency-capped)
+    * candidate pairs — the LSH candidate-generation stage shared by the
+    * Jaccard verify below and the edit-distance verify ([[qEditDist]]).
+    */
+  private def candCtes(d: SqlDialect): String = s"""${shingleBase(d)},${bandCtes(d)},${bandFilterCtes},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandsf a JOIN bandsf b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
   /** Oracle CTE chain ending in `dpairs`, the verified duplicate pairs
     * (jaccard ≥ 0.5) — shared by the pair query and the cluster query.
     */
-  private def minhashCtes(d: SqlDialect): String = s"""${shingleBase(d)},${bandCtes(d)},${bandFilterCtes},
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bandsf a JOIN bandsf b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),${jacCtes("sh")},
+  private def minhashCtes(d: SqlDialect): String = s"""${candCtes(d)},${jacCtes("sh")},
 dpairs AS (SELECT j.doc_a, j.doc_b, j.jaccard
            FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
            WHERE j.jaccard >= 0.5)"""
@@ -367,14 +373,24 @@ ORDER BY doc_a, doc_b"""
         ON b.band = f.band AND b.bh = f.bh
       WHERE f.nb <= $BandCap)"""
 
-  private[graft] def minhashOn(spark: SparkSession, key: String,
-      docs: => DataFrame): DataFrame = {
+  /** Register the cached banded candidate-pair relation (and its band /
+    * shingle prerequisites) for `key` — the stage every verify variant
+    * (Jaccard, edit-distance) probes.
+    */
+  private[graft] def ensureCandidates(spark: SparkSession, key: String,
+      docs: => DataFrame): Unit = {
     ensureBands(spark, key, docs)
     val bandsf = bandsfSub
     StageViews.ensureCached(spark, "cand_v", key)(spark.sql(s"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM $bandsf a JOIN $bandsf b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""))
+    ()
+  }
+
+  private[graft] def minhashOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureCandidates(spark, key, docs)
     val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
       JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
         ON s.doc_id = cd.doc_id)"""
@@ -396,6 +412,64 @@ WHERE j.jaccard >= 0.5"""))
       minhashOn(spark, dir, Tables.documents(spark, dir))
         .orderBy("doc_a", "doc_b"),
     Some(minhashSql(DuckSql)))
+
+  // ================= edit-distance verified near-dup =================
+
+  /** The other classic verify metric over the SAME LSH candidate stage:
+    * Levenshtein edit distance on bounded document prefixes. Where the
+    * Jaccard verify ([[qMinhash]]) measures bag-of-shingles overlap
+    * (order-insensitive), edit distance measures character-level
+    * editability — the metric fuzzy-dedup uses for templated/boilerplate
+    * variants where word sets match but structure matters. Both engines
+    * ship the identical classic Levenshtein (unit-cost
+    * insert/delete/substitute), so the distance is integer-exact
+    * cross-engine.
+    *
+    * Scale discipline: the O(len²) DP runs ONLY on [[candCtes]]'s
+    * frequency-capped candidate pairs (never all pairs), and only on
+    * [[EditPrefix]]-char prefixes — cost per pair is a constant
+    * ≤ EditPrefix² cell DP, so total cost is O(candidates), linear by
+    * the same ScaleSmoke bound that covers the candidate join. The
+    * verdict threshold is the integer cross-multiplication
+    * `5·dist ≤ max_len` (dist ≤ 20% of the longer prefix) — no float
+    * ratio enters the compare.
+    */
+  private val EditPrefix = 200
+
+  private def editDistSql(d: SqlDialect): String = s"""
+WITH ${candCtes(d)},
+epd AS (SELECT c.doc_a, c.doc_b,
+               substr(da.text, 1, $EditPrefix) AS ta,
+               substr(db.text, 1, $EditPrefix) AS tb
+        FROM cand c JOIN documents da ON c.doc_a = da.doc_id
+                    JOIN documents db ON c.doc_b = db.doc_id)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(ta), length(tb)) AS BIGINT) AS max_len,
+       (levenshtein(ta, tb) * 5 <= greatest(length(ta), length(tb))) AS is_dup
+FROM epd
+ORDER BY doc_a, doc_b"""
+
+  private[graft] def editDistOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureCandidates(spark, key, docs)
+    spark.sql(s"""
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+       CAST(greatest(length(ta), length(tb)) AS BIGINT) AS max_len,
+       (levenshtein(ta, tb) * 5 <= greatest(length(ta), length(tb))) AS is_dup
+FROM (SELECT c.doc_a, c.doc_b,
+             substr(da.text, 1, $EditPrefix) AS ta,
+             substr(db.text, 1, $EditPrefix) AS tb
+      FROM cand_v c JOIN documents da ON c.doc_a = da.doc_id
+                    JOIN documents db ON c.doc_b = db.doc_id)
+ORDER BY doc_a, doc_b""")
+  }
+
+  val qEditDist = Q(
+    "q_dedup_edit_distance",
+    (spark, dir) => editDistOn(spark, dir, Tables.documents(spark, dir)),
+    Some(editDistSql(DuckSql)))
 
   // ================= duplicate clusters (connected components) =================
 
@@ -1271,7 +1345,7 @@ SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
-    Seq(qExact, qNgram, qContainment, qMinhash, qClusters, qIncremental,
-      qSimhash, qSimhash64, qEmbed, qEmbedIncremental, qEmbedIncrStream,
-      qDedupStreamExact, qDedupStreamWindowed, qPageRank)
+    Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qClusters,
+      qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedIncremental,
+      qEmbedIncrStream, qDedupStreamExact, qDedupStreamWindowed, qPageRank)
 }

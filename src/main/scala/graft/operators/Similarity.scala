@@ -348,6 +348,211 @@ ORDER BY s.query_id""")
 
   val qIvfRecall = Q("q_ann_ivf_recall", runIvfRecall _, Some(ivfRecallSql(DuckSql)))
 
+  // ---- LSH-bucketed ANN (sign-hyperplane tables, hamming-1 multi-probe) ----
+
+  /** The LSH-bucketed scale path for similarity search — the classic
+    * alternative to IVF: [[LshTables]] independent hash tables, table t
+    * keyed by the sign pattern of embedding dims 16t+1..16t+16 (16
+    * axis-aligned hyperplanes per table — the same engine-portable sign
+    * bits the embedding-dedup family uses, [[Dedup]] `signWord`), folded
+    * to an ADAPTIVE power-of-two modulus M = min 2^k with
+    * M · [[LshTargetBucket]] ≥ n — so expected bucket occupancy stays
+    * ≈ [[LshTargetBucket]] at every corpus size (the literal powers
+    * table avoids cross-engine `ceil(log2)`, as in the dedup modulus).
+    * Queries MULTI-PROBE each table at their own bucket plus every
+    * hamming-1 neighbor bucket (XOR with each power of two < M) — the
+    * standard recall lever that probes the buckets a single flipped
+    * sign bit would have landed in.
+    *
+    * Scale shape: probed rows per query ≈ L · (1 + log₂M) · occupancy
+    * = O(L · log n · TargetBucket) — LOGARITHMIC in corpus size, vs the
+    * IVF's n^(3/4) and brute's n. The price is recall, measured honestly
+    * by [[qLshRecall]] against the brute ground truth (the deployment
+    * dial: more tables or more probes buys recall at linear probe cost).
+    * Index build is L narrow sign-projections of the corpus — no
+    * distance computations at all, vs IVF's O(n·n^(1/4)) assignment
+    * cosines; re-ranking is exact cosine over the candidate set only.
+    * Per-(table, bucket) frequency cap [[LshBucketCap]] is the skew
+    * backstop bounding any single probe (the family's BandCap).
+    */
+  private val LshTables = 4
+  private val LshTargetBucket = 128L
+  private val LshBucketCap = 2048L
+
+  /** Smallest power-of-two modulus M (2³..2¹⁶) with M · target ≥ n. */
+  private def lshModulusSub: String = {
+    val powers = (3 to 16).map(k => s"(CAST(${1L << k} AS BIGINT))").mkString(", ")
+    s"""(SELECT coalesce(min(p), CAST(${1L << 16} AS BIGINT))
+   FROM (VALUES $powers) pw(p)
+   WHERE p * $LshTargetBucket >= (SELECT count(*) FROM embeddings))"""
+  }
+
+  /** 16-bit sign word of table t (dims 16t+1 .. 16t+16). */
+  private def lshWord(d: SqlDialect, t: Int): String = (1 to 16)
+    .map(i =>
+      s"(CASE WHEN ${d.el("embedding", (16 * t + i).toString)} >= 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  /** Hamming-1 probe masks: every power of two below the modulus. */
+  private val lshProbePowers =
+    (0 until 16).map(k => s"(CAST(${1L << k} AS BIGINT))").mkString(", ")
+
+  /** Oracle CTE chain ending in `lranked` (candidates reranked by exact
+    * cosine). `meta` must already be in scope ([[normCos]] norms).
+    */
+  private def lshCte(d: SqlDialect): String = {
+    val (norm, cos) = normCos(d)
+    val m = lshModulusSub
+    val tables = (0 until LshTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, (${lshWord(d, t)}) % $m AS bucket FROM embeddings")
+      .mkString("\n        UNION ALL ")
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+lsh AS ($tables),
+lbf AS (SELECT tbl, bucket, count(*) AS nmem FROM lsh GROUP BY tbl, bucket),
+lshf AS (SELECT l.vec_id, l.tbl, l.bucket
+         FROM lsh l JOIN lbf f ON l.tbl = f.tbl AND l.bucket = f.bucket
+         WHERE f.nmem <= $LshBucketCap),
+lprobe AS (SELECT vec_id AS query_id, tbl, bucket FROM lsh WHERE vec_id < 20
+           UNION ALL
+           SELECT l.vec_id, l.tbl, ${d.xor("l.bucket", "pw.p")}
+           FROM lsh l CROSS JOIN (VALUES $lshProbePowers) pw(p)
+           WHERE l.vec_id < 20 AND pw.p < $m),
+lcand AS (SELECT DISTINCT p.query_id, m2.vec_id AS neighbor_id
+          FROM lprobe p JOIN lshf m2 ON p.tbl = m2.tbl AND p.bucket = m2.bucket
+          WHERE m2.vec_id <> p.query_id),
+lpairs AS (SELECT c.query_id, c.neighbor_id,
+                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+           FROM lcand c JOIN meta q ON c.query_id = q.vec_id
+                        JOIN meta n ON c.neighbor_id = n.vec_id),
+lscored AS (SELECT query_id, neighbor_id, $cos AS cos FROM lpairs),
+lranked AS (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM lscored)"""
+  }
+
+  private def lshSql(d: SqlDialect): String = lshCte(d) + s"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM lranked
+WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+  /** Spark-side LSH stages: the bucket index (narrow, no cosines) and
+    * the reranked probe results, cached and shared by the top-k query
+    * and the recall gate — nested-subquery spellings over the cached
+    * views (StageViews CTE note).
+    */
+  private def ensureLshStages(spark: SparkSession, dir: String): Unit = {
+    ensureEmbeddings(spark, dir)
+    val m = lshModulusSub
+    val tables = (0 until LshTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, (${lshWord(SparkSql, t)}) % $m AS bucket FROM embeddings")
+      .mkString("\nUNION ALL ")
+    StageViews.ensureCached(spark, "ann_lsh_v", dir)(spark.sql(tables))
+    StageViews.ensureCached(spark, "ann_lshr_v", dir)(spark.sql(s"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY cosine_similarity(q.embedding, n.embedding) DESC, c.neighbor_id) AS rank
+  FROM (SELECT DISTINCT p.query_id, m2.vec_id AS neighbor_id
+        FROM (SELECT vec_id AS query_id, tbl, bucket FROM ann_lsh_v WHERE vec_id < 20
+              UNION ALL
+              SELECT l.vec_id, l.tbl, ${SparkSql.xor("l.bucket", "pw.p")}
+              FROM ann_lsh_v l CROSS JOIN (VALUES $lshProbePowers) pw(p)
+              WHERE l.vec_id < 20 AND pw.p < $m) p
+        JOIN (SELECT l.vec_id, l.tbl, l.bucket
+              FROM ann_lsh_v l
+              JOIN (SELECT tbl, bucket, count(*) AS nmem FROM ann_lsh_v GROUP BY tbl, bucket) f
+                ON l.tbl = f.tbl AND l.bucket = f.bucket
+              WHERE f.nmem <= $LshBucketCap) m2
+          ON p.tbl = m2.tbl AND p.bucket = m2.bucket
+        WHERE m2.vec_id <> p.query_id) c
+  JOIN embeddings q ON c.query_id = q.vec_id
+  JOIN embeddings n ON c.neighbor_id = n.vec_id)
+WHERE rank <= 5"""))
+    ()
+  }
+
+  private def runLsh(spark: SparkSession, dir: String): DataFrame = {
+    ensureLshStages(spark, dir)
+    spark.sql("""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ann_lshr_v WHERE rank <= 5
+ORDER BY query_id, rank""")
+  }
+
+  val qLsh = Q("q_ann_lsh", runLsh _, Some(lshSql(DuckSql)))
+
+  /** Recall@5 of the LSH index vs brute ground truth — the honest cost
+    * of the O(log n) probe shape, per probe query ([[qIvfRecall]]'s
+    * exact pattern; zero-candidate queries stay as explicit rows).
+    */
+  private def lshRecallSql(d: SqlDialect): String = {
+    val (_, cos) = normCos(d)
+    lshCte(d) + s""",
+bpairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
+           FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
+bscored AS (SELECT query_id, neighbor_id, $cos AS cos FROM bpairs),
+bru AS (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bscored),
+ov AS (SELECT i.query_id, count(*) AS n_common
+       FROM lranked i JOIN bru b
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       WHERE i.rank <= 5 AND b.rank <= 5
+       GROUP BY i.query_id)
+SELECT q.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT vec_id AS query_id FROM meta WHERE vec_id < 20) q
+LEFT JOIN ov ON q.query_id = ov.query_id
+ORDER BY q.query_id"""
+  }
+
+  private def runLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    ensureLshStages(spark, dir)
+    ensureBruteStage(spark, dir)
+    spark.sql("""
+SELECT s.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) s
+LEFT JOIN (SELECT i.query_id, count(*) AS n_common
+           FROM ann_lshr_v i JOIN ann_brute_v b
+             ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           WHERE i.rank <= 5 AND b.rank <= 5
+           GROUP BY i.query_id) ov
+  ON s.query_id = ov.query_id
+ORDER BY s.query_id""")
+  }
+
+  val qLshRecall = Q("q_ann_lsh_recall", runLshRecall _, Some(lshRecallSql(DuckSql)))
+
+  /** The adaptive LSH modulus chosen for `key`'s corpus (spec
+    * observability — the dial that keeps bucket occupancy constant).
+    */
+  private[graft] def lshModulusOn(spark: SparkSession, key: String,
+      emb: => DataFrame): Long = {
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(s"SELECT $lshModulusSub AS m").head().getLong(0)
+  }
+
+  /** Distinct probed candidate count across the 20 probe queries — the
+    * quantity whose growth must be ≈ L · log₂(modulus) · occupancy,
+    * i.e. LOGARITHMIC in corpus size (ScaleSmoke asserts the ratio).
+    */
+  private[graft] def lshCandidatesOn(spark: SparkSession, key: String,
+      emb: => DataFrame): Long = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(lshCte(SparkSql) + "\nSELECT count(*) AS n FROM lcand")
+      .head().getLong(0)
+  }
+
+  /** LSH top-k over an arbitrary embeddings frame (spec seam). */
+  private[graft] def lshOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    spark.sql(lshSql(SparkSql))
+  }
+
   /** Grouped embedding centroids with exact arithmetic: per group, the
     * per-dimension MEAN computed over milli-quantized components —
     * `sum(round(x·1000))` is an exact BIGINT fold (map-side
@@ -543,5 +748,6 @@ ORDER BY q.query_id""")
 
   val qMrl = Q("q_mrl_recall", runMrl _, Some(mrlSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBrute, qIvf, qIvfRecall, qCentroids, qKnn, qMrl)
+  val all: Seq[Q] =
+    Seq(qBrute, qIvf, qIvfRecall, qLsh, qLshRecall, qCentroids, qKnn, qMrl)
 }

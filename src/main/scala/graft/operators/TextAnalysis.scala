@@ -161,6 +161,135 @@ ORDER BY doc_id"""
 
   val qTokens = Q("q_text_tokens", run(tokensSql(SparkSql)), Some(tokensSql(DuckSql)))
 
+  // ---- BPE-ish subword tokenization (pretokenizer regex + greedy merges) ----
+
+  /** Subword token accounting one level closer to a production BPE
+    * tokenizer than [[qTokens]]'s chars/4 estimate: a GPT-2-style
+    * PRETOKENIZER regex first cuts text into word / number / punctuation
+    * runs (each with its leading space, exactly like the GPT-2 pattern —
+    * spelled WITHOUT lookahead so Java regex and RE2 agree), then each
+    * pretoken contributes ⌈len/4⌉ subword pieces — a greedy fixed-width
+    * stand-in for learned BPE merges that keeps the count deterministic
+    * and engine-portable (a real merge table is model data, not an
+    * operator). The corpus is lowercase-word-only, so digits and
+    * punctuation are planted deterministically per doc_id (the
+    * q_pii_scrub trick) and the class counts must find exactly those.
+    *
+    * The pretokenization is LOSSLESS (concatenating the pretokens
+    * rebuilds the body — verified in Round9OpsSpec), which is the
+    * property that makes per-class counts add up to the whole document.
+    *
+    * Scale: one narrow codegen'd projection per row — no explode, no
+    * shuffle beyond the final sort; the regex runs once per document and
+    * the piece fold is a map-side HOF over the extracted array.
+    */
+  /** The pretokenizer regex and the planted-body expression, shared by
+    * the query template and Round9OpsSpec's losslessness law (the spec
+    * must test the exact pattern the query runs, not a copy).
+    */
+  private[operators] val BpePretokenPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+  private[operators] val BpePlantedBody: String =
+    """text || CASE WHEN doc_id % 3 = 0 THEN ' v' || CAST(doc_id AS STRING) || '.2 (beta)!'
+                    WHEN doc_id % 3 = 1 THEN ' costs $' || CAST(doc_id % 100 AS STRING) || '.99'
+                    ELSE ' -- see notes #' || CAST(doc_id % 50 AS STRING) END"""
+
+  private def bpeSql(d: SqlDialect): String = {
+    val pat = BpePretokenPattern
+    val toks = d match {
+      case SparkSql => s"regexp_extract_all(body, '$pat', 0)"
+      case DuckSql  => s"regexp_extract_all(body, '$pat')"
+    }
+    // first char of the trimmed pretoken decides its class; integer
+    // ceil-division for the greedy piece count (never float ceil)
+    val (nSub, nWord, nNum) = d match {
+      case SparkSql => (
+        s"aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + CAST(${SparkSql.idiv("length(trim(t)) + 3", "4")} AS BIGINT))",
+        "size(filter(toks, t -> substring(trim(t), 1, 1) BETWEEN 'a' AND 'z'))",
+        "size(filter(toks, t -> substring(trim(t), 1, 1) BETWEEN '0' AND '9'))")
+      case DuckSql => (
+        s"list_sum(list_transform(toks, t -> ${DuckSql.idiv("length(trim(t)) + 3", "4")}))",
+        "len(list_filter(toks, t -> substr(trim(t), 1, 1) BETWEEN 'a' AND 'z'))",
+        "len(list_filter(toks, t -> substr(trim(t), 1, 1) BETWEEN '0' AND '9'))")
+    }
+    s"""
+WITH planted AS (
+  SELECT doc_id, $BpePlantedBody AS body
+  FROM documents),
+tk AS (SELECT doc_id, length(body) AS n_chars_body, $toks AS toks FROM planted)
+SELECT doc_id,
+       CAST(${d.len("toks")} AS BIGINT) AS n_pretokens,
+       CAST($nSub AS BIGINT) AS n_subpieces,
+       CAST($nWord AS BIGINT) AS n_word_toks,
+       CAST($nNum AS BIGINT) AS n_num_toks,
+       CAST(${d.len("toks")} - ($nWord) - ($nNum) AS BIGINT) AS n_other_toks,
+       CAST(n_chars_body AS DOUBLE) / CAST($nSub AS DOUBLE) AS chars_per_piece
+FROM tk
+ORDER BY doc_id"""
+  }
+
+  val qTokensBpe = Q("q_text_tokens_bpe", run(bpeSql(SparkSql)), Some(bpeSql(DuckSql)))
+
+  // ---- winnowing fingerprint (rolling char-k-gram hashes + window minima) ----
+
+  /** MOSS-style winnowing (Schleimer et al., SIGMOD '03) — the rolling-
+    * hash fingerprinting scheme real plagiarism/near-dup scanners run:
+    * hash every CHAR 8-gram at every position (the "rolling" hash — here
+    * md5-derived per position, the one hash both engines share
+    * bit-for-bit, see [[SqlHash.hex32]]), then slide a window of
+    * [[WinnowWindow]] consecutive positions and keep each window's
+    * MINIMUM hash. The guarantee: any shared substring of length ≥
+    * 8 + [[WinnowWindow]] − 1 between two documents yields at least one
+    * shared fingerprint. Output per doc: the selected-fingerprint count
+    * and two exact integer digests of the fingerprint SET (min and sum —
+    * order-free, BIGINT-exact), which is what a containment scanner
+    * would index.
+    *
+    * Positions are capped at [[WinnowPosCap]] per document — the bound
+    * that keeps the fan-out per row constant at any document length
+    * (fingerprint-the-head; production scanners shard long docs into
+    * bounded segments the same way). Scale shape: one bounded explode
+    * (≤ cap rows/doc) clustered on doc_id, one PARTITIONED window (never
+    * global), one distinct + aggregate — all on the doc_id key, so the
+    * whole pipeline rides a single hash partitioning.
+    */
+  private val WinnowWindow = 4
+  private val WinnowPosCap = 240
+
+  /** CTE chain ending in `wsel` — the selected (doc_id, fingerprint)
+    * set, also exposed to Round9OpsSpec via [[winnowFingerprintsOn]]
+    * (the shared-substring guarantee is a law about this SET, which the
+    * digest columns deliberately compress away).
+    */
+  private def winnowCore(d: SqlDialect): String = s"""wd AS (SELECT doc_id, text, least(length(text) - 7, $WinnowPosCap) AS np
+            FROM documents WHERE length(text) >= 8),
+wpos AS (${d.series("doc_id, text, np", "np", "i", "wd")}),
+wkg AS (SELECT doc_id, np, i,
+               ${SqlHash.hex32(d, "md5(substr(text, CAST(i AS INT), 8))", 1)} AS h
+        FROM wpos),
+wwin AS (SELECT doc_id, np, i,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS wmin
+         FROM wkg),
+wsel AS (SELECT DISTINCT doc_id, wmin FROM wwin WHERE i <= np - ${WinnowWindow - 1})"""
+
+  private def winnowSql(d: SqlDialect): String = s"""
+WITH ${winnowCore(d)}
+SELECT doc_id, count(*) AS n_fingerprints,
+       min(wmin) AS fp_min, CAST(sum(wmin) AS BIGINT) AS fp_sum
+FROM wsel GROUP BY doc_id
+ORDER BY doc_id"""
+
+  /** The raw selected-fingerprint set over an arbitrary documents frame
+    * (spec seam for the winnowing guarantee).
+    */
+  private[graft] def winnowFingerprintsOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    StageViews.ensure(spark, "documents", key)(docs)
+    spark.sql(s"WITH ${winnowCore(SparkSql)} SELECT doc_id, wmin FROM wsel")
+  }
+
+  val qWinnow = Q("q_text_winnow_fingerprint", run(winnowSql(SparkSql)), Some(winnowSql(DuckSql)))
+
   // ---- document fingerprint (min-hash of word 5-grams, 2 seeds) ----
 
   private def fingerprintSql(d: SqlDialect): String = s"""
@@ -523,6 +652,7 @@ ORDER BY doc_id"""
     Some(normalizeSql(DuckSql)))
 
   val all: Seq[Q] =
-    Seq(qLangId, qQuality, qTokens, qFingerprint, qRepetition, qTopTerms,
-      qTfIdf, qChunks, qNormalize, qBoilerplate, qVocab)
+    Seq(qLangId, qQuality, qTokens, qTokensBpe, qWinnow, qFingerprint,
+      qRepetition, qTopTerms, qTfIdf, qChunks, qNormalize, qBoilerplate,
+      qVocab)
 }

@@ -58,7 +58,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_source_boilerplate", "q_split_leakage_safe", "q_ann_ivf_recall",
     "q_vocab_coverage", "q_weighted_median",
     // round 8: adaptive-modulus embedding dedup + its incremental form
-    "q_dedup_embedding", "q_dedup_embedding_incremental")
+    "q_dedup_embedding", "q_dedup_embedding_incremental",
+    // round 9: BPE-ish tokens, winnowing fingerprints, edit-distance
+    // verify, LSH-bucketed ANN + its recall gate
+    "q_text_tokens_bpe", "q_text_winnow_fingerprint",
+    "q_dedup_edit_distance", "q_ann_lsh", "q_ann_lsh_recall")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {
