@@ -967,7 +967,11 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
     * cached [[ensureEmbedBuckets]] stage (CTE mentions would re-derive
     * the union per reference — StageViews note).
     */
-  private def embedSql(d: SqlDialect): String = {
+  /** Oracle CTE chain ending in `vpairs` (verified cos ≥ 0.995 pairs
+    * over the doubled corpus) — shared by the pair query and the
+    * embedding cluster query.
+    */
+  private def embedCtes(d: SqlDialect): String = {
     // Spark side: native codegen'd expression; oracle: identical
     // sequential math (see Similarity.normCos)
     val (normExpr, cosExpr) = d match {
@@ -978,8 +982,7 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
         "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
         "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i)) / (na * nb)")
     }
-    s"""
-WITH corpus AS (
+    s"""corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + $IdShift AS vec_id, embedding FROM embeddings
@@ -994,11 +997,14 @@ metaf AS (SELECT m.vec_id, m.embedding, m.nrm, m.bucket
 pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
           FROM metaf a JOIN metaf b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT vec_a, vec_b FROM pairs
-WHERE $cosExpr >= 0.995
-ORDER BY vec_a, vec_b"""
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+vpairs AS (SELECT vec_a, vec_b FROM pairs WHERE $cosExpr >= 0.995)"""
   }
+
+  private def embedSql(d: SqlDialect): String = s"""
+WITH ${embedCtes(d)}
+SELECT vec_a, vec_b FROM vpairs
+ORDER BY vec_a, vec_b"""
 
   /** Register the cached bucketed corpus for `key`: the doubled corpus
     * with its adaptive sign-bucket, read by the frequency cap and both
@@ -1024,7 +1030,10 @@ FROM (SELECT vec_id, embedding FROM embeddings
         ON m.bucket = f.bucket
       WHERE f.nmem <= $EmbedBucketCap)"""
 
-  private[graft] def embedOn(spark: SparkSession, key: String,
+  /** Verified (cos ≥ 0.995) pairs, unordered — the relation the pair
+    * query sorts and the embedding cluster query feeds into CC.
+    */
+  private[graft] def embedPairsOn(spark: SparkSession, key: String,
       emb: => DataFrame): DataFrame = {
     ensureEmbedBuckets(spark, key, emb)
     spark.sql(s"""
@@ -1033,9 +1042,12 @@ SELECT vec_a, vec_b FROM (
          cosine_similarity(a.embedding, b.embedding) AS cs
   FROM $cappedBuckets a JOIN $cappedBuckets b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-WHERE cs >= 0.995
-ORDER BY vec_a, vec_b""")
+WHERE cs >= 0.995""")
   }
+
+  private[graft] def embedOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame =
+    embedPairsOn(spark, key, emb).orderBy("vec_a", "vec_b")
 
   /** Candidate (pre-verify) pair count — the quantity Round8OpsSpec
     * bounds on a planted dense bucket.
@@ -1059,6 +1071,63 @@ SELECT count(*) AS n FROM $cappedBuckets a JOIN $cappedBuckets b
     "q_dedup_embedding",
     (spark, dir) => embedOn(spark, dir, Tables.embeddings(spark, dir)),
     Some(embedSql(DuckSql)))
+
+  // ============ embedding duplicate clusters (pairs → canonical vector) ============
+
+  /** The embedding family's pairs→clusters step, completing the same
+    * symmetry the text family has ([[qClusters]]): transitively-linked
+    * near-identical vectors are ONE semantic-dup group, and "keep one
+    * copy" means connected components over the verified-pair graph with
+    * a min-id canonical representative. Spark runs the identical
+    * distributed/local CC machinery ([[Graph.connectedComponents]],
+    * driver union-find under the ≤1M-edge adaptive threshold) over
+    * [[embedPairsOn]]'s output; the oracle restates the fixpoint as the
+    * recursive reachability CTE over the same verified-pair chain.
+    * Every vector of the (doubled) corpus appears — unpaired vectors
+    * are their own singleton cluster, exactly the spine a training
+    * pipeline's keep-filter joins against.
+    *
+    * Scale: the pair relation is the adaptive-modulus capped bucket
+    * join (linear candidates, ScaleSmoke-gated); CC cost is O(edges),
+    * not O(corpus²); the cluster-size aggregate and keep flag ride the
+    * cluster_rep partitioning.
+    */
+  private def embedClustersSql(d: SqlDialect): String = s"""
+WITH RECURSIVE ${embedCtes(d)},
+eedges AS (SELECT vec_a AS u, vec_b AS v FROM vpairs
+           UNION SELECT vec_b, vec_a FROM vpairs),
+ereach AS (SELECT vec_id AS u, vec_id AS v FROM corpus
+           UNION
+           SELECT r.u, e.v FROM ereach r JOIN eedges e ON r.v = e.u),
+ecomp AS (SELECT u AS vec_id, min(v) AS cluster_rep FROM ereach GROUP BY u),
+ecsize AS (SELECT cluster_rep AS r, count(*) AS n FROM ecomp GROUP BY cluster_rep)
+SELECT ecomp.vec_id, ecomp.cluster_rep, CAST(ecsize.n AS BIGINT) AS cluster_size,
+       ecomp.vec_id = ecomp.cluster_rep AS keep
+FROM ecomp JOIN ecsize ON ecomp.cluster_rep = ecsize.r
+ORDER BY ecomp.vec_id"""
+
+  val qEmbedClusters = Q(
+    "q_dedup_embedding_clusters",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val comp = StageViews.ensureCached(spark, "emb_cc_v", dir) {
+        val pairs = embedPairsOn(spark, dir, Tables.embeddings(spark, dir))
+          .select($"vec_a".as("u"), $"vec_b".as("v"))
+        val cc = Graph.connectedComponents(pairs)
+        // spine = the doubled bucketed corpus (every vector, capped or not)
+        spark.table("emb_bkt_v").select($"vec_id")
+          .join(cc, $"vec_id" === cc("id"), "left")
+          .select($"vec_id", coalesce(cc("rep"), $"vec_id").as("cluster_rep"))
+      }
+      val sizes = comp.groupBy($"cluster_rep".as("r"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, $"cluster_rep" === sizes("r"))
+        .select($"vec_id", $"cluster_rep", $"cluster_size",
+          ($"vec_id" === $"cluster_rep").as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(embedClustersSql(DuckSql)))
 
   // ====== incremental embedding near-dup (new batch vs persisted index) ======
 
@@ -1346,6 +1415,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qClusters,
-      qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedIncremental,
-      qEmbedIncrStream, qDedupStreamExact, qDedupStreamWindowed, qPageRank)
+      qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
+      qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
+      qDedupStreamWindowed, qPageRank)
 }

@@ -62,7 +62,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // round 9: BPE-ish tokens, winnowing fingerprints, edit-distance
     // verify, LSH-bucketed ANN + its recall gate
     "q_text_tokens_bpe", "q_text_winnow_fingerprint",
-    "q_dedup_edit_distance", "q_ann_lsh", "q_ann_lsh_recall")
+    "q_dedup_edit_distance", "q_ann_lsh", "q_ann_lsh_recall",
+    "q_dedup_embedding_clusters")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

@@ -200,6 +200,23 @@ WHERE concat_ws('', regexp_extract_all(body, '${TextAnalysis.BpePretokenPattern}
     assert(m1 * 128 < 2 * n1 || m1 == 8, s"modulus overshoots (not minimal): m1=$m1 n1=$n1")
   }
 
+  /** Embedding cluster law: the catalog corpus doubles itself with
+    * IdShift-ed exact copies, so every vector's twin has cosine exactly
+    * 1 and MUST land in the same cluster (same sign word ⇒ same bucket
+    * ⇒ candidate pair ⇒ verified ⇒ one component). Reps are minimal
+    * ids by the CC contract.
+    */
+  test("q_dedup_embedding_clusters: twins share a cluster, reps are minimal") {
+    val rows = Dedup.qEmbedClusters.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size / 2
+    assert(n > 0)
+    (0 until n).foreach { i =>
+      assert(rows(i.toLong) == rows(i + 10000000L), s"twin $i diverged")
+    }
+    rows.foreach { case (v, r) => assert(r <= v, s"rep $r above member $v") }
+  }
+
   test("pageRankInt: local and distributed paths are bit-equal") {
     import spark.implicits._
     val pairs = Seq(
