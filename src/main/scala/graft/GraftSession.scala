@@ -92,14 +92,44 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a nanos BIGINT under this legacy flag (runtime-settable;
-    * applied here so it holds in any session the driver hands us).
-    * Downstream code treats `ts` as epoch-nanos.
+  /** Engine-wide contract: `events.ts` is epoch-NANOS BIGINT.
+    *
+    * The generator has shipped the column under two physical
+    * encodings across testdata refreshes: TIMESTAMP(NANOS), which
+    * Spark 4 reads as a nanos BIGINT under the legacy flag, and
+    * TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. Both normalize
+    * HERE — no consumer ever sees the physical encoding. (The
+    * micros case must be an explicit conversion: declaring LongType
+    * over an INT64-micros file does not error, it silently yields
+    * micros-as-long — a 1000× time-scale corruption.)
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
+    normalizeTs(apply(spark, sfDir, "events"))
+  }
+
+  /** ts → epoch-nanos BIGINT whatever the read type. The NTZ→TZ cast
+    * interprets the wall-clock in the session time zone, which every
+    * session in this engine pins to UTC — the same instant the
+    * generator wrote.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT)"))
+    }
+
+  /** File-STREAM source for events under the same ts contract: the
+    * declared schema is probed from the batch read (so it matches the
+    * file's actual encoding — never LongType-over-micros), and the
+    * nanos normalization is applied on the streaming DataFrame.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = apply(spark, sfDir, "events").schema
+    normalizeTs(streamTable(spark, sfDir, "events", fileSchema))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

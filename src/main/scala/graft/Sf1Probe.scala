@@ -92,9 +92,10 @@ object Sf1Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events carries TIMESTAMP(NANOS) — readable only as nanos BIGINT
-    // under the legacy flag (see Tables.events); the replica write-out
-    // then stores plain BIGINT nanos, which every query already expects
+    // events.ts rides through the replica untouched in whatever
+    // physical encoding the generator used (nanos-under-legacy-flag or
+    // micros TIMESTAMP_NTZ) — Tables.events normalizes to epoch-nanos
+    // BIGINT at read time either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) build(spark, src, out)
 

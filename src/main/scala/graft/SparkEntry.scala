@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Quantize.all ++
       operators.Cdc.all ++
       operators.Packing.all ++
+      operators.WebCorpus.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -213,22 +213,13 @@ object FlowFeaturizer {
     BatchFlowFeaturizer.packetsFromEvents(events).as[PacketRow]
   }
 
-  /** Schema for streaming reads of the events parquet (ts as nanos
-    * BIGINT, see Tables.events).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** End-to-end streaming run over the events parquet as a file-stream
     * source, collected through a memory sink. One file → one micro-batch
     * → emitted update rows are complete per-flow features, equal to the
     * batch featurizer's output (same oracle, no _TIMEOUT suffix).
     */
   def runFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = graft.Tables.streamTable(spark, sfDir, "events", eventsSchema)
+    val events = graft.Tables.eventsStream(spark, sfDir)
     val sinkName = s"flow_stream_${System.nanoTime()}"
     val q = featurize(packetsOf(events), timeoutMs = 0, emitOnUpdate = true)
       .writeStream.outputMode(OutputMode.Update())

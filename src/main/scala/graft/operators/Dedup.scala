@@ -471,6 +471,95 @@ ORDER BY doc_a, doc_b""")
     (spark, dir) => editDistOn(spark, dir, Tables.documents(spark, dir)),
     Some(editDistSql(DuckSql)))
 
+  // ================= minhash estimate-vs-exact error =================
+
+  /** Matching-component count → estimated Jaccard in basis points:
+    * 10000/16 = 625 exactly, so the estimate is integer-exact in both
+    * engines (the ONLY estimates the min-wise family can emit are the
+    * 17 values k·625).
+    */
+  private def sigMatchExpr(sa: String, sb: String): String =
+    (1 to HashAB.size)
+      .map(k => s"(CASE WHEN $sa.m$k = $sb.m$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Sketch-accuracy audit over the LSH candidate pairs: the MinHash
+    * ESTIMATE of Jaccard (matching signature components / 16, in basis
+    * points) side-by-side with the EXACT Jaccard (floor-division basis
+    * points) and the absolute error. This is the query a pipeline
+    * operator runs before trusting a signature configuration at 100 TB
+    * — it prices the 16-hash / 4×4-band design in recall currency on
+    * the corpus at hand. All three outputs are exact BIGINTs (625·k
+    * estimates, floor-division exacts), so the oracle hash-matches —
+    * no probabilistic tolerance needed even though the QUANTITY being
+    * audited is probabilistic.
+    *
+    * Scale: signatures for candidate docs only (one groupBy over the
+    * candidate-restricted shingle relation — O(candidate docs), not
+    * O(corpus)); the exact-intersection join is the same
+    * candidate-restricted O(candidates) stage as [[qMinhash]]'s
+    * verify; LEFT JOIN because two docs can share a band (or collide)
+    * while sharing zero shingles — their exact Jaccard is 0.
+    */
+  private def estErrSql(d: SqlDialect): String = s"""
+WITH ${candCtes(d)},
+itx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+scored AS (SELECT c.doc_a, c.doc_b,
+                  CAST((${sigMatchExpr("sa", "sb")}) AS BIGINT) * 625 AS est_bp,
+                  ${d.idiv("10000 * CAST(coalesce(i.ic, 0) AS BIGINT)",
+    "sza.nsh + szb.nsh - CAST(coalesce(i.ic, 0) AS BIGINT)")} AS exact_bp
+           FROM cand c
+           JOIN sigs sa ON c.doc_a = sa.doc_id
+           JOIN sigs sb ON c.doc_b = sb.doc_id
+           JOIN sz sza ON c.doc_a = sza.doc_id
+           JOIN sz szb ON c.doc_b = szb.doc_id
+           LEFT JOIN itx i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+SELECT doc_a, doc_b, est_bp, exact_bp,
+       abs(est_bp - exact_bp) AS abs_err_bp
+FROM scored
+ORDER BY doc_a, doc_b"""
+
+  private[graft] def minhashEstErrOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureCandidates(spark, key, docs)
+    // candidate-doc-restricted shingle relation (shared idiom with the
+    // Jaccard verify): signatures + intersections touch only docs that
+    // reached the candidate stage
+    val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
+      JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
+        ON s.doc_id = cd.doc_id)"""
+    StageViews.ensureCached(spark, "csigs_v", key)(spark.sql(s"""
+SELECT doc_id, ${minExprsSql.mkString(",\n       ")}
+FROM (SELECT doc_id, (${nibble32(SparkSql, "mh")}) % $P31 AS x
+      FROM (SELECT doc_id, md5(shingle) AS mh FROM $shC s0) mhs) hs
+GROUP BY doc_id"""))
+    spark.sql(s"""
+SELECT doc_a, doc_b, est_bp, exact_bp,
+       abs(est_bp - exact_bp) AS abs_err_bp
+FROM (SELECT c.doc_a, c.doc_b,
+             CAST((${sigMatchExpr("sa", "sb")}) AS BIGINT) * 625 AS est_bp,
+             (10000 * CAST(coalesce(i.ic, 0) AS BIGINT))
+               DIV (sza.nsh + szb.nsh - CAST(coalesce(i.ic, 0) AS BIGINT)) AS exact_bp
+      FROM cand_v c
+      JOIN csigs_v sa ON c.doc_a = sa.doc_id
+      JOIN csigs_v sb ON c.doc_b = sb.doc_id
+      JOIN sz_v sza ON c.doc_a = sza.doc_id
+      JOIN sz_v szb ON c.doc_b = szb.doc_id
+      LEFT JOIN (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+                 FROM $shC a JOIN $shC b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id) i
+        ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+ORDER BY doc_a, doc_b""")
+  }
+
+  val qMinhashEstErr = Q(
+    "q_minhash_est_error",
+    (spark, dir) => minhashEstErrOn(spark, dir, Tables.documents(spark, dir)),
+    Some(estErrSql(DuckSql)))
+
   // ================= duplicate clusters (connected components) =================
 
   /** Pairs → clusters: the canonical-document step. The LSH family
@@ -1389,9 +1478,7 @@ FROM documents GROUP BY source ORDER BY source"""))
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import org.apache.spark.sql.functions.{count, lit}
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = graft.Tables.streamTable(spark, dir, "events",
-        graft.flow.FlowFeaturizer.eventsSchema)
+      val events = graft.Tables.eventsStream(spark, dir)
       val sinkName = s"ddw_${System.nanoTime()}"
       val q = events
         .selectExpr("user_id", "event_type",
@@ -1414,7 +1501,8 @@ SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
-    Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qClusters,
+    Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
+      qClusters,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
       qDedupStreamWindowed, qPageRank)

@@ -63,6 +63,66 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 100""")
   )
 
+  /** TPC-H Q8-flavoured market share: per order-year, each nation's
+    * share of ASIA-customer revenue, in exact basis points of the
+    * year's rounded-cents total.
+    *
+    * Plan shape: lineitem pre-aggregates to one narrow row per order
+    * (map-side-combinable cents sum — the widest shuffle carries
+    * (l_orderkey, rev_cents), the q_top_customers lesson), then joins
+    * orders and the BROADCAST customer→nation→region dim chain with
+    * the region filter applied BEFORE the broadcast (the dim is ~1/5
+    * of customers — filter-then-broadcast, never broadcast-then-
+    * filter). The share denominator comes from a window over the
+    * years×nations aggregate — a bounded relation, so the unpartitioned
+    * wait is on |years|·|nations| rows, never the fact table. Revenue
+    * sums are BIGINT cents (grid-rounded per Q.roundingPolicy), the
+    * share is floor-division basis points: every output hash-matches.
+    */
+  val qMarketShare = Q(
+    "q_market_share",
+    (spark, dir) => {
+      import spark.implicits._
+      val dim = Tables.customer(spark, dir)
+        .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"c_custkey", $"n_name")
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(expr(revCents)).as("rev_cents"))
+      val yearNation = perOrder
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"), $"n_name".as("nation"))
+        .agg(sum($"rev_cents").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"o_year")
+      yearNation
+        .withColumn("year_cents", sum($"cents").over(w))
+        .select($"o_year", $"nation",
+          ($"cents" / 10000.0).as("revenue"),
+          expr("(10000 * cents) DIV year_cents").as("share_bp"))
+        .orderBy($"o_year", $"nation")
+    },
+    Some(s"""
+WITH yn AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name AS nation,
+                   CAST(sum($revCents) AS BIGINT) AS cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1, 2),
+tot AS (SELECT o_year, nation, cents,
+               CAST(sum(cents) OVER (PARTITION BY o_year) AS BIGINT) AS year_cents
+        FROM yn)
+SELECT o_year, nation, cents / 10000.0 AS revenue,
+       (10000 * cents) // year_cents AS share_bp
+FROM tot
+ORDER BY o_year, nation""")
+  )
+
   /** The pre-rewrite countDistinct spelling, kept as a test seam:
     * Round8OpsSpec asserts the pre-aggregated plan returns the
     * identical rows.
@@ -247,5 +307,6 @@ GROUP BY 1, 2 ORDER BY seg, side""")
   )
 
   val all: Seq[Q] =
-    Seq(qTopCustomers, qRevenueByNation, qSemiAnti, qRangeJoin, qSaltedJoin, qFullOuter)
+    Seq(qTopCustomers, qRevenueByNation, qMarketShare, qSemiAnti, qRangeJoin,
+      qSaltedJoin, qFullOuter)
 }

@@ -84,7 +84,6 @@ FROM events GROUP BY user_id % 10 ORDER BY bucket""")
     "q_session_window",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.events(spark, dir)
         .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
           "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
@@ -219,9 +218,7 @@ ORDER BY n_both""")
     "q_session_window_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = Tables.streamTable(spark, dir, "events",
-        graft.flow.FlowFeaturizer.eventsSchema)
+      val events = Tables.eventsStream(spark, dir)
       val sinkName = s"session_stream_${System.nanoTime()}"
       val q = events
         .selectExpr("user_id",

@@ -82,9 +82,7 @@ ORDER BY src_ip, window_start_us"""
     "q_rate_window_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = Tables.streamTable(spark, dir, "events",
-        graft.flow.FlowFeaturizer.eventsSchema)
+      val events = Tables.eventsStream(spark, dir)
       val sinkName = s"rate_stream_${System.nanoTime()}"
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))
@@ -197,9 +195,7 @@ ORDER BY src_ip, window_start_us"""
     "q_rate_window_sliding_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = Tables.streamTable(spark, dir, "events",
-        graft.flow.FlowFeaturizer.eventsSchema)
+      val events = Tables.eventsStream(spark, dir)
       val sinkName = s"slide_stream_${System.nanoTime()}"
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))

@@ -342,6 +342,74 @@ SELECT event_type, count(DISTINCT user_id) AS n_exact,
 FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Sketch ALGEBRA beyond union: HLL sketches support no native
+    * intersection, so the 100 TB pattern for "users who did A and B"
+    * from per-segment sketches is inclusion–exclusion —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) — priced here for every
+    * event-type pair against the exact intersection. Three sketches
+    * contribute error, so the tolerance band is wider than the
+    * single-sketch queries: each has rsd ≈ 1.04/√4096 ≈ 1.63% of its
+    * own cardinality, the union bounds all three, and the combined σ
+    * is ≤ √3·1.63% ≈ 2.8% of the exact union — the 15% band is ≈ 5.3σ
+    * (tail ~10⁻⁷ per boolean; and on the pinned corpora the sketches
+    * sit in sparse mode where the estimates are EXACT, so the booleans
+    * cannot flap at all). Exact counts ride to the oracle as BIGINTs;
+    * the estimate rides only inside the boolean.
+    *
+    * Plan shape: ONE distinct pass over (event_type, user_id) feeds
+    * both the per-type sketches and the exact pairwise intersection;
+    * the sketch relation after groupBy is |types| rows, so the pair
+    * join is a broadcast cross of a tiny relation — the expensive
+    * exact-intersection join exists only to FEED the tolerance check,
+    * as in q_approx_distinct_users.
+    */
+  val qHllIntersect = Q(
+    "q_hll_intersect",
+    (spark, dir) => {
+      import spark.implicits._
+      // distinct (event_type, user_id) — cached: both the sketch pass
+      // and the exact-intersection join consume it
+      val du = StageViews.ensureCached(spark, "hll_du_v", dir)(
+        Tables.events(spark, dir).select($"event_type", $"user_id").distinct())
+      val sk = du.groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n_exact"))
+      // |types|-row relation: explicit broadcast so the inequality
+      // pair join is a BroadcastNestedLoopJoin by construction, never
+      // a stats-estimate gamble that degrades to CartesianProduct
+      val pairs = sk.as("a").join(broadcast(sk.as("b")), $"a.event_type" < $"b.event_type")
+        .select(
+          $"a.event_type".as("et_a"), $"b.event_type".as("et_b"),
+          $"a.n_exact".as("n_a_exact"), $"b.n_exact".as("n_b_exact"),
+          (hll_sketch_estimate($"a.sk") + hll_sketch_estimate($"b.sk") -
+            hll_sketch_estimate(hll_union($"a.sk", $"b.sk"))).as("est_inter"))
+      val inter = du.as("x").join(du.as("y"),
+          $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+        .groupBy($"x.event_type".as("et_a"), $"y.event_type".as("et_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      val out = pairs.join(inter, Seq("et_a", "et_b"), "left")
+        .select($"et_a", $"et_b", $"n_a_exact", $"n_b_exact",
+          coalesce($"n_inter_exact", lit(0L)).as("n_inter_exact"),
+          (abs($"est_inter" - coalesce($"n_inter_exact", lit(0L))) <=
+            lit(0.15) * ($"n_a_exact" + $"n_b_exact" -
+              coalesce($"n_inter_exact", lit(0L)))).as("within_bound"))
+        .orderBy($"et_a", $"et_b")
+      out
+    },
+    Some("""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, count(*) AS n_exact FROM du GROUP BY event_type),
+it AS (SELECT x.event_type AS et_a, y.event_type AS et_b, count(*) AS n_inter_exact
+       FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+       GROUP BY x.event_type, y.event_type)
+SELECT a.event_type AS et_a, b.event_type AS et_b,
+       a.n_exact AS n_a_exact, b.n_exact AS n_b_exact,
+       CAST(coalesce(it.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+       true AS within_bound
+FROM n a JOIN n b ON a.event_type < b.event_type
+LEFT JOIN it ON it.et_a = a.event_type AND it.et_b = b.event_type
+ORDER BY et_a, et_b""")
+  )
+
   /** Custom typed Aggregator (UDAF surface): Welford/Chan one-pass
     * variance ([[graft.functions.WelfordVariance]]) checked against the
     * EXACT variance derived from integer cents sums. The exact value
@@ -408,5 +476,5 @@ FROM events GROUP BY user_id ORDER BY user_id""")
 
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
-      qHistogram, qRankFamily, qHllSketch, qWelford, qCollectSet)
+      qHistogram, qRankFamily, qHllSketch, qHllIntersect, qWelford, qCollectSet)
 }

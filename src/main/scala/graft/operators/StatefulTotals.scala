@@ -78,12 +78,10 @@ object StatefulTotals {
     "q_tws_running_totals",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sinkName = s"tws_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = graft.Tables.streamTable(spark, dir, "events",
-              graft.flow.FlowFeaturizer.eventsSchema)
+          val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "CAST(round(value * 100, 0) AS BIGINT) AS cents")
             .as[TwsEvent]
@@ -160,12 +158,10 @@ ORDER BY user_id"""))
     "q_tws_top_event_type",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sinkName = s"twsm_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = graft.Tables.streamTable(spark, dir, "events",
-              graft.flow.FlowFeaturizer.eventsSchema)
+          val q = graft.Tables.eventsStream(spark, dir)
             .select($"user_id", $"event_type")
             .as[TypedEvent]
             .groupByKey(_.user_id)
@@ -296,12 +292,10 @@ ORDER BY r.user_id"""))
     "q_tws_session_timers",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sinkName = s"twst_${System.nanoTime()}"
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
-          val q = graft.Tables.streamTable(spark, dir, "events",
-              graft.flow.FlowFeaturizer.eventsSchema)
+          val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
             .withWatermark("event_time", "0 seconds")

@@ -38,10 +38,8 @@ ORDER BY c.user_id, click_id, error_id""")
     "q_stream_stream_join",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       def side(tpe: String, prefix: String) =
-        graft.Tables.streamTable(spark, dir, "events",
-          graft.flow.FlowFeaturizer.eventsSchema)
+        graft.Tables.eventsStream(spark, dir)
           .where($"event_type" === tpe)
           .select(
             $"user_id".as(s"${prefix}_user"),

@@ -27,9 +27,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
-      // events carries TIMESTAMP(NANOS); Tables.events sets the legacy
-      // read flag so the copy round-trips as the same BIGINT the
-      // operators expect
+      // events.ts is normalized to epoch-nanos BIGINT by Tables.events
+      // (whatever the file's physical encoding), so the empty copy
+      // round-trips as the BIGINT the operators expect
       val df = if (t == "events") graft.Tables.events(spark, src)
                else graft.Tables(spark, src, t)
       df.limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
@@ -63,7 +63,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // verify, LSH-bucketed ANN + its recall gate
     "q_text_tokens_bpe", "q_text_winnow_fingerprint",
     "q_dedup_edit_distance", "q_ann_lsh", "q_ann_lsh_recall",
-    "q_dedup_embedding_clusters")
+    "q_dedup_embedding_clusters",
+    // round 11: substring-window dup stats, per-source token quota,
+    // minhash estimate audit, HLL intersection, market share
+    "q_substring_dup", "q_domain_token_cap", "q_minhash_est_error",
+    "q_hll_intersect", "q_market_share")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

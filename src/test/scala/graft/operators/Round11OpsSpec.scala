@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 behavioral specs: substring-window duplication counts
+  * exactly what the hand math says, the per-source token quota is
+  * greedy-prefix (not best-fit), the MinHash estimate is exact on
+  * identical docs, and the market-share basis points per year sum to
+  * 10000 minus only floor-division dust.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def toks(n: Int, w: String): String = Seq.fill(n)(w).mkString(" ")
+
+  test("substring dup: cross-doc shared 8-gram flagged, unique doc clean") {
+    import spark.implicits._
+    // A and B share exactly their first 8 tokens; C shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "en", "s", 19L),
+      (1L, "a b c d e f g h x y", "en", "s", 19L),
+      (2L, "q r s t u v w z0 z1 z2", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = WebCorpus.substringDupOn(spark, "r11-ssdup", docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 10 tokens → 3 positional windows; only window 1 is shared.
+    assert(rows.toSeq == Seq(
+      (0L, 3L, 1L, 3333L),
+      (1L, 3L, 1L, 3333L),
+      (2L, 3L, 0L, 0L)))
+  }
+
+  test("substring dup: within-doc repetition alone is NOT duplication (≥2 distinct docs)") {
+    import spark.implicits._
+    // the same 8-gram occurs twice inside ONE doc (positions 1 and 9)
+    val docs = Seq(
+      (0L, "p q r s t u v w p q r s t u v w", "en", "s", 31L),
+      (1L, "k0 k1 k2 k3 k4 k5 k6 k7 k8", "en", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dup = WebCorpus.substringDupOn(spark, "r11-ssdup-within", docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup == Map(0L -> 0L, 1L -> 0L))
+  }
+
+  test("domain token cap: greedy prefix under budget, oversize head keeps nothing") {
+    import spark.implicits._
+    // s1 priority order (n_tok desc): 1500 (cum 1500 ≤ 2000, keep),
+    // 600 (cum 2100, drop) — and the 100-token doc is ALSO dropped
+    // (greedy prefix on the running sum, not best-fit packing).
+    // s2's single 2500-token doc exceeds the budget outright.
+    val docs = Seq(
+      (0L, toks(1500, "w"), "en", "s1", 1L),
+      (1L, toks(600, "w"), "en", "s1", 1L),
+      (2L, toks(100, "w"), "en", "s1", 1L),
+      (3L, toks(2500, "w"), "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = WebCorpus.domainCapOn(spark, "r11-dcap", docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("s1", 3L, 2200L, 1L, 1500L, 10000L * 1500 / 2200),
+      ("s2", 1L, 2500L, 0L, 0L, 0L)))
+  }
+
+  test("minhash estimate error: identical docs → est 10000, exact 10000, err 0") {
+    import spark.implicits._
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, same, "en", "s", 1L),
+      (1L, same, "en", "s", 1L),
+      (2L, "one two three four five six seven eight nine ten", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.minhashEstErrOn(spark, "r11-esterr", docs).collect()
+    val pair = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(pair.isDefined, s"identical pair missing from ${rows.length} rows")
+    val p = pair.get
+    assert((p.getLong(2), p.getLong(3), p.getLong(4)) == ((10000L, 10000L, 0L)))
+    // every estimate the 16-hash family can emit is a multiple of 625
+    assert(rows.forall(r => r.getLong(2) % 625 == 0))
+  }
+
+  test("market share: per-year shares sum to 10000 minus floor dust") {
+    val rows = Joins.qMarketShare.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byYear = rows.groupBy(_.getLong(0))
+    byYear.foreach { case (y, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      // floor division loses < 1 bp per nation
+      assert(s <= 10000 && s > 10000 - rs.length,
+        s"year $y share sum $s over ${rs.length} nations")
+      assert(rs.forall(_.getDouble(2) > 0.0))
+    }
+  }
+
+  test("hll intersect: bounds hold and intersections are sane on testdata") {
+    val rows = Relational.qHllIntersect.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (na, nb, ni) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ni <= math.min(na, nb))
+      assert(r.getBoolean(5), s"inclusion-exclusion bound failed: $r")
+    }
+  }
+}
