@@ -42,5 +42,43 @@ WHERE instr(flow_id, '_TIMEOUT') > 0
 ORDER BY flow_id""")
   )
 
-  val all: Seq[Q] = Seq(qDetect)
+  /** Anti-DDoS mitigation rollup: the oriented packet stream
+    * aggregated at the /16 source-prefix level — where rate limits and
+    * blocks are actually installed (per-IP tables are useless against
+    * a spoofed or botnet source that rotates within a prefix). One
+    * map-side-combinable groupBy over the narrow packet projection;
+    * the two countDistincts expand the aggregate but the key space is
+    * bounded by the prefix count, so the final shuffle is tiny. The
+    * prefix regex avoids backslash escapes entirely (`[0-9]`/`[.]`
+    * classes) so the identical pattern string parses in both engines.
+    */
+  val qIpPrefix = Q(
+    "q_ip_prefix_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))
+        .groupBy(regexp_extract($"src_ip", "^([0-9]+[.][0-9]+)", 1)
+          .as("src_prefix16"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          countDistinct($"src_ip").as("n_src_ips"),
+          countDistinct($"dst_ip").as("n_dst_ips"),
+          sum($"length").as("total_bytes"),
+          sum($"syn_flag").as("syn_packets"))
+        .orderBy("src_prefix16")
+    },
+    Some(s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0)
+SELECT regexp_extract(src_ip, '^([0-9]+[.][0-9]+)', 1) AS src_prefix16,
+       count(*) AS n_packets,
+       count(DISTINCT src_ip) AS n_src_ips,
+       count(DISTINCT dst_ip) AS n_dst_ips,
+       CAST(sum(length) AS BIGINT) AS total_bytes,
+       CAST(sum(syn_flag) AS BIGINT) AS syn_packets
+FROM packets
+GROUP BY 1
+ORDER BY src_prefix16""")
+  )
+
+  val all: Seq[Q] = Seq(qDetect, qIpPrefix)
 }

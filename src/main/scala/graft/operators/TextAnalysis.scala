@@ -651,8 +651,57 @@ ORDER BY doc_id"""
     },
     Some(normalizeSql(DuckSql)))
 
+  // ---- corpus novelty curve ----
+
+  /** Per-document NOVELTY: the fraction of a doc's (distinct) word-5-gram
+    * shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    * i.e. how much genuinely new n-gram content each document adds when
+    * the corpus is consumed in doc_id order. The curve this query feeds
+    * (novelty over doc_id) is how a data pipeline decides when another
+    * crawl shard stops paying for itself. Reuses the dedup family's
+    * cached shingle stage; the added work is one min-groupBy over the
+    * shingle relation and one equality join back — both linear,
+    * map-side-combinable, no self-join anywhere.
+    */
+  private def noveltySql(d: SqlDialect): String = s"""
+WITH ${Dedup.shingleCore(d)},
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+nov AS (SELECT s.doc_id, count(*) AS n_novel
+        FROM sh s JOIN fst f
+          ON s.shingle = f.shingle AND s.doc_id = f.first_doc
+        GROUP BY s.doc_id)
+SELECT z.doc_id, z.nsh AS n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       ${d.idiv("10000 * CAST(coalesce(n.n_novel, 0) AS BIGINT)", "z.nsh")} AS novelty_bp
+FROM sz z LEFT JOIN nov n ON z.doc_id = n.doc_id
+ORDER BY z.doc_id"""
+
+  private[graft] def noveltyOn(spark: SparkSession, key: String,
+      docs: => org.apache.spark.sql.DataFrame): DataFrame = {
+    Dedup.ensureShingles(spark, key, docs)
+    spark.sql(s"""
+SELECT z.doc_id, z.nsh AS n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       (10000 * CAST(coalesce(n.n_novel, 0) AS BIGINT)) DIV z.nsh AS novelty_bp
+FROM sz_v z
+LEFT JOIN (SELECT s.doc_id, count(*) AS n_novel
+           FROM sh_v s
+           JOIN (SELECT shingle, min(doc_id) AS first_doc
+                 FROM sh_v GROUP BY shingle) f
+             ON s.shingle = f.shingle AND s.doc_id = f.first_doc
+           GROUP BY s.doc_id) n
+  ON z.doc_id = n.doc_id
+ORDER BY z.doc_id""")
+  }
+
+  val qNovelty = Q(
+    "q_ngram_novelty",
+    (spark, dir) => noveltyOn(spark, dir, graft.Tables.documents(spark, dir)),
+    Some(noveltySql(DuckSql)))
+
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qTokensBpe, qWinnow, qFingerprint,
       qRepetition, qTopTerms, qTfIdf, qChunks, qNormalize, qBoilerplate,
-      qVocab)
+      qVocab, qNovelty)
 }

@@ -100,6 +100,31 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram novelty: duplicate doc adds zero novel shingles, first and unique docs are fully novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f", "en", "s", 11L),
+      (1L, "a b c d e f", "en", "s", 11L), // exact dup of doc 0 — nothing new
+      (2L, "u v w x y z", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.noveltyOn(spark, "r11-novelty", docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 2L, 10000L),
+      (1L, 2L, 0L, 0L),
+      (2L, 2L, 2L, 10000L)))
+  }
+
+  test("ip prefix agg: partitions the packet stream exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Detection.qIpPrefix.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).startsWith("10.")))
+    val total = rows.map(_.getLong(1)).sum
+    val events = graft.Tables.events(spark, dir).count()
+    assert(total == events, s"prefix rollup covers $total of $events packets")
+  }
+
   test("hll intersect: bounds hold and intersections are sane on testdata") {
     val rows = Relational.qHllIntersect.run(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length > 0)
