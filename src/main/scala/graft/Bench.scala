@@ -35,7 +35,11 @@ object Bench {
     // optimized sf1 heavies (driver-local PageRank, per-key timers)
     "q_dedup_stream_windowed", "q_pagerank_dup", "q_tws_session_timers",
     // round 9b: LSH-bucketed ANN, edit-distance verify, winnowing
-    "q_ann_lsh", "q_dedup_edit_distance", "q_text_winnow_fingerprint")
+    "q_ann_lsh", "q_dedup_edit_distance", "q_text_winnow_fingerprint",
+    // round 11: substring-window dup stats, n-gram novelty curve,
+    // minhash estimate audit, TPC-H Q8-shaped market share
+    "q_substring_dup", "q_ngram_novelty", "q_minhash_est_error",
+    "q_market_share")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

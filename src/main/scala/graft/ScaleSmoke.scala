@@ -89,6 +89,29 @@ object ScaleSmoke {
         s"containment pairs grew x$pairRatio for x$inputRatio input — candidate join not linear")
     }
 
+    // ---- substring-window dup stats: stats-shaped (no self-join), so
+    // on distinct-ified replicas the duplicated-DOC count must grow
+    // EXACTLY ×m (each replica reproduces the base corpus's window
+    // structure and replicas never share a window — the md5 key
+    // carries the replica prefix). Growth off ×m in either direction
+    // means the window relation or the dup-set join broke linearity.
+    val ssdupResults = multiples.map { m =>
+      val t0s = System.nanoTime()
+      val dupDocs = operators.WebCorpus
+        .substringDupOn(spark, s"scale-ssdup-$m", distinctCorpus(m))
+        .filter(col("n_dup_windows") > 0).count()
+      val sec = (System.nanoTime() - t0s) / 1e9
+      println(f"[scale] ssdup   x$m%-3d docs=${nDocs * m}%8d dupdocs=$dupDocs%8d  $sec%7.2f s")
+      (m, sec, dupDocs)
+    }
+    if (ssdupResults.head._3 > 0 && ssdupResults.size > 1) {
+      val inputRatio = ssdupResults.last._1.toDouble / ssdupResults.head._1
+      val dupRatio = ssdupResults.last._3.toDouble / ssdupResults.head._3
+      println(f"[scale] ssdup dup-docs: input x$inputRatio%.0f -> dup docs x$dupRatio%.2f (exact-linear bound)")
+      require(dupRatio <= 1.05 * inputRatio && dupRatio >= 0.95 * inputRatio,
+        s"substring-dup docs grew x$dupRatio for x$inputRatio input — window stats not linear")
+    }
+
     // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
     // multi-probe at both levels, so probed candidate rows must grow
     // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)

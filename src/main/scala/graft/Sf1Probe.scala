@@ -83,28 +83,47 @@ object Sf1Probe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // events.ts rides through the replica untouched in whatever
-    // physical encoding the generator used (nanos-under-legacy-flag or
-    // micros TIMESTAMP_NTZ) — Tables.events normalizes to epoch-nanos
-    // BIGINT at read time either way
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (!new java.io.File(s"$out/embeddings.parquet").exists()) build(spark, src, out)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // events.ts rides through the replica untouched in whatever
+      // physical encoding the generator used (nanos-under-legacy-flag
+      // or micros TIMESTAMP_NTZ) — Tables.events normalizes to
+      // epoch-nanos BIGINT at read time either way
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s
+    }
+    // The ×10 replica build runs in ITS OWN SparkContext, stopped
+    // before measurement: r11 found that probing in the build's JVM
+    // session inflates allocation-heavy queries 4-25× (621 s total vs
+    // 282 s clean for the identical catalog — q_mrl_recall 73 s vs
+    // 3.6 s). Whatever the build leaves behind (heap growth, file
+    // source state), the measurement session must not inherit it.
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val buildSpark = newSession()
+      build(buildSpark, src, out)
+      buildSpark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val spark = newSession()
 
     // same attributed eager stage materialization as Bench: at sf1 the
     // shared-stage builds are seconds each, and which query pays must
     // be visible, not inferred
+    // optional 3rd+ args: run only the named queries (local profiling)
+    val only: Set[String] = args.drop(2).toSet
     var currentQuery = "warmup"
     operators.StageViews.enableBuildAttribution(() => currentQuery)
-    val results = SparkEntry.catalog.sortBy(_.name).map { q =>
+    val results = SparkEntry.catalog.sortBy(_.name)
+      .filter(q => only.isEmpty || only(q.name)).map { q =>
       currentQuery = q.name
       val t0 = System.nanoTime()
       val res =

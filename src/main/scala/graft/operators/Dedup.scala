@@ -388,21 +388,48 @@ FROM $bandsf a JOIN $bandsf b
     ()
   }
 
-  private[graft] def minhashOn(spark: SparkSession, key: String,
-      docs: => DataFrame): DataFrame = {
-    ensureCandidates(spark, key, docs)
-    val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
+  /** Candidate-doc-restricted shingle relation (the LSH payoff: the
+    * expensive joins below touch only docs that reached the candidate
+    * stage).
+    */
+  private val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
       JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
         ON s.doc_id = cd.doc_id)"""
-    // The VERIFIED pairs are the expensive step (exact-Jaccard
-    // intersection join over the candidates' shingle sets) and the
-    // fan-in point of the family: minhash output, the CC solve
-    // (cc_comp_v materializes this relation inside localCheckpoint),
-    // and PageRank all consume it. Cached like the stages above it —
-    // at 100 TB this is the persisted verified-pair table.
+
+  /** Register the cached pairwise INTERSECTION-COUNT relation over
+    * candidate docs' shingles — the single expensive join of the
+    * verify family, consumed by the Jaccard verify ([[minhashOn]]) and
+    * the estimate audit ([[minhashEstErrOn]]). Factored so the two
+    * never run the shingle-equality join twice (r11 sf1 probe: the
+    * audit's private recompute was its whole 21 s cost).
+    */
+  private[graft] def ensureIntersections(spark: SparkSession, key: String,
+      docs: => DataFrame): Unit = {
+    ensureCandidates(spark, key, docs)
+    StageViews.ensureCached(spark, "ipairs_v", key)(spark.sql(s"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+FROM $shC a JOIN $shC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id"""))
+    ()
+  }
+
+  private[graft] def minhashOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    ensureIntersections(spark, key, docs)
+    // The VERIFIED pairs are the fan-in point of the family: minhash
+    // output, the CC solve (cc_comp_v materializes this relation
+    // inside localCheckpoint), and PageRank all consume it. Cached
+    // like the stages above it — at 100 TB this is the persisted
+    // verified-pair table.
     StageViews.ensureCached(spark, "dpairs_v", key)(spark.sql(s"""
 SELECT c.doc_a, c.doc_b, j.jaccard
-FROM cand_v c JOIN (${jacSub(shC)}) j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+FROM cand_v c
+JOIN (SELECT i.doc_a, i.doc_b,
+             CAST(i.ic AS DOUBLE) / CAST(sa.nsh + sb.nsh - i.ic AS DOUBLE) AS jaccard
+      FROM ipairs_v i
+      JOIN sz_v sa ON i.doc_a = sa.doc_id
+      JOIN sz_v sb ON i.doc_b = sb.doc_id) j
+  ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= 0.5"""))
   }
 
@@ -523,13 +550,9 @@ ORDER BY doc_a, doc_b"""
 
   private[graft] def minhashEstErrOn(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
-    ensureCandidates(spark, key, docs)
-    // candidate-doc-restricted shingle relation (shared idiom with the
-    // Jaccard verify): signatures + intersections touch only docs that
-    // reached the candidate stage
-    val shC = """(SELECT s.doc_id, s.shingle FROM sh_v s
-      JOIN (SELECT doc_a AS doc_id FROM cand_v UNION SELECT doc_b AS doc_id FROM cand_v) cd
-        ON s.doc_id = cd.doc_id)"""
+    // the intersection-count stage is shared with the Jaccard verify —
+    // the audit adds only the signature equality count and tiny joins
+    ensureIntersections(spark, key, docs)
     StageViews.ensureCached(spark, "csigs_v", key)(spark.sql(s"""
 SELECT doc_id, ${minExprsSql.mkString(",\n       ")}
 FROM (SELECT doc_id, (${nibble32(SparkSql, "mh")}) % $P31 AS x
@@ -547,10 +570,7 @@ FROM (SELECT c.doc_a, c.doc_b,
       JOIN csigs_v sb ON c.doc_b = sb.doc_id
       JOIN sz_v sza ON c.doc_a = sza.doc_id
       JOIN sz_v szb ON c.doc_b = szb.doc_id
-      LEFT JOIN (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
-                 FROM $shC a JOIN $shC b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id) i
+      LEFT JOIN ipairs_v i
         ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
 ORDER BY doc_a, doc_b""")
   }
