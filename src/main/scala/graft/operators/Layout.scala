@@ -65,5 +65,59 @@ ORDER BY z_bucket"""
     },
     Some(zorderSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qZorderCurve)
+  /** Bucketed co-located join, driver-gated: both fact sides are
+    * written `bucketBy(8, key)` + sorted, then joined WITHOUT any
+    * exchange — the layout investment that turns a repeated 100 TB
+    * fact-fact join from shuffle-bound into local merge work (pay the
+    * bucketed write once, join shuffle-free forever after).
+    * [[BucketedJoinSpec]] pins the zero-Exchange plan; this query
+    * gates the RESULT against the plain-join oracle so the bucketed
+    * path provably computes the same relation.
+    */
+  val qBucketedJoin = Q(
+    "q_bucketed_join",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      def dropAll(): Unit = Seq(liT, ordT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, t)
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(); ()
+        }
+        if (loc.exists()) rec(loc)
+      }
+      dropAll()
+      graft.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordT)
+      // the merge hint forces the sort-merge path at ANY table size
+      // (the tiny test tables would otherwise broadcast and leave the
+      // bucket layout unexercised) — with both sides bucket-sorted on
+      // the key, SMJ plans with zero exchanges
+      spark.table(liT).hint("merge")
+        .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          (sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)")) / 10000.0)
+            .as("revenue"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    },
+    Some("""
+SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+ORDER BY o_orderpriority, l_returnflag"""))
+
+  val all: Seq[Q] = Seq(qZorderCurve, qBucketedJoin)
 }

@@ -91,5 +91,73 @@ ORDER BY c.user_id, click_id, error_id""")
     },
     oracle)
 
-  val all: Seq[Q] = Seq(qStreamStreamJoin, qIntervalJoin)
+  /** Watermark horizon of the streams (10 minutes, µs). */
+  private val WmUs: Long = 600L * 1000000
+
+  /** LEFT OUTER stream-stream join — the shape with real state-expiry
+    * semantics: a click with no error in its 2-hour window emits a
+    * NULL-error row only when the GLOBAL watermark (min over inputs of
+    * max-event-time − 10 min) passes the click's join horizon
+    * (c_ts + 2 h), because until then a matching error could still
+    * arrive. The oracle states exactly that: matched rows are the
+    * inner interval join; null rows are the anti-joined clicks whose
+    * horizon the final watermark passed. Clicks still inside the
+    * horizon at end-of-stream are CORRECTLY absent — asserting the
+    * full batch left-join here would demand results a streaming engine
+    * cannot soundly emit. `noDataMicroBatches` (default on) runs the
+    * final watermark-advancing batch under AvailableNow, so the run
+    * terminates with state flushed to that horizon deterministically.
+    */
+  val qStreamStreamLeftJoin = Q(
+    "q_stream_stream_left_join",
+    (spark, dir) => {
+      import spark.implicits._
+      def side(tpe: String, prefix: String) =
+        graft.Tables.eventsStream(spark, dir)
+          .where($"event_type" === tpe)
+          .select(
+            $"user_id".as(s"${prefix}_user"),
+            $"event_id".as(s"${prefix}_id"),
+            expr("CAST(ts DIV 1000 AS BIGINT)").as(s"${prefix}_ts_us"),
+            timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
+          .withWatermark(s"${prefix}_time", "10 minutes")
+      val sinkName = s"ssjl_${System.nanoTime()}"
+      graft.GraftSession.withStreamingShuffle(spark) {
+        val q = side("click", "c")
+          .join(side("error", "e"),
+            expr(s"""c_user = e_user AND
+                     e_time >= c_time AND
+                     e_time <= c_time + INTERVAL 2 HOURS"""),
+            "leftOuter")
+          .select($"c_user".as("user_id"), $"c_id".as("click_id"),
+            $"e_id".as("error_id"), ($"e_ts_us" - $"c_ts_us").as("lag_us"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.table(sinkName).orderBy("user_id", "click_id", "error_id")
+    },
+    Some(s"""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'error'),
+wm AS (SELECT least((SELECT max(ts_us) FROM c), (SELECT max(ts_us) FROM e)) - $WmUs AS wm_us),
+matched AS (SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+                   e.ts_us - c.ts_us AS lag_us
+            FROM c JOIN e ON c.user_id = e.user_id
+                         AND e.ts_us >= c.ts_us AND e.ts_us <= c.ts_us + $RangeUs),
+expired AS (SELECT c.user_id, c.event_id AS click_id,
+                   CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS lag_us
+            FROM c CROSS JOIN wm
+            WHERE c.ts_us + $RangeUs < wm.wm_us
+              AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id))
+SELECT user_id, click_id, error_id, lag_us FROM matched
+UNION ALL
+SELECT user_id, click_id, error_id, lag_us FROM expired
+ORDER BY user_id, click_id, error_id"""))
+
+  val all: Seq[Q] = Seq(qStreamStreamJoin, qIntervalJoin, qStreamStreamLeftJoin)
 }

@@ -37,7 +37,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_parquet_zstd_roundtrip", "q_schema_merge", "q_partitioned_scan",
     "q_rf_train_score", "q_rf_pretrained_score", "q_rf_compiled_score",
     "q_gbt_train_score", "q_dedup_clusters", "q_corpus_build",
-    "q_pagerank_dup", "q_split_leakage_safe", "q_dedup_stream_exact")
+    "q_pagerank_dup", "q_split_leakage_safe", "q_dedup_stream_exact",
+    "q_bucketed_join")
 
   private def assertClean(name: String,
       df: => org.apache.spark.sql.DataFrame): Unit = {

@@ -125,6 +125,26 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(total == events, s"prefix rollup covers $total of $events packets")
   }
 
+  test("bucketed join: the fact-fact join is sort-merge over bucket scans, not broadcast") {
+    val df = Layout.qBucketedJoin.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "bucketed join took the broadcast path")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("stream-stream left outer: null rows appear exactly for watermark-expired unmatched clicks") {
+    val rows = StreamJoin.qStreamStreamLeftJoin.run(spark, "/root/testdata/sf0.001").collect()
+    val nulls = rows.filter(_.isNullAt(2))
+    assert(rows.nonEmpty)
+    assert(nulls.nonEmpty, "no watermark-expired unmatched clicks emitted")
+    // expired rows carry null for BOTH right-side columns
+    assert(nulls.forall(_.isNullAt(3)))
+    // matched and expired partitions are disjoint on click_id
+    val matchedClicks = rows.filterNot(_.isNullAt(2)).map(_.getLong(1)).toSet
+    assert(nulls.forall(r => !matchedClicks.contains(r.getLong(1))))
+  }
+
   test("hll intersect: bounds hold and intersections are sane on testdata") {
     val rows = Relational.qHllIntersect.run(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length > 0)
