@@ -50,6 +50,53 @@ SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
 FROM x GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** The Spark-4-native semi-structured path: VARIANT. Where
+    * [[qJsonExtract]] parses against a DECLARED schema (the right call
+    * when the shape is known), `parse_json` → VariantType keeps the
+    * full document in a binary-encoded form that `variant_get` then
+    * path-extracts with per-call types — schema-on-read without
+    * committing to a schema at parse time, the shape evolving-log
+    * pipelines need. `try_parse_json` yields NULL on malformed input
+    * instead of failing the job; one fabricated malformed row rides
+    * along (same row on the oracle side) so the null path is actually
+    * exercised, not just available. Per-row projections only — no
+    * shuffle before the 5-key hash agg, same scale posture as the
+    * schema'd variant.
+    */
+  val qVariantExtract = Q(
+    "q_variant_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"event_type", $"props")
+        .unionAll(Seq(("error", "{not json")).toDF("event_type", "props"))
+      ev
+        .select($"event_type", try_parse_json($"props").as("v"))
+        .select($"event_type", $"v",
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count($"v").as("n_parsed"),
+          count($"k").as("n_with_k"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+WITH ev AS (SELECT event_type, props FROM events
+            UNION ALL SELECT 'error', '{not json'),
+x AS (SELECT event_type,
+             CASE WHEN json_valid(props) THEN 1 END AS parsed,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      FROM ev)
+SELECT event_type, count(*) AS n_events, count(parsed) AS n_parsed,
+       count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** Calendar rollup — gates the date-function surface (truncation to
     * civil days, day-of-week numbering) whose conventions differ across
     * engines: Spark's `dayofweek` is 1=Sunday while DuckDB's `isodow`
@@ -83,5 +130,5 @@ FROM events
 GROUP BY 1, 2 ORDER BY day""")
   )
 
-  val all: Seq[Q] = Seq(qJsonExtract, qCalendar)
+  val all: Seq[Q] = Seq(qJsonExtract, qVariantExtract, qCalendar)
 }
