@@ -748,6 +748,61 @@ ORDER BY q.query_id""")
 
   val qMrl = Q("q_mrl_recall", runMrl _, Some(mrlSql(DuckSql)))
 
+  // ---- built-in higher-order-function vector math ----
+
+  /** Vector arithmetic with ONLY built-in higher-order functions —
+    * `zip_with` for the elementwise product, `aggregate` for the
+    * sequential fold — no UDF, no custom expression. This is the
+    * "functions, not UDFs" floor for embedding math when a codegen'd
+    * custom Expression isn't on the table; both fold in array order,
+    * so the doubles are bit-identical to the oracle's ordered series
+    * sum AND to [[graft.functions.CosineSimilarity]], which the query
+    * also cross-checks (exact-equality boolean — same fold order means
+    * the custom expression earns its keep on speed, not on different
+    * numerics). Per-row projections over consecutive-id pairs; no
+    * shuffle before the final sort.
+    */
+  val qHofVector = Q(
+    "q_hof_vector_math",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.CosineSimilarity.register(spark)
+      StageViews.embeddings(spark, dir)
+      spark.sql("""
+SELECT vec_id, dot, cos_hof, (cos_hof = cos_expr) AS matches_custom_expr
+FROM (SELECT a.vec_id,
+             aggregate(zip_with(a.embedding, b.embedding,
+                                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dot,
+             aggregate(zip_with(a.embedding, b.embedding,
+                                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+               / (sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                 CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+                  * sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                   CAST(0 AS DOUBLE), (acc, v) -> acc + v))) AS cos_hof,
+             cosine_similarity(a.embedding, b.embedding) AS cos_expr
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 20)
+ORDER BY vec_id""")
+    },
+    Some("""
+WITH pairs AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+               FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+               WHERE a.vec_id < 20),
+m AS (SELECT vec_id,
+             (SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE))
+              FROM range(1, 65) t(i)) AS dot,
+             (SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(ea, i) AS DOUBLE))
+              FROM range(1, 65) t(i)) AS na,
+             (SELECT sum(CAST(list_extract(eb, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE))
+              FROM range(1, 65) t(i)) AS nb
+      FROM pairs)
+SELECT vec_id, dot, dot / (sqrt(na) * sqrt(nb)) AS cos_hof,
+       true AS matches_custom_expr
+FROM m ORDER BY vec_id"""))
+
   val all: Seq[Q] =
-    Seq(qBrute, qIvf, qIvfRecall, qLsh, qLshRecall, qCentroids, qKnn, qMrl)
+    Seq(qBrute, qIvf, qIvfRecall, qLsh, qLshRecall, qCentroids, qKnn, qMrl,
+      qHofVector)
 }

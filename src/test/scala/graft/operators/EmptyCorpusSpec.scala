@@ -68,7 +68,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // minhash estimate audit, HLL intersection, market share
     "q_substring_dup", "q_domain_token_cap", "q_minhash_est_error",
     "q_hll_intersect", "q_market_share", "q_ngram_novelty",
-    "q_ip_prefix_agg", "q_bucketed_join", "q_variant_extract")
+    "q_ip_prefix_agg", "q_bucketed_join", "q_variant_extract",
+    "q_hof_vector_math")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

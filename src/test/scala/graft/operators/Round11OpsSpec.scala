@@ -145,6 +145,20 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(nulls.forall(r => !matchedClicks.contains(r.getLong(1))))
   }
 
+  test("events ts contract: epoch-nanos BIGINT whatever the parquet encoding") {
+    import org.apache.spark.sql.types.LongType
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == LongType, "ts must normalize to BIGINT nanos")
+    // value check: nanos must be an exact multiple of 1000 of the
+    // micros DuckDB reads (epoch_us parity is what every oracle uses),
+    // and land in a sane epoch range (2020-2030)
+    val r = ev.selectExpr("min(ts) AS mn", "max(ts) AS mx",
+      "sum(CASE WHEN ts % 1000 != 0 THEN 1 ELSE 0 END) AS off_grid").head()
+    assert(r.getLong(2) == 0L, "micros-encoded file must normalize onto the nanos grid")
+    assert(r.getLong(0) > 1577836800L * 1000000000L && r.getLong(1) < 1893456000L * 1000000000L,
+      s"ts out of epoch-nanos range: ${r.getLong(0)}..${r.getLong(1)}")
+  }
+
   test("hll intersect: bounds hold and intersections are sane on testdata") {
     val rows = Relational.qHllIntersect.run(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length > 0)
