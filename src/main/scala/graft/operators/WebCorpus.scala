@@ -130,10 +130,12 @@ ORDER BY t.source"""
 
   /** Spark side: the narrow (doc_id, source, n_tok) relation is cached
     * once (two consumers: the quota window and the per-source totals),
-    * so the wide text column is scanned exactly once.
+    * so the wide text column is scanned exactly once. `budget`
+    * parameterized for the monotonicity law test (the catalog query
+    * pins [[CapTok]]).
     */
   private[graft] def domainCapOn(spark: SparkSession, key: String,
-      docs: => DataFrame): DataFrame = {
+      docs: => DataFrame, budget: Long = CapTok): DataFrame = {
     StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
     StageViews.ensureCached(spark, "dct_v", key)(spark.sql(
       "SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tok FROM documents"))
@@ -150,7 +152,7 @@ LEFT JOIN (SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept
                                          ORDER BY n_tok DESC, doc_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
                  FROM dct_v)
-           WHERE cum_tok <= $CapTok GROUP BY source) k
+           WHERE cum_tok <= $budget GROUP BY source) k
   ON t.source = k.source
 ORDER BY t.source""")
   }

@@ -145,6 +145,43 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(nulls.forall(r => !matchedClicks.contains(r.getLong(1))))
   }
 
+  test("domain token cap law: kept tokens are monotone in the budget, bounded by it") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, toks(50 + 37 * (i % 7), "w"), "en", s"s${i % 3}", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budgets = Seq(100L, 300L, 700L, 1500L, 4000L)
+    val keptBy = budgets.map { b =>
+      val rows = WebCorpus.domainCapOn(spark, s"r11-dcap-law-$b", docs, b).collect()
+      // per-source kept tokens never exceed the budget
+      rows.foreach(r => assert(r.getLong(4) <= b,
+        s"budget $b violated: ${r.getLong(4)} kept for ${r.getString(0)}"))
+      b -> rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    }
+    // growing the budget never shrinks any source's kept tokens
+    keptBy.sliding(2).foreach {
+      case Seq((b1, k1), (b2, k2)) =>
+        k1.keys.foreach(s => assert(k1(s) <= k2(s),
+          s"kept tokens shrank for $s when budget grew $b1 -> $b2"))
+      case _ => ()
+    }
+  }
+
+  test("substring dup law: doc relabeling permutes but never changes the stats multiset") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "a b c d e f g h i j k", "en", "s", 1L),
+      (1L, "a b c d e f g h z y x", "en", "s", 1L),
+      (2L, "m n o p q r s t u v w", "en", "s", 1L),
+      (3L, "m n o p q r s t 1 2 3", "en", "s", 1L))
+    def statsOf(rows: Seq[(Long, String, String, String, Long)], key: String) =
+      WebCorpus.substringDupOn(spark, key, rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val relabeled = base.map { case (id, t, l, s, n) => (1000L - id * 7, t, l, s, n) }
+    assert(statsOf(base, "r11-ssdup-law-a") == statsOf(relabeled, "r11-ssdup-law-b"),
+      "per-doc window stats must be invariant under doc_id relabeling")
+  }
+
   test("events ts contract: epoch-nanos BIGINT whatever the parquet encoding") {
     import org.apache.spark.sql.types.LongType
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
