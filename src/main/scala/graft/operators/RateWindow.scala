@@ -105,31 +105,45 @@ ORDER BY src_ip, window_start_us"""
     },
     qRateWindow.oracle)
 
-  /** Per-source rate anomaly: windows whose packet rate exceeds 2× the
-    * source's own mean windowed rate. The threshold compare is
-    * cross-multiplied to stay in BIGINT (n_packets · n_windows >
-    * 2 · total_packets) — no float mean ever enters the oracle compare.
+  /** Per-source rate anomaly: windows whose packet rate exceeds
+    * num/den × the source's own mean windowed rate. The threshold
+    * compare is cross-multiplied to stay in BIGINT
+    * (n_packets · n_windows · den > num · total_packets) — no float
+    * mean ever enters the oracle compare. The catalog ratio is 3/2:
+    * the synthetic corpus' max window/mean ratio is ~1.96 at every SF,
+    * so a 2× cut emitted zero rows at sf0.01 and the oracle row proved
+    * only `0 = 0` (r11 watch item 1); at 3/2 the query emits rows at
+    * every scale the driver checks (1 @ sf0.001, 3 @ sf0.01,
+    * 241 @ sf0.1) and `RateWindowSpec` pins both non-vacuity and the
+    * threshold-monotonicity law.
     * Scale: two map-side-combinable aggregations (per-window, then
     * per-source) and a join of the window relation against the tiny
     * per-source stats table — AQE broadcasts it; nothing is O(n²).
     */
+  val AnomalyNum = 3L
+  val AnomalyDen = 2L
+
+  private[graft] def rateAnomalyOn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, num: Long = AnomalyNum, den: Long = AnomalyDen): DataFrame = {
+    import spark.implicits._
+    require(num > 0 && den > 0, s"threshold ratio must be positive: $num/$den")
+    val wins = graft.flow.BatchFlowFeaturizer
+      .packetsFromEvents(Tables.events(spark, dir))
+      .groupBy($"src_ip",
+        ($"ts_us" - ($"ts_us" % WindowUs)).as("window_start_us"))
+      .agg(count(lit(1)).as("n_packets"))
+    val tot = wins.groupBy($"src_ip".as("ip"))
+      .agg(count(lit(1)).as("n_windows"), sum($"n_packets").as("total_packets"))
+    wins.join(broadcast(tot), $"src_ip" === $"ip")
+      .where($"n_packets" * $"n_windows" * lit(den) > lit(num) * $"total_packets")
+      .select($"src_ip", $"window_start_us", $"n_packets",
+        $"n_windows", $"total_packets")
+      .orderBy($"src_ip", $"window_start_us")
+  }
+
   val qRateAnomaly = Q(
     "q_rate_anomaly",
-    (spark, dir) => {
-      import spark.implicits._
-      val wins = graft.flow.BatchFlowFeaturizer
-        .packetsFromEvents(Tables.events(spark, dir))
-        .groupBy($"src_ip",
-          ($"ts_us" - ($"ts_us" % WindowUs)).as("window_start_us"))
-        .agg(count(lit(1)).as("n_packets"))
-      val tot = wins.groupBy($"src_ip".as("ip"))
-        .agg(count(lit(1)).as("n_windows"), sum($"n_packets").as("total_packets"))
-      wins.join(broadcast(tot), $"src_ip" === $"ip")
-        .where($"n_packets" * $"n_windows" > lit(2) * $"total_packets")
-        .select($"src_ip", $"window_start_us", $"n_packets",
-          $"n_windows", $"total_packets")
-        .orderBy($"src_ip", $"window_start_us")
-    },
+    (spark, dir) => rateAnomalyOn(spark, dir),
     Some {
       import graft.flow.FlowFeatureSql._
       s"""WITH p0 AS (SELECT ${packetStage0(DuckDialect).mkString(", ")} FROM events),
@@ -142,7 +156,7 @@ tot AS (SELECT src_ip AS ip, count(*) AS n_windows,
         FROM wins GROUP BY src_ip)
 SELECT src_ip, window_start_us, n_packets, n_windows, total_packets
 FROM wins JOIN tot ON src_ip = ip
-WHERE n_packets * n_windows > 2 * total_packets
+WHERE n_packets * n_windows * $AnomalyDen > $AnomalyNum * total_packets
 ORDER BY src_ip, window_start_us"""
     }
   )

@@ -28,11 +28,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * doc_id tiebreak) while its running token total stays within
   * [[WebCorpus.CapTok]] — the greedy per-domain budget that keeps a
   * handful of mega-domains from dominating a crawl mix. One window
-  * partitioned BY SOURCE (parallel across domains; a skewed domain is
-  * one partition, which AQE splits by its ORDER BY spill, never a
-  * global sort), one groupBy, one broadcast-size join of the
-  * |sources|-row aggregates. All outputs are exact BIGINTs / floor
-  * divisions, so the oracle hash-matches.
+  * partitioned BY SOURCE (parallel across domains, never a global
+  * sort), one groupBy, one broadcast-size join of the |sources|-row
+  * aggregates. Scale assumption, stated plainly (r11 watch item 2
+  * corrected an over-claim here): a window partition is ONE task —
+  * AQE can split skewed *shuffle* partitions between stages but never
+  * the partition of a running window — so a mega-domain sorts and
+  * prefix-sums on a single task, spilling if it outgrows memory. That
+  * is acceptable exactly when per-domain doc counts are bounded (true
+  * of crawl domains after the usual per-host crawl budget); a corpus
+  * with an unbounded hot domain should instead restate the running
+  * total as the two-phase distributed prefix sum `Packing.scala` uses
+  * for `q_sequence_pack` (per-partition partials + broadcast offsets),
+  * which trades the single-task sort for two linear passes. All
+  * outputs are exact BIGINTs / floor divisions, so the oracle
+  * hash-matches.
   */
 object WebCorpus {
 

@@ -72,4 +72,35 @@ class RateWindowSpec extends AnyFunSuite {
       assert(rows.head.getAs[Long]("n_packets") == 1) // late packet not counted
     } finally q.stop()
   }
+
+  // ---- q_rate_anomaly: the catalog threshold must exercise real logic ----
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("rate anomaly: catalog threshold is non-vacuous at the smallest SF") {
+    // r11 watch item 1: at the old 2x cut the corpus' max window/mean
+    // ratio (~1.96) emitted zero rows at every oracle scale, so the
+    // green CORRECTNESS row proved only 0 = 0. The catalog 3/2 cut must
+    // emit rows even at sf0.001 — and every emitted row must actually
+    // satisfy the cross-multiplied threshold it claims to.
+    val rows = RateWindow.rateAnomalyOn(spark, dir).collect()
+    assert(rows.nonEmpty, "catalog threshold emits no rows: the oracle row is vacuous again")
+    rows.foreach { r =>
+      val (n, nw, tp) = (r.getAs[Long]("n_packets"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("total_packets"))
+      assert(n * nw * RateWindow.AnomalyDen > RateWindow.AnomalyNum * tp)
+    }
+  }
+
+  test("rate anomaly: tightening the threshold only removes rows (monotone)") {
+    def keys(num: Long, den: Long): Set[(String, Long)] =
+      RateWindow.rateAnomalyOn(spark, dir, num, den).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val loose = keys(9, 10)  // below-mean cut: nearly every window
+    val mid = keys(RateWindow.AnomalyNum, RateWindow.AnomalyDen)
+    val tight = keys(2, 1)   // the old vacuous cut
+    assert(tight.subsetOf(mid) && mid.subsetOf(loose))
+    assert(mid.nonEmpty && loose.size > mid.size,
+      s"thresholds do not separate: loose=${loose.size} mid=${mid.size}")
+  }
 }
