@@ -46,6 +46,9 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,10 +101,23 @@ object Bench {
     val stageJson = stageBuilds.map(b =>
       s"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${fmt(b.sec)}}""")
       .mkString("[", ",", "]")
-    def jsonLine(entries: Seq[(String, Double)], withBuilds: Boolean): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // Compact itemization for the bounded stdout line (r11 task 3: the
+    // three r10→r11 headline movers were attributed to a stage refactor
+    // by INFERENCE because only the file sink carried per-stage time):
+    // the top stages by cost as [view, charged_to, sec] triples, with
+    // the remainder folded into stage_other_sec so the fields still sum
+    // to stage_sec. ~10 triples ≈ 400 chars, keeping the whole line
+    // well inside the driver's ~2000-char stdout tail.
+    val TopStages = 10
+    val topStages = stageBuilds.sortBy(-_.sec).take(TopStages)
+    val stageTopJson = topStages.map(b =>
+      s"""["${b.view}","${b.chargedTo}",${fmt2(b.sec)}]""").mkString("[", ",", "]")
+    val stageOther = stageSec - topStages.map(_.sec).sum
+    def jsonLine(entries: Seq[(String, Double)], full: Boolean): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + (if (full) fmt(v) else fmt2(v)) }
         .mkString("{", ",", "}")
-      val builds = if (withBuilds) s""","stage_builds":$stageJson""" else ""
+      val builds = if (full) s""","stage_builds":$stageJson"""
+        else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
@@ -111,13 +127,14 @@ object Bench {
     val outPath = java.nio.file.Paths.get(out)
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
-      (jsonLine(results, withBuilds = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonLine(results, full = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full per-query record: $out")
     spark.stop()
     // Compact headline subset → stdout: the driver parses a bounded tail
-    // of stdout, so this line must stay well under 2000 chars (builds
-    // array lives only in the file sink; stdout carries stage_sec).
+    // of stdout, so this line must stay well under 2000 chars (the full
+    // builds array lives in the file sink; stdout carries the top-10
+    // triples + stage_other_sec).
     val byName = results.toMap
-    println(jsonLine(headline.flatMap(h => byName.get(h).map(h -> _)), withBuilds = false))
+    println(jsonLine(headline.flatMap(h => byName.get(h).map(h -> _)), full = false))
   }
 }

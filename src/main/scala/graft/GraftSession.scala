@@ -111,14 +111,22 @@ object Tables {
   /** ts → epoch-nanos BIGINT whatever the read type. The NTZ→TZ cast
     * interprets the wall-clock in the session time zone, which every
     * session in this engine pins to UTC — the same instant the
-    * generator wrote.
+    * generator wrote. That pin is now ENFORCED, not assumed (r11
+    * ADVICE): a caller session on any other zone would not fail — it
+    * would silently shift every event timestamp by the zone offset —
+    * so the conversion refuses to run outside UTC.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT)"))
+      case _ =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts NTZ→epoch conversion requires a UTC session time zone " +
+            s"(got '$tz'); a non-UTC zone would silently shift every timestamp")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT)"))
     }
 
   /** File-STREAM source for events under the same ts contract: the

@@ -47,11 +47,24 @@ object BatchFlowFeaturizer {
   def fromEvents(events: DataFrame): DataFrame =
     features(packetsFromEvents(events))
 
+  /** Cached flow-feature stage for catalog queries: the 78-feature
+    * relation is the fan-in point of the reference surface — the
+    * feature dump, detection labeling, and all three RF scorers
+    * consume it — so it materializes once per (session, corpus) like
+    * the dedup family's stage views instead of re-running the
+    * featurizer windows per query (r11 task 7: q_detect_label's 5.1 s
+    * sf1 was one of five private featurizer runs). At 100 TB this is
+    * the persisted flow-features table every scorer reads.
+    */
+  def flowsView(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.operators.StageViews.ensureCached(spark, "flows_v", dir)(
+      fromEvents(Tables.events(spark, dir)))
+
   // ---- driver-contract queries ----
 
   val qFlowFeatures = Q(
     "q_flow_features",
-    (spark, dir) => fromEvents(Tables.events(spark, dir)),
+    (spark, dir) => flowsView(spark, dir).orderBy("flow_id"),
     Some(oracleSql)
   )
 

@@ -8,7 +8,6 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
 
 /** Batch scoring with the reference's PRETRAINED model
   * (predict_rf.py:15-52): load the persisted Spark 3.3.4
@@ -120,7 +119,7 @@ FROM scored ORDER BY flow_id"""
   lazy val qPretrained: Q = Q(
     "q_rf_pretrained_score",
     (spark, dir) =>
-      score(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+      score(BatchFlowFeaturizer.flowsView(spark, dir))
         .orderBy("flow_id"),
     Some(oracle))
 
@@ -131,7 +130,7 @@ FROM scored ORDER BY flow_id"""
   lazy val qCompiled: Q = Q(
     "q_rf_compiled_score",
     (spark, dir) =>
-      scoreCompiled(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+      scoreCompiled(BatchFlowFeaturizer.flowsView(spark, dir))
         .orderBy("flow_id"),
     Some(oracle))
 

@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.{Q, Tables}
+import graft.Q
 import graft.flow.BatchFlowFeaturizer
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.RandomForestClassifier
@@ -125,7 +125,7 @@ object RfDetector {
       // passes and must not re-run the featurizer windows each time;
       // flow tables are tiny relative to the packet stream, so a few
       // partitions suffice
-      val flows = withLabel(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+      val flows = withLabel(BatchFlowFeaturizer.flowsView(spark, dir))
         .repartition(4).cache()
       try {
         val res = train(flows)
@@ -160,7 +160,7 @@ SELECT count(*) AS n_flows, true AS agree_ok FROM feats""")
       import org.apache.spark.ml.classification.GBTClassifier
       import org.apache.spark.ml.feature.VectorAssembler
       import spark.implicits._
-      val flows = withLabel(BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir)))
+      val flows = withLabel(BatchFlowFeaturizer.flowsView(spark, dir))
         .repartition(4).cache()
       try {
         val assembler = new VectorAssembler()

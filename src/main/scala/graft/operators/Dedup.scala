@@ -344,21 +344,41 @@ ORDER BY doc_a, doc_b"""
     * verify then touches ONLY candidate docs' shingles — O(candidates),
     * not O(all sharing pairs) — which is the LSH payoff.
     */
-  /** Register the cached minhash band relation (and its shingle
-    * prerequisites) for `key`.
+  /** Register the cached signature relation (doc_id, m1..m16) for
+    * `key` — the ONE place the 16 min-hash folds over the shingle
+    * relation run. Both consumers derive from it: band hashes for
+    * candidate generation (4 cheap md5s per doc) and the estimate
+    * audit's component-match count ([[minhashEstErrOn]]). Before r12
+    * the audit re-derived signatures over the candidate-restricted
+    * shingles into a separate `csigs_v` — the md5-nibble fold ran
+    * twice per corpus and the private stage was 6.7 s of the audit's
+    * 8.6 s at sf1.
     */
-  private[graft] def ensureBands(spark: SparkSession, key: String,
+  private[graft] def ensureSigs(spark: SparkSession, key: String,
       docs: => DataFrame): Unit = {
     import org.apache.spark.sql.functions.expr
     ensureShingles(spark, key, docs)
-    StageViews.ensureCached(spark, "bands_v", key) {
-      // DataFrame-API build (equivalent to bandCtes; a nested-WITH view
-      // here would trip Spark 4.1's InlineCTE on the cached input)
+    StageViews.ensureCached(spark, "sigs_v", key) {
+      // DataFrame-API build (equivalent to bandCtes' `sigs`; a
+      // nested-WITH view here would trip Spark 4.1's InlineCTE on the
+      // cached input)
       val minExprs = minExprsSql.map(expr)
       spark.table("sh_v")
         .selectExpr("doc_id", "md5(shingle) AS mh")
         .selectExpr("doc_id", s"(${nibble32(SparkSql, "mh")}) % $P31 AS x")
         .groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    }
+    ()
+  }
+
+  /** Register the cached minhash band relation (and its signature /
+    * shingle prerequisites) for `key`.
+    */
+  private[graft] def ensureBands(spark: SparkSession, key: String,
+      docs: => DataFrame): Unit = {
+    ensureSigs(spark, key, docs)
+    StageViews.ensureCached(spark, "bands_v", key) {
+      spark.table("sigs_v")
         .crossJoin(spark.range(1, Bands + 1).selectExpr("CAST(id AS INT) AS bseq"))
         .selectExpr("doc_id", "bseq - 1 AS band", s"$bandCase AS bh")
     }
@@ -521,12 +541,13 @@ ORDER BY doc_a, doc_b""")
     * no probabilistic tolerance needed even though the QUANTITY being
     * audited is probabilistic.
     *
-    * Scale: signatures for candidate docs only (one groupBy over the
-    * candidate-restricted shingle relation — O(candidate docs), not
-    * O(corpus)); the exact-intersection join is the same
-    * candidate-restricted O(candidates) stage as [[qMinhash]]'s
-    * verify; LEFT JOIN because two docs can share a band (or collide)
-    * while sharing zero shingles — their exact Jaccard is 0.
+    * Scale: zero private heavy stages — signatures come from the
+    * [[ensureSigs]] stage candidate generation already built (the
+    * audit joins it on candidate doc ids), and the exact-intersection
+    * join is the same candidate-restricted O(candidates) stage as
+    * [[qMinhash]]'s verify; LEFT JOIN because two docs can share a
+    * band (or collide) while sharing zero shingles — their exact
+    * Jaccard is 0.
     */
   private def estErrSql(d: SqlDialect): String = s"""
 WITH ${candCtes(d)},
@@ -550,14 +571,11 @@ ORDER BY doc_a, doc_b"""
 
   private[graft] def minhashEstErrOn(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
-    // the intersection-count stage is shared with the Jaccard verify —
-    // the audit adds only the signature equality count and tiny joins
+    // Both expensive stages are shared: the intersection counts with
+    // the Jaccard verify (ipairs_v) and the signatures with candidate
+    // generation (sigs_v, which bands_v derives from) — the audit
+    // itself adds only the component-match count and tiny joins.
     ensureIntersections(spark, key, docs)
-    StageViews.ensureCached(spark, "csigs_v", key)(spark.sql(s"""
-SELECT doc_id, ${minExprsSql.mkString(",\n       ")}
-FROM (SELECT doc_id, (${nibble32(SparkSql, "mh")}) % $P31 AS x
-      FROM (SELECT doc_id, md5(shingle) AS mh FROM $shC s0) mhs) hs
-GROUP BY doc_id"""))
     spark.sql(s"""
 SELECT doc_a, doc_b, est_bp, exact_bp,
        abs(est_bp - exact_bp) AS abs_err_bp
@@ -566,8 +584,8 @@ FROM (SELECT c.doc_a, c.doc_b,
              (10000 * CAST(coalesce(i.ic, 0) AS BIGINT))
                DIV (sza.nsh + szb.nsh - CAST(coalesce(i.ic, 0) AS BIGINT)) AS exact_bp
       FROM cand_v c
-      JOIN csigs_v sa ON c.doc_a = sa.doc_id
-      JOIN csigs_v sb ON c.doc_b = sb.doc_id
+      JOIN sigs_v sa ON c.doc_a = sa.doc_id
+      JOIN sigs_v sb ON c.doc_b = sb.doc_id
       JOIN sz_v sza ON c.doc_a = sza.doc_id
       JOIN sz_v szb ON c.doc_b = szb.doc_id
       LEFT JOIN ipairs_v i

@@ -20,7 +20,7 @@ object Detection {
     "q_detect_label",
     (spark, dir) => {
       import spark.implicits._
-      val flows = BatchFlowFeaturizer.fromEvents(Tables.events(spark, dir))
+      val flows = BatchFlowFeaturizer.flowsView(spark, dir)
       // P4: select the intersection of wanted and actual columns
       val cols = wanted.filter(flows.columns.contains)
       flows
@@ -50,14 +50,29 @@ ORDER BY flow_id""")
     * the two countDistincts expand the aggregate but the key space is
     * bounded by the prefix count, so the final shuffle is tiny. The
     * prefix regex avoids backslash escapes entirely (`[0-9]`/`[.]`
-    * classes) so the identical pattern string parses in both engines.
+    * classes) so the identical pattern string parses in both engines,
+    * and is anchored to a FULL dotted quad (r11 ADVICE: the old
+    * two-group pattern matched any leading `d.d`, so `999.1` or
+    * `1.2.3` silently produced a prefix). A source that is not a
+    * dotted quad extracts the empty string — by design those rows
+    * aggregate under one explicit `''` bucket (the "unparseable
+    * source" line a mitigation dashboard must show, never silently
+    * drop); `Round12OpsSpec` pins both the bucket and the anchoring.
     */
+  /** /16 prefix of a full dotted-quad IPv4 source; no-backslash
+    * spelling (identical string in Spark's Java regex and DuckDB's
+    * RE2), anchored both ends so partial or over-long forms extract
+    * `''` instead of a bogus prefix.
+    */
+  val Prefix16Re: String =
+    "^([0-9]{1,3}[.][0-9]{1,3})[.][0-9]{1,3}[.][0-9]{1,3}$"
+
   val qIpPrefix = Q(
     "q_ip_prefix_agg",
     (spark, dir) => {
       import spark.implicits._
       BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))
-        .groupBy(regexp_extract($"src_ip", "^([0-9]+[.][0-9]+)", 1)
+        .groupBy(regexp_extract($"src_ip", Detection.Prefix16Re, 1)
           .as("src_prefix16"))
         .agg(
           count(lit(1)).as("n_packets"),
@@ -69,7 +84,7 @@ ORDER BY flow_id""")
     },
     Some(s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
 packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0)
-SELECT regexp_extract(src_ip, '^([0-9]+[.][0-9]+)', 1) AS src_prefix16,
+SELECT regexp_extract(src_ip, '$Prefix16Re', 1) AS src_prefix16,
        count(*) AS n_packets,
        count(DISTINCT src_ip) AS n_src_ips,
        count(DISTINCT dst_ip) AS n_dst_ips,

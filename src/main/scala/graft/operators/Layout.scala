@@ -73,6 +73,15 @@ ORDER BY z_bucket"""
     * [[BucketedJoinSpec]] pins the zero-Exchange plan; this query
     * gates the RESULT against the plain-join oracle so the bucketed
     * path provably computes the same relation.
+    *
+    * The writes go through [[StageViews.ensureSideEffect]], so one
+    * session pays them once per corpus and bench itemizes them as a
+    * stage build (`bkt_tables`) — the query's own time is then the
+    * join-only cost, which is the number that proves the zero-Exchange
+    * payoff (r11: 9.5 s sf1 was ~all rewrite-every-invocation write).
+    * Stale-file cleanup resolves paths with the Hadoop FileSystem API;
+    * the previous java.io.File on a `stripPrefix("file:")` path would
+    * silently skip cleanup on any non-local warehouse URI (r11 ADVICE).
     */
   val qBucketedJoin = Q(
     "q_bucketed_join",
@@ -80,25 +89,23 @@ ORDER BY z_bucket"""
       import org.apache.spark.sql.functions._
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
-      def dropAll(): Unit = Seq(liT, ordT).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val loc = new java.io.File(wh, t)
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
-          f.delete(); ()
+      StageViews.ensureSideEffect(spark, "bkt_tables", dir) {
+        Seq(liT, ordT).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) { fs.delete(loc, true); () }
         }
-        if (loc.exists()) rec(loc)
+        graft.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        graft.Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordT)
       }
-      dropAll()
-      graft.Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(liT)
-      graft.Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ordT)
       // the merge hint forces the sort-merge path at ANY table size
       // (the tiny test tables would otherwise broadcast and leave the
       // bucket layout unexercised) — with both sides bucket-sorted on

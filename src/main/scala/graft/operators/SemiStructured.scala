@@ -97,6 +97,108 @@ SELECT event_type, count(*) AS n_events, count(parsed) AS n_parsed,
 FROM x GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** VARIANT over an EVOLVING-schema corpus — the case the scaladoc
+    * above motivates, now actually exercised (r11 task 5: the first
+    * variant query extracted one scalar path from one shape). The
+    * corpus is derived deterministically from `events`: four coexisting
+    * generations of the same log line — flat `{"k": n}`, array-bearing
+    * `{"k": n, "tags": [...]}`, nested `{"meta": {"k": n, "src": ...}}`,
+    * and a type change `{"k": "n"}` (bigint→string) — plus one
+    * malformed row. Both engines build the identical strings, so the
+    * oracle gates three things the schema'd `from_json` path cannot do:
+    *
+    *  - INTROSPECTION drives the grouping: the shape label comes from
+    *    `schema_of_variant(v)` (DuckDB: `json_structure`), so a
+    *    misreported schema mismatches the group counts, not just a
+    *    label column;
+    *  - nested-object (`$.meta.k`) and array-element (`$.tags[0]`,
+    *    array length) paths extract with per-call types;
+    *  - `try_variant_get` absorbs the bigint→string generation (cast
+    *    succeeds) and the malformed row (NULL variant) without failing
+    *    the job.
+    *
+    * Scale posture unchanged: per-row projections into a 5-key hash
+    * agg; the variant binary never shuffles wider than the source
+    * string.
+    */
+  val qVariantShapes = Q(
+    "q_variant_shapes",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .selectExpr("event_id",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS kk")
+        .selectExpr("""CASE event_id % 4
+            WHEN 0 THEN concat('{"k": ', kk, '}')
+            WHEN 1 THEN concat('{"k": ', kk, ', "tags": ["t', event_id % 3, '", "u"]}')
+            WHEN 2 THEN concat('{"meta": {"k": ', kk, ', "src": "s', event_id % 5, '"}}')
+            ELSE concat('{"k": "', kk, '"}')
+          END AS props2""")
+        .unionAll(Seq("{oops").toDF("props2"))
+      ev
+        .select(try_parse_json($"props2").as("v"))
+        .selectExpr(
+          """CASE
+               WHEN v IS NULL THEN 'malformed'
+               WHEN schema_of_variant(v) LIKE '%tags%' THEN 'with_tags'
+               WHEN schema_of_variant(v) LIKE '%meta%' THEN 'nested'
+               WHEN schema_of_variant(v) LIKE '%STRING%' THEN 'string_k'
+               ELSE 'flat'
+             END AS shape""",
+          "try_variant_get(v, '$.k', 'bigint') AS k_top",
+          "try_variant_get(v, '$.meta.k', 'bigint') AS k_meta",
+          "try_variant_get(v, '$.tags[0]', 'string') AS tag0",
+          "size(try_variant_get(v, '$.tags', 'array<string>')) AS n_tags")
+        .groupBy($"shape")
+        .agg(
+          count(lit(1)).as("n"),
+          count($"k_top").as("n_k_top"),
+          count($"k_meta").as("n_k_meta"),
+          // all-null groups coalesce to 0/'' so no output column is
+          // nullable: the hash compare sorts columns by NAME, and a
+          // null in the alphabetically-first column would make row
+          // ordering engine-defined
+          coalesce(sum(coalesce($"k_top", $"k_meta")), lit(0L)).as("sum_k"),
+          count($"tag0").as("n_tag0"),
+          coalesce(max($"tag0"), lit("")).as("max_tag0"),
+          coalesce(sum($"n_tags").cast("bigint"), lit(0L)).as("sum_n_tags"))
+        .orderBy($"shape")
+    },
+    Some("""
+WITH src AS (SELECT event_id,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+             FROM events),
+ev AS (SELECT CASE event_id % 4
+         WHEN 0 THEN '{"k": ' || kk || '}'
+         WHEN 1 THEN '{"k": ' || kk || ', "tags": ["t' || (event_id % 3) || '", "u"]}'
+         WHEN 2 THEN '{"meta": {"k": ' || kk || ', "src": "s' || (event_id % 5) || '"}}'
+         ELSE '{"k": "' || kk || '"}'
+       END AS props2 FROM src
+       UNION ALL SELECT '{oops'),
+x AS (SELECT CASE
+        WHEN NOT json_valid(props2) THEN 'malformed'
+        WHEN json_structure(props2) LIKE '%tags%' THEN 'with_tags'
+        WHEN json_structure(props2) LIKE '%meta%' THEN 'nested'
+        WHEN json_structure(props2) LIKE '%VARCHAR%' THEN 'string_k'
+        ELSE 'flat'
+      END AS shape,
+      CASE WHEN json_valid(props2)
+           THEN CAST(json_extract_string(props2, '$.k') AS BIGINT) END AS k_top,
+      CASE WHEN json_valid(props2)
+           THEN CAST(json_extract_string(props2, '$.meta.k') AS BIGINT) END AS k_meta,
+      CASE WHEN json_valid(props2)
+           THEN json_extract_string(props2, '$.tags[0]') END AS tag0,
+      CASE WHEN json_valid(props2)
+           THEN CAST(json_array_length(props2, '$.tags') AS BIGINT) END AS n_tags
+      FROM ev)
+SELECT shape, count(*) AS n, count(k_top) AS n_k_top,
+       count(k_meta) AS n_k_meta,
+       CAST(coalesce(sum(coalesce(k_top, k_meta)), 0) AS BIGINT) AS sum_k,
+       count(tag0) AS n_tag0, coalesce(max(tag0), '') AS max_tag0,
+       CAST(coalesce(sum(n_tags), 0) AS BIGINT) AS sum_n_tags
+FROM x GROUP BY shape ORDER BY shape""")
+  )
+
   /** Calendar rollup — gates the date-function surface (truncation to
     * civil days, day-of-week numbering) whose conventions differ across
     * engines: Spark's `dayofweek` is 1=Sunday while DuckDB's `isodow`
@@ -130,5 +232,5 @@ FROM events
 GROUP BY 1, 2 ORDER BY day""")
   )
 
-  val all: Seq[Q] = Seq(qJsonExtract, qVariantExtract, qCalendar)
+  val all: Seq[Q] = Seq(qJsonExtract, qVariantExtract, qVariantShapes, qCalendar)
 }

@@ -148,6 +148,35 @@ private[graft] object StageViews {
   def ensureCached(spark: SparkSession, name: String, key: String)(build: => DataFrame): DataFrame =
     ensure0(spark, name, key, cache = true)(build)
 
+  /** Run `work` once per (session, name, key) — for stages whose
+    * product is a SIDE EFFECT (bucketed table writes, index layouts)
+    * rather than a cacheable relation. The work is timed and recorded
+    * in the build log like a cached-stage materialization, so bench
+    * itemizes the pay-once layout cost instead of charging it to
+    * whichever query's attempt happened to run it (q_bucketed_join's
+    * 9.5 s sf1 was ~all table-write; the join it exists to measure is
+    * sub-second). Repeat calls with the same key are no-ops; a new
+    * corpus key re-runs the work.
+    */
+  def ensureSideEffect(spark: SparkSession, name: String, key: String)(work: => Unit): Unit = {
+    val reg = registry(spark)
+    reg.synchronized {
+      reg.get(name) match {
+        case Some(e) if e.key == key => ()
+        case _ =>
+          val t0 = System.nanoTime()
+          work
+          reg(name) = Entry(key, spark.emptyDataFrame, cached = false)
+          attributionLabel.foreach { label =>
+            val b = Build(name, label(), (System.nanoTime() - t0) / 1e9)
+            builds.synchronized(builds += b)
+            System.err.println(
+              f"[stageviews] built ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+          }
+      }
+    }
+  }
+
   /** Evict every stage relation registered for `spark`, logging the
     * storage the cached ones held. Called at end of a catalog run; a
     * later query transparently rebuilds what it needs.

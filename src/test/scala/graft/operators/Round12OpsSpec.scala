@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 behavioral specs: the /16-prefix extraction is anchored to
+  * full dotted quads with an explicit unparseable bucket, and the
+  * variant-shapes query classifies every generated shape through
+  * schema introspection.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("prefix16: full-quad anchoring; malformed sources land in the '' bucket") {
+    import spark.implicits._
+    // r11 ADVICE: the old `^([0-9]+[.][0-9]+)` matched ANY leading
+    // d.d — `1.2.3` and `999.1` produced bogus prefixes, and a
+    // startsWith("10.") assertion could never catch the empty bucket.
+    val cases = Seq(
+      "10.1.2.3"   -> "10.1", // well-formed quad
+      "1.2.3"      -> "",     // too few octets
+      "999.1"      -> "",     // partial
+      "evil"       -> "",     // not an IP at all
+      "10.1.2.3.4" -> "")     // over-long ($ anchor)
+    val got = cases.map(_._1).toDF("src_ip")
+      .selectExpr("src_ip",
+        s"regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (ip, want) => assert(got(ip) == want, s"for $ip") }
+  }
+
+  test("prefix16 over the corpus: exactly the synthetic /16s, no empty bucket") {
+    val prefixes = Detection.qIpPrefix.run(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0)).toSet
+    // the event→packet derivation puts every source in 10.[0-4].*
+    assert(prefixes == Set("10.0", "10.1", "10.2", "10.3", "10.4"))
+  }
+
+  test("variant shapes: every generation classified via schema introspection") {
+    val rows = SemiStructured.qVariantShapes.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 events spread over event_id % 4 + the planted malformed row
+    assert(rows.keySet == Set("flat", "with_tags", "nested", "string_k", "malformed"))
+    assert(rows("malformed") == 1L)
+    assert(rows.values.sum == 1001L)
+  }
+
+  test("variant shapes: nested and array paths extract; type change absorbed") {
+    val r = SemiStructured.qVariantShapes.run(spark, "/root/testdata/sf0.001")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // nested shape: k arrives ONLY via $.meta.k
+    assert(r("nested").getAs[Long]("n_k_top") == 0L)
+    assert(r("nested").getAs[Long]("n_k_meta") == r("nested").getAs[Long]("n"))
+    // bigint→string generation: try_variant_get still casts every k
+    assert(r("string_k").getAs[Long]("n_k_top") == r("string_k").getAs[Long]("n"))
+    // array shape: every row has tags[0] and exactly 2 elements
+    val wt = r("with_tags")
+    assert(wt.getAs[Long]("n_tag0") == wt.getAs[Long]("n"))
+    assert(wt.getAs[Long]("sum_n_tags") == 2 * wt.getAs[Long]("n"))
+  }
+}
