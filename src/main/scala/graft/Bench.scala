@@ -39,7 +39,10 @@ object Bench {
     // round 11: substring-window dup stats, n-gram novelty curve,
     // minhash estimate audit, TPC-H Q8-shaped market share
     "q_substring_dup", "q_ngram_novelty", "q_minhash_est_error",
-    "q_market_share")
+    "q_market_share",
+    // round 12: the join-only bucketed join (write itemized as the
+    // bkt_tables stage) and the evolving-schema variant classifier
+    "q_bucketed_join", "q_variant_shapes")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

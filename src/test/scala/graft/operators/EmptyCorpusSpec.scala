@@ -69,7 +69,11 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_substring_dup", "q_domain_token_cap", "q_minhash_est_error",
     "q_hll_intersect", "q_market_share", "q_ngram_novelty",
     "q_ip_prefix_agg", "q_bucketed_join", "q_variant_extract",
-    "q_hof_vector_math")
+    "q_hof_vector_math",
+    // round 12: evolving-schema variant classification (the planted
+    // malformed row keeps the output non-empty), parameterized rate
+    // anomaly
+    "q_variant_shapes", "q_rate_anomaly")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {
