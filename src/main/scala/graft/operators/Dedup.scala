@@ -676,6 +676,40 @@ ORDER BY comp.doc_id"""
     },
     Some(clustersSql(DuckSql)))
 
+  /** Duplicate-cluster SIZE HISTOGRAM — the one-page dedup audit an
+    * operator reads before shipping a corpus: how many clusters exist
+    * at each size, and how many documents they hold (size 1 = unique
+    * docs; the tail is the template/mirror mass; `n_docs − n_clusters`
+    * summed over sizes ≥ 2 is exactly the doc count dedup would drop).
+    * Pure reuse: two bounded aggregations over the cached cc_comp_v
+    * assignment stage — by-rep then by-size, both map-side-combinable,
+    * output bounded by the largest cluster size. Zero marginal
+    * candidate-generation cost.
+    */
+  private def clusterSizesSql(d: SqlDialect): String = s"""
+WITH RECURSIVE ${clusterCtes(d)},
+csize AS (SELECT cluster_rep, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_rep)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM csize GROUP BY cluster_size
+ORDER BY cluster_size"""
+
+  val qClusterSizes = Q(
+    "q_dedup_cluster_sizes",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      clusterAssignments(spark, dir, Tables.documents(spark, dir))
+        .groupBy($"cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"cluster_size").cast("bigint").as("n_docs"))
+        .orderBy("cluster_size")
+    },
+    Some(clusterSizesSql(DuckSql)))
+
   // ================= PageRank centrality over the dup graph =================
 
   /** Which near-duplicate is the MOST CENTRAL copy? Connected
@@ -1540,7 +1574,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
-      qClusters,
+      qClusters, qClusterSizes,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
       qDedupStreamWindowed, qPageRank)

@@ -29,6 +29,11 @@ sealed trait SqlDialect {
   /** element-wise negation of a numeric array (exact in IEEE — safe
     * cross-engine, unlike arithmetic that rounds) */
   def negArr(arr: String): String
+  /** floor(log2(x)) of a POSITIVE integer, computed exactly as
+    * (binary-digit count − 1) — never through float log2, whose last
+    * ulp is libm-implementation-specific across engines
+    */
+  def floorLog2(x: String): String
 }
 
 case object SparkSql extends SqlDialect {
@@ -47,6 +52,7 @@ case object SparkSql extends SqlDialect {
     s"slice($arr, CAST(($start1) AS INT), CAST(($len) AS INT))"
   def joinArr(arr: String) = s"array_join($arr, ' ')"
   def negArr(arr: String) = s"transform($arr, x -> -x)"
+  def floorLog2(x: String) = s"(length(bin($x)) - 1)"
 }
 
 /** Cross-engine hashing building block: md5() is the one hash function
@@ -85,4 +91,5 @@ case object DuckSql extends SqlDialect {
     s"list_slice($arr, $start1, ($start1) + ($len) - 1)"
   def joinArr(arr: String) = s"array_to_string($arr, ' ')"
   def negArr(arr: String) = s"list_transform($arr, x -> -x)"
+  def floorLog2(x: String) = s"(length(format('{:b}', $x)) - 1)"
 }

@@ -552,6 +552,66 @@ ORDER BY doc_id, rank"""
 
   val qTfIdf = Q("q_tfidf_top_terms", run(tfidfSql(SparkSql)), Some(tfidfSql(DuckSql)))
 
+  // ---- unigram-surprisal quality score (integer-bit LM proxy) ----
+
+  /** Per-document unigram cross-entropy proxy — the LM-perplexity-style
+    * quality signal (CCNet-lineage) a corpus filter ranks documents by:
+    * rare-token-heavy documents (gibberish, mojibake, boilerplate IDs)
+    * score HIGH information content, natural prose scores low. Each
+    * token's surprisal is −log2 P(t) = log2(N / c_t), kept EXACT by
+    * flooring to whole bits via binary-digit count ([[SqlDialect
+    * .floorLog2]]) — a float log2 could not be oracle-gated: libm last
+    * ulps differ across engines (the same reason `q_tfidf_top_terms`
+    * keeps its idf rational). Output is bits summed over token
+    * occurrences plus floor-division millibits per token.
+    *
+    * Shape at scale: tf is one (doc, term) aggregate off the exploded
+    * token relation; the vocabulary and its 1-row total reduce OFF tf
+    * (never over raw occurrences); the surprisal join runs on the
+    * already-reduced (doc, term) relation, so cost is O(distinct doc
+    * terms), map-side-combinable throughout, one natural doc_id
+    * partition for the final fold.
+    */
+  private def surprisalSql(d: SqlDialect): String = {
+    val termCte = d match {
+      case SparkSql => """
+tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+       GROUP BY doc_id, term)"""
+      case DuckSql => s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+ti AS (${d.series("doc_id, w", d.len("w"), "i", "dw")}),
+tf AS (SELECT doc_id, ${d.el("w", "i")} AS term, count(*) AS tf
+       FROM ti GROUP BY doc_id, ${d.el("w", "i")})"""
+    }
+    s"""
+WITH $termCte,
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+bits AS (SELECT term, CAST(${d.floorLog2(d.idiv("nn.total", "vocab.c"))} AS BIGINT) AS sbits
+         FROM vocab CROSS JOIN nn),
+per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+               CAST(sum(tf.tf * b.sbits) AS BIGINT) AS info_bits
+        FROM tf JOIN bits b ON tf.term = b.term
+        GROUP BY tf.doc_id)
+SELECT doc_id, n_tok, info_bits,
+       ${d.idiv("1000 * info_bits", "n_tok")} AS mbits_per_tok
+FROM per
+ORDER BY doc_id"""
+  }
+
+  /** Spec entry: the surprisal query over an arbitrary documents
+    * relation (hand-computable corpora in `Round12OpsSpec`).
+    */
+  private[graft] def surprisalOn(spark: SparkSession, key: String,
+      docs: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    spark.sql(surprisalSql(SparkSql))
+  }
+
+  val qSurprisal =
+    Q("q_text_surprisal", run(surprisalSql(SparkSql)), Some(surprisalSql(DuckSql)))
+
   // ---- document chunking (overlapping token windows) ----
 
   /** Overlapping fixed-size token chunks — the tokenize-and-chunk step
@@ -702,6 +762,6 @@ ORDER BY z.doc_id""")
 
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qTokensBpe, qWinnow, qFingerprint,
-      qRepetition, qTopTerms, qTfIdf, qChunks, qNormalize, qBoilerplate,
-      qVocab, qNovelty)
+      qRepetition, qTopTerms, qTfIdf, qSurprisal, qChunks, qNormalize,
+      qBoilerplate, qVocab, qNovelty)
 }

@@ -72,8 +72,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "q_hof_vector_math",
     // round 12: evolving-schema variant classification (the planted
     // malformed row keeps the output non-empty), parameterized rate
-    // anomaly
-    "q_variant_shapes", "q_rate_anomaly")
+    // anomaly, integer-bit surprisal, cluster-size histogram
+    "q_variant_shapes", "q_rate_anomaly", "q_text_surprisal",
+    "q_dedup_cluster_sizes")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

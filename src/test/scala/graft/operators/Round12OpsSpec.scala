@@ -64,4 +64,47 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(wt.getAs[Long]("n_tag0") == wt.getAs[Long]("n"))
     assert(wt.getAs[Long]("sum_n_tags") == 2 * wt.getAs[Long]("n"))
   }
+
+  test("surprisal: whole-bit hand math — common tokens 0 bits, hapax log2(N)") {
+    import spark.implicits._
+    // corpus: a×5, b×1 → N=6; bits(a)=floor(log2(6 DIV 5))=0,
+    // bits(b)=floor(log2(6 DIV 1))=2
+    val docs = Seq(
+      (0L, "a a a a", "en", "s", 7L),
+      (1L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.surprisalOn(spark, "r12-surp", docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 4L, 0L, 0L),       // all-common doc carries zero bits
+      (1L, 2L, 2L, 1000L)))   // the hapax contributes its 2 bits
+  }
+
+  test("surprisal: rare-token docs rank above common-token docs (quality law)") {
+    import spark.implicits._
+    // 9 identical prose docs + 1 gibberish doc of unique tokens
+    val docs = ((0L to 8L).map(i => (i, "the cat sat on the mat", "en", "s", 22L)) :+
+      (9L, "zq8 vx0 qk7 jw2 hp9 fz4", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = TextAnalysis.surprisalOn(spark, "r12-surp2", docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0L to 8L).forall(i => scores(i) < scores(9L)),
+      s"gibberish doc must out-score prose: $scores")
+  }
+
+  test("cluster-size histogram is consistent with the per-doc cluster relation") {
+    val dir = "/root/testdata/sf0.001"
+    val perDoc = Dedup.qClusters.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_rep") -> r.getAs[Long]("cluster_size"))
+    // derive the histogram from the (oracle-gated) per-doc view...
+    val expect = perDoc.distinct.groupBy(_._2) // one (rep, size) row per cluster
+      .map { case (sz, clusters) =>
+        sz -> (clusters.length.toLong, clusters.length * sz) }
+    // ...and it must equal q_dedup_cluster_sizes exactly
+    val got = Dedup.qClusterSizes.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"histogram mismatch: got $got expect $expect")
+    // and the histogram must account for every document exactly once
+    assert(got.values.map(_._2).sum == perDoc.length)
+  }
 }
