@@ -41,8 +41,10 @@ object Bench {
     "q_substring_dup", "q_ngram_novelty", "q_minhash_est_error",
     "q_market_share",
     // round 12: the join-only bucketed join (write itemized as the
-    // bkt_tables stage) and the evolving-schema variant classifier
-    "q_bucketed_join", "q_variant_shapes")
+    // bkt_tables stage), the evolving-schema variant classifier, the
+    // integer-bit surprisal score, and the cluster-size audit
+    "q_bucketed_join", "q_variant_shapes", "q_text_surprisal",
+    "q_dedup_cluster_sizes")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
