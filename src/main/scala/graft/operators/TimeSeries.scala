@@ -124,5 +124,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(qGapFill, qRangeFrame)
+  /** Cohort retention matrix — the classic product-analytics rollup a
+    * warehouse team runs weekly: users grouped by first-activity week
+    * (the cohort), and for every later week the count and basis-point
+    * share of the cohort still active. All integers: epoch-aligned
+    * weeks by integer division of the µs timestamp, retention in
+    * floor-division basis points of the offset-0 cohort size (offset 0
+    * always exists — the cohort week IS an activity week, so every
+    * user is active at offset 0 by construction).
+    *
+    * Shape at scale: one DISTINCT over (user, week) — the natural
+    * pre-aggregation, shrinking the event stream to user-weeks before
+    * anything else — then a per-user min, a shuffle join back on
+    * user_id (both sides already user-week sized, not event sized),
+    * and two bounded aggregations; the offset-0 base relation is
+    * |cohorts| rows and broadcasts.
+    */
+  val WeekUs: Long = 7L * 86400 * 1000000
+
+  val qCohortRetention = Q(
+    "q_cohort_retention",
+    (spark, dir) => {
+      import spark.implicits._
+      val act = Tables.events(spark, dir)
+        .selectExpr("user_id", s"(CAST(ts DIV 1000 AS BIGINT)) DIV $WeekUs AS week")
+        .distinct()
+      val coh = act.groupBy($"user_id".as("u")).agg(min($"week").as("cohort_week"))
+      val cell = act.join(coh, $"user_id" === $"u")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val base = cell.where($"week_offset" === 0)
+        .select($"cohort_week".as("cw"), $"n_users".as("cohort_size"))
+      cell.join(broadcast(base), $"cohort_week" === $"cw")
+        .selectExpr("cohort_week", "week_offset", "n_users", "cohort_size",
+          "(10000 * n_users) DIV cohort_size AS retention_bp")
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(s"""
+WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id),
+cell AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+                count(*) AS n_users
+         FROM act a JOIN coh c ON a.user_id = c.user_id
+         GROUP BY 1, 2),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM cell WHERE week_offset = 0)
+SELECT cell.cohort_week AS cohort_week, cell.week_offset, cell.n_users,
+       base.cohort_size,
+       (10000 * cell.n_users) // base.cohort_size AS retention_bp
+FROM cell JOIN base ON cell.cohort_week = base.cohort_week
+ORDER BY cell.cohort_week, cell.week_offset"""))
+
+  val all: Seq[Q] = Seq(qGapFill, qRangeFrame, qCohortRetention)
 }

@@ -107,4 +107,19 @@ class Round12OpsSpec extends AnyFunSuite {
     // and the histogram must account for every document exactly once
     assert(got.values.map(_._2).sum == perDoc.length)
   }
+
+  test("cohort retention: offset-0 is always 10000 bp and cohorts partition the users") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TimeSeries.qCohortRetention.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, size, bp) =>
+      assert(off >= 0 && n <= size && bp <= 10000)
+      if (off == 0) assert(n == size && bp == 10000)
+    }
+    // offset-0 cohort sizes partition the distinct-user universe
+    val users = graft.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(rows.collect { case (_, 0L, n, _, _) => n }.sum == users)
+  }
 }
