@@ -142,11 +142,14 @@ ORDER BY event_id""")
     */
   val WeekUs: Long = 7L * 86400 * 1000000
 
-  val qCohortRetention = Q(
-    "q_cohort_retention",
-    (spark, dir) => {
+  /** The retention matrix over any events relation carrying
+    * (user_id, ts epoch-nanos BIGINT) — spec entry for the
+    * shift-equivariance law; the catalog query binds the driver table.
+    */
+  private[graft] def cohortOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val spark = events.sparkSession
       import spark.implicits._
-      val act = Tables.events(spark, dir)
+      val act = events
         .selectExpr("user_id", s"(CAST(ts DIV 1000 AS BIGINT)) DIV $WeekUs AS week")
         .distinct()
       val coh = act.groupBy($"user_id".as("u")).agg(min($"week").as("cohort_week"))
@@ -159,7 +162,11 @@ ORDER BY event_id""")
         .selectExpr("cohort_week", "week_offset", "n_users", "cohort_size",
           "(10000 * n_users) DIV cohort_size AS retention_bp")
         .orderBy("cohort_week", "week_offset")
-    },
+  }
+
+  val qCohortRetention = Q(
+    "q_cohort_retention",
+    (spark, dir) => cohortOn(Tables.events(spark, dir)),
     Some(s"""
 WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
 coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id),

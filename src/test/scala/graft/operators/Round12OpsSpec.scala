@@ -122,4 +122,45 @@ class Round12OpsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.collect { case (_, 0L, n, _, _) => n }.sum == users)
   }
+
+  test("cohort retention: shifting all timestamps by whole weeks translates the matrix") {
+    // equivariance law: ts -> ts + k weeks shifts every cohort_week by
+    // k and preserves (offset, n_users, cohort_size, retention_bp) —
+    // the matrix depends only on RELATIVE timing
+    val dir = "/root/testdata/sf0.001"
+    val k = 3L
+    val weekNs = TimeSeries.WeekUs * 1000
+    val ev = graft.Tables.events(spark, dir)
+    def matrix(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cohortOn(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val base = matrix(ev)
+    val shifted = matrix(ev.withColumn("ts",
+      org.apache.spark.sql.functions.expr(s"ts + ${k * weekNs}")))
+    assert(shifted.toSeq == base.map { case (cw, off, n, sz, bp) => (cw + k, off, n, sz, bp) }.toSeq)
+  }
+
+  test("surprisal: duplicating the whole corpus leaves every score unchanged") {
+    import spark.implicits._
+    // k-fold duplication scales N and every c_t by k, so N/c_t — and
+    // therefore every whole-bit surprisal — is invariant: floor of the
+    // SAME rational. The dedup-before-scoring ordering question is
+    // therefore score-neutral; only the weights change.
+    val docs = Seq(
+      (0L, "alpha beta beta gamma", "en", "s", 21L),
+      (1L, "alpha delta", "en", "s", 11L),
+      (2L, "rare0 rare1 rare2", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val doubled = docs.unionAll(docs
+      .withColumn("doc_id", $"doc_id" + 100L))
+    def scores(df: org.apache.spark.sql.DataFrame, key: String) =
+      TextAnalysis.surprisalOn(spark, key, df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val s1 = scores(docs, "r12-dup1")
+    val s2 = scores(doubled, "r12-dup2")
+    (0L to 2L).foreach { id =>
+      assert(s2(id) == s1(id), s"doc $id moved under corpus duplication")
+      assert(s2(id + 100) == s1(id), s"copy of doc $id diverged")
+    }
+  }
 }
