@@ -102,6 +102,9 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** csv (S3 proper) + orc + json — every bundled format a reference
     * user could bring data in as. Parquet is every other query's scan.
+    * (Avro is NOT bundled: spark-sql 4.1 carries the shim classes but
+    * the datasource registration lives in the external spark-avro
+    * module, absent from /opt/spark/jars — probed and reverted r12.)
     */
   /** Schema-evolution read: two parquet file sets under one table path
     * with DIFFERENT column sets (the shape of a table whose schema grew
