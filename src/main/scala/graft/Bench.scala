@@ -44,7 +44,7 @@ object Bench {
     // bkt_tables stage), the evolving-schema variant classifier, the
     // integer-bit surprisal score, and the cluster-size audit
     "q_bucketed_join", "q_variant_shapes", "q_text_surprisal",
-    "q_dedup_cluster_sizes", "q_cohort_retention")
+    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

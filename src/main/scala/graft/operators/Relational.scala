@@ -474,7 +474,51 @@ SELECT user_id,
 FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Recursive-CTE hierarchy traversal — Spark 4's `WITH RECURSIVE`
+    * (planned as `UnionLoopExec`), the one relational construct the
+    * catalog had only ever stated on the ORACLE side (the dedup
+    * cluster oracles are recursive; the Spark side used distributed
+    * CC). The hierarchy is synthesized over the customer table as a
+    * binary tree (parent = id DIV 2, rooted at id 1; id 0 is its own
+    * parent — a degenerate self-loop excluded from the tree), walked
+    * top-down with (id, depth), then joined back to the table for the
+    * per-depth balance rollup, keeping the recursive frontier skinny.
+    * The traversal invariant depth == floor(log2(id)) is pinned in
+    * `Round12OpsSpec` via [[SqlDialect.floorLog2]].
+    *
+    * Scale: a recursive traversal executes as one join per LEVEL
+    * (frontier × table), so cost is O(depth) joins — depth is
+    * log-bounded here and shallow (≤ dozens) in any real org/BOM
+    * hierarchy; the frontier carries two BIGINTs per row. Spark caps
+    * runaway recursion at spark.sql.cteRecursionLevelLimit (default
+    * 100), which a log-depth tree never approaches.
+    */
+  private def hierarchySql(d: SqlDialect): String = s"""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS id, 0 AS depth
+  FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey AS id, a.depth + 1 AS depth
+  FROM customer c JOIN anc a ON ${d.idiv("c.c_custkey", "2")} = a.id
+  WHERE c.c_custkey > 1)
+SELECT CAST(a.depth AS BIGINT) AS depth, count(*) AS n_nodes,
+       CAST(min(a.id) AS BIGINT) AS min_id,
+       CAST(max(a.id) AS BIGINT) AS max_id,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM anc a JOIN customer c ON a.id = c.c_custkey
+GROUP BY a.depth
+ORDER BY depth"""
+
+  val qHierarchy = Q(
+    "q_hierarchy_rollup",
+    (spark, dir) => {
+      StageViews.ensure(spark, "customer", dir)(Tables.customer(spark, dir))
+      spark.sql(hierarchySql(SparkSql))
+    },
+    Some(hierarchySql(DuckSql)))
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
-      qHistogram, qRankFamily, qHllSketch, qHllIntersect, qWelford, qCollectSet)
+      qHistogram, qRankFamily, qHllSketch, qHllIntersect, qWelford, qCollectSet,
+      qHierarchy)
 }

@@ -74,7 +74,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // malformed row keeps the output non-empty), parameterized rate
     // anomaly, integer-bit surprisal, cluster-size histogram
     "q_variant_shapes", "q_rate_anomaly", "q_text_surprisal",
-    "q_dedup_cluster_sizes", "q_cohort_retention")
+    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {

@@ -140,6 +140,26 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(shifted.toSeq == base.map { case (cw, off, n, sz, bp) => (cw + k, off, n, sz, bp) }.toSeq)
   }
 
+  test("hierarchy traversal: recursive depth is exactly floor(log2(id))") {
+    // The binary-tree synthesis makes the invariant exact: level d of
+    // the recursion holds precisely the contiguous ids of binary width
+    // d+1 — so the UnionLoop traversal is checked against pure
+    // arithmetic, not against another traversal.
+    val dir = "/root/testdata/sf0.001"
+    val nKeys = graft.Tables.customer(spark, dir).count()
+    val rows = Relational.qHierarchy.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (depth, n, minId, maxId) =>
+      def flog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      assert(flog2(minId) == depth && flog2(maxId) == depth)
+      assert(minId == (1L << depth))
+      assert(n == maxId - minId + 1, "keys are contiguous, so each level is an id interval")
+    }
+    // every customer except the degenerate self-parent id 0 is reached
+    assert(rows.map(_._2).sum == nKeys - 1)
+  }
+
   test("surprisal: duplicating the whole corpus leaves every score unchanged") {
     import spark.implicits._
     // k-fold duplication scales N and every c_t by k, so N/c_t — and
