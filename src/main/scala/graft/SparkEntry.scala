@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Cdc.all ++
       operators.Packing.all ++
       operators.WebCorpus.all ++
+      operators.Behavior.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral sequence analytics over the event stream: the next-event
+  * transition matrix and conversion-journey touch attribution. Both are
+  * the "what do users do next / what led to the purchase" questions a
+  * product-analytics warehouse answers daily, and both are shaped the
+  * same way at scale: ONE user-partitioned ordered window pass over the
+  * raw stream (per-user row counts are bounded by construction — a user
+  * is a session-scale entity, not a corpus-scale one), then aggregates
+  * over relations that are already orders of magnitude smaller than the
+  * input (|types|² transition cells, one row per conversion journey).
+  * Every derived column is integer or string, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object Behavior {
+
+  /** Markov next-event transition matrix — for every ordered pair of
+    * event types, how often type A is immediately followed by type B
+    * within the same user's stream, with the row-conditional
+    * probability in floor-division basis points.
+    *
+    * Shape at scale: `lead` needs one shuffle on user_id (the window
+    * partition); the transition groupBy then collapses the stream to at
+    * most |types|² cells map-side before the (tiny) final exchange, and
+    * the per-prev-type totals are a |types|-row relation joined back by
+    * an explicit broadcast. Nothing downstream of the window ever
+    * re-touches the raw stream.
+    *
+    * Determinism: successor order is the total order (ts_us, event_id)
+    * — event_id breaks timestamp ties — and share_bp is exact integer
+    * floor division of non-negative values (identical semantics for
+    * Spark's DIV and DuckDB's //).
+    */
+  /** The transition matrix over any events relation carrying
+    * (user_id, ts epoch-nanos BIGINT, event_id, event_type) — spec
+    * entry for the hand-computed-matrix law; the catalog query binds
+    * the driver table.
+    */
+  private[graft] def transitionsOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+      val nx = e.withColumn("next_type",
+        lead($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")))
+      val t = nx.where($"next_type".isNotNull)
+        .groupBy($"event_type".as("prev_type"), $"next_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy($"prev_type".as("pt"))
+        .agg(sum($"n").cast("bigint").as("tn"))
+      t.join(broadcast(tot), $"prev_type" === $"pt")
+        .selectExpr("prev_type", "next_type", "n",
+          "(10000 * n) DIV tn AS share_bp")
+        .orderBy("prev_type", "next_type")
+    }
+  }
+
+  val qEventTransitions = Q(
+    "q_event_transitions",
+    (spark, dir) => transitionsOn(Tables.events(spark, dir)),
+    Some("""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+nx AS (SELECT event_type AS prev_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+       FROM e),
+t AS (SELECT prev_type, next_type, count(*) AS n
+      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type AS pt, CAST(sum(n) AS BIGINT) AS tn FROM t GROUP BY 1)
+SELECT prev_type, next_type, n, (10000 * n) // tn AS share_bp
+FROM t JOIN tot ON t.prev_type = tot.pt
+ORDER BY prev_type, next_type""")
+  )
+
+  /** First-touch / last-touch attribution — for every purchase, the
+    * earliest and latest preceding touch ('view' or 'click') within the
+    * same conversion journey. A journey is the span since the user's
+    * previous purchase: the running purchase count over STRICTLY
+    * preceding rows numbers each row's journey, so every touch belongs
+    * to exactly one upcoming purchase (or to the tail journey that
+    * never converts, which the join drops).
+    *
+    * Shape at scale: the journey numbering and both touch row_numbers
+    * run over the SAME (user_id)-partitioned (ts_us, event_id)-ordered
+    * window, so Catalyst plans one Exchange + one Sort for all three;
+    * the touch aggregate reduces to one row per (user, journey) before
+    * the join, and the purchase side is filtered first — the join is
+    * journey-sized × purchase-sized, never event-sized.
+    *
+    * Determinism: total order (ts_us, event_id); the aggregate picks
+    * rn=1 rows via max-of-CASE (exact, no min_by cross-engine
+    * subtleties). Touchless purchases emit -1/'' sentinels rather than
+    * NULLs — the driver's hash compare sorts rows by value and cannot
+    * order NULLs — under an exact n_touches = 0.
+    */
+  /** Attribution over any events relation (same contract as
+    * [[transitionsOn]]) — spec entry for the journey-partition laws.
+    */
+  private[graft] def attributionOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+      val ord = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val j = e.withColumn("journey",
+        coalesce(
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val touches = j.where($"event_type".isin("view", "click"))
+        .withColumn("rn_first", row_number().over(
+          Window.partitionBy($"user_id", $"journey").orderBy($"ts_us", $"event_id")))
+        .withColumn("rn_last", row_number().over(
+          Window.partitionBy($"user_id", $"journey").orderBy($"ts_us".desc, $"event_id".desc)))
+      val tagg = touches.groupBy($"user_id".as("tu"), $"journey".as("tj"))
+        .agg(count(lit(1)).as("tn"),
+          max(when($"rn_first" === 1, $"event_id")).as("first_touch_id"),
+          max(when($"rn_first" === 1, $"event_type")).as("first_touch_type"),
+          max(when($"rn_last" === 1, $"event_id")).as("last_touch_id"),
+          max(when($"rn_last" === 1, $"event_type")).as("last_touch_type"))
+      j.where($"event_type" === "purchase")
+        .select($"user_id", $"journey", $"event_id".as("purchase_id"),
+          $"ts_us".as("purchase_ts_us"))
+        .join(tagg, $"user_id" === $"tu" && $"journey" === $"tj", "left")
+        .select($"purchase_id", $"user_id", $"purchase_ts_us",
+          coalesce($"tn", lit(0L)).as("n_touches"),
+          coalesce($"first_touch_id", lit(-1L)).as("first_touch_id"),
+          coalesce($"first_touch_type", lit("")).as("first_touch_type"),
+          coalesce($"last_touch_id", lit(-1L)).as("last_touch_id"),
+          coalesce($"last_touch_type", lit("")).as("last_touch_type"))
+        .orderBy("purchase_id")
+    }
+  }
+
+  val qAttribution = Q(
+    "q_attribution_touch",
+    (spark, dir) => attributionOn(Tables.events(spark, dir)),
+    Some("""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+j AS (SELECT *,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS journey
+      FROM e),
+touches AS (SELECT *,
+                   row_number() OVER (PARTITION BY user_id, journey ORDER BY ts_us, event_id) AS rn_first,
+                   row_number() OVER (PARTITION BY user_id, journey ORDER BY ts_us DESC, event_id DESC) AS rn_last
+            FROM j WHERE event_type IN ('view', 'click')),
+tagg AS (SELECT user_id AS tu, journey AS tj, count(*) AS tn,
+                max(CASE WHEN rn_first = 1 THEN event_id END) AS first_touch_id,
+                max(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch_type,
+                max(CASE WHEN rn_last = 1 THEN event_id END) AS last_touch_id,
+                max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch_type
+         FROM touches GROUP BY 1, 2)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+       CAST(coalesce(t.tn, 0) AS BIGINT) AS n_touches,
+       coalesce(t.first_touch_id, -1) AS first_touch_id,
+       coalesce(t.first_touch_type, '') AS first_touch_type,
+       coalesce(t.last_touch_id, -1) AS last_touch_id,
+       coalesce(t.last_touch_type, '') AS last_touch_type
+FROM (SELECT * FROM j WHERE event_type = 'purchase') p
+LEFT JOIN tagg t ON p.user_id = t.tu AND p.journey = t.tj
+ORDER BY purchase_id""")
+  )
+
+  val all: Seq[Q] = Seq(qEventTransitions, qAttribution)
+}

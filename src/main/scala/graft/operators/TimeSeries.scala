@@ -181,5 +181,137 @@ SELECT cell.cohort_week AS cohort_week, cell.week_offset, cell.n_users,
 FROM cell JOIN base ON cell.cohort_week = base.cohort_week
 ORDER BY cell.cohort_week, cell.week_offset"""))
 
-  val all: Seq[Q] = Seq(qGapFill, qRangeFrame, qCohortRetention)
+  /** Recency-decayed activity score — every event weighted by
+    * 2^(K − level), level = how many half-lives (3 days) the event sits
+    * before the corpus's LAST timestamp, clamped at K = [[DecayCap]].
+    * This is the standard exponentially-decayed counter a rate-limiting
+    * / anomaly layer keeps per entity (a burst yesterday outranks the
+    * same volume three weeks ago), restated so every weight is an EXACT
+    * power-of-two BIGINT: a float `exp(-λ·age)` could never be
+    * oracle-gated (libm), whereas `shiftleft` is bit-identical in both
+    * engines. The clamp floors ancient events at weight 1 (never 0 —
+    * totals still count every event, and K bounds the scale factor so
+    * `cents·2^K` summed stays far inside BIGINT: |cents| ≤ 10^7, 2^10
+    * weight, 10^5 events/user → ≤ 10^15).
+    *
+    * Shape at scale: the reference instant is a 1-row global max —
+    * computed once and cross-joined (broadcast of one row), never a
+    * window; the score is then ONE map-side-combinable groupBy(user).
+    * No ordered window anywhere, so the whole query is two exchanges
+    * (the 1-row max and the user aggregate).
+    */
+  val HalfLifeUs: Long = 3L * 86400 * 1000000
+  val DecayCap: Int = 10
+
+  /** The decay score over any events relation carrying (user_id, ts
+    * epoch-nanos BIGINT, value) — spec entry for the hand-exact weight
+    * and recency-monotonicity laws.
+    */
+  private[graft] def decayOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      val tmax = e.agg(max($"ts_us").as("t_ref"))
+      e.join(broadcast(tmax))
+        .selectExpr("user_id", "cents",
+          s"shiftleft(CAST(1 AS BIGINT), $DecayCap - CAST(least((t_ref - ts_us) DIV $HalfLifeUs, $DecayCap) AS INT)) AS w")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"w").cast("bigint").as("decay_score"),
+          sum($"cents" * $"w").cast("bigint").as("decayed_cents"))
+        .orderBy("user_id")
+    }
+  }
+
+  val qDecayHalflife = Q(
+    "q_decay_halflife",
+    (spark, dir) => decayOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+tmax AS (SELECT max(ts_us) AS t_ref FROM e),
+w AS (SELECT user_id, cents,
+             (CAST(1 AS BIGINT) << ($DecayCap - least((t_ref - ts_us) // $HalfLifeUs, $DecayCap))) AS w
+      FROM e CROSS JOIN tmax)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(w) AS BIGINT) AS decay_score,
+       CAST(sum(cents * w) AS BIGINT) AS decayed_cents
+FROM w GROUP BY user_id
+ORDER BY user_id""")
+  )
+
+  /** Week-over-week revenue deltas — the trend line every revenue
+    * dashboard opens with: weekly order revenue in cents, the previous
+    * ACTIVE week's revenue (lag over existing weeks, not calendar
+    * weeks — a gap week simply isn't a row, identically in both
+    * engines), the signed delta, and the unsigned swing in floor-div
+    * basis points of the prior week. The division is always
+    * non-negative ÷ positive (a present week has ≥ 1 positively-priced
+    * order), sidestepping the one cross-engine integer-division trap —
+    * Spark's DIV truncates toward zero while DuckDB's // floors, which
+    * differ exactly on negative operands.
+    *
+    * Shape at scale: the raw orders stream collapses map-side to one
+    * row per epoch-week BEFORE any window; the lag then runs on a
+    * |weeks|-row relation — a single-task window over ~400 rows is the
+    * correct plan, not a skew smell (the partition is bounded by the
+    * calendar, not the data volume).
+    */
+  /** The weekly-delta rollup over any orders relation — spec entry for
+    * the hand-exact delta/direction laws.
+    */
+  private[graft] def wowOn(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = orders.sparkSession
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val wk = orders
+        .selectExpr(
+          s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $WeekUs AS week",
+          "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+        .groupBy($"week")
+        .agg(sum($"cents").cast("bigint").as("cents_w"))
+      wk.withColumn("prev_w",
+          lag($"cents_w", 1).over(Window.orderBy($"week")))
+        .selectExpr("week", "cents_w",
+          // null-free outputs: the driver's hash compare sorts rows by
+          // value and cannot order NULLs, so the opening week reports
+          // prev 0 / delta 0 / swing 0 under an explicit 'first' tag
+          "coalesce(prev_w, CAST(0 AS BIGINT)) AS prev_cents",
+          "coalesce(cents_w - prev_w, CAST(0 AS BIGINT)) AS delta_cents",
+          "coalesce((10000 * abs(cents_w - prev_w)) DIV prev_w, CAST(0 AS BIGINT)) AS swing_bp",
+          """CASE WHEN prev_w IS NULL THEN 'first'
+                  WHEN cents_w > prev_w THEN 'up'
+                  WHEN cents_w < prev_w THEN 'down'
+                  ELSE 'flat' END AS direction""")
+        .orderBy("week")
+    }
+  }
+
+  val qWowDelta = Q(
+    "q_wow_delta",
+    (spark, dir) => wowOn(Tables.orders(spark, dir)),
+    Some(s"""
+WITH wk AS (SELECT epoch_us(o_orderdate) // $WeekUs AS week,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_w
+            FROM orders GROUP BY 1),
+l AS (SELECT week, cents_w, lag(cents_w) OVER (ORDER BY week) AS prev_w FROM wk)
+SELECT week, cents_w,
+       CAST(coalesce(prev_w, 0) AS BIGINT) AS prev_cents,
+       CAST(coalesce(cents_w - prev_w, 0) AS BIGINT) AS delta_cents,
+       CAST(coalesce((10000 * abs(cents_w - prev_w)) // prev_w, 0) AS BIGINT) AS swing_bp,
+       CASE WHEN prev_w IS NULL THEN 'first'
+            WHEN cents_w > prev_w THEN 'up'
+            WHEN cents_w < prev_w THEN 'down'
+            ELSE 'flat' END AS direction
+FROM l
+ORDER BY week""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta)
 }
