@@ -95,5 +95,80 @@ GROUP BY 1
 ORDER BY src_prefix16""")
   )
 
-  val all: Seq[Q] = Seq(qDetect, qIpPrefix)
+  /** Entropy-based flood detection — the second classic volumetric
+    * signal next to rate windows: per event-time hour, the Shannon
+    * entropy of the source-IP distribution. A DDoS burst from one
+    * source (or one spoofed prefix) CONCENTRATES the distribution —
+    * entropy collapses toward 0 — while organic traffic stays near the
+    * uniform bound log2(n_srcs). Entropy is kept oracle-exact the same
+    * way `q_text_surprisal` keeps cross-entropy exact: each source
+    * contributes c·floorLog2(N DIV c) whole bits (for positive
+    * integers, floor(log2(floor(N/c))) = floor(log2(N/c)) — the floor
+    * cannot cross a dyadic boundary), summed to window info_bits and
+    * floor-divided to millibits/packet; never a float log2, whose last
+    * ulp is libm-specific. The low_entropy flag is a rational compare
+    * against [[LowEntropyMbits]] with a [[MinPackets]] support floor —
+    * thresholds chosen to fire on a real subset at the oracle scale
+    * (31/720 windows at sf0.01), not vacuously (the r11 q_rate_anomaly
+    * lesson).
+    *
+    * Shape at scale: two map-side-combinable aggregates — (window,
+    * src) counts, then per-window totals — and one join of the per-src
+    * relation back to the |windows|-row totals; the totals side is
+    * tiny and broadcasts, and everything is keyed on the window, so
+    * the whole query is two exchanges on a pre-reduced relation. No
+    * ordered window functions anywhere.
+    */
+  val EntropyWinUs: Long = 3600L * 1000000
+  val LowEntropyMbits: Long = 2500
+  val MinPackets: Long = 4
+
+  /** The entropy rollup over any packet relation carrying
+    * (ts_us, src_ip) — spec entry for the hand-exact entropy laws; the
+    * catalog query binds the event-derived packet stream.
+    */
+  private[graft] def entropyOn(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = packets.sparkSession
+    locally {
+      import spark.implicits._
+      val per = packets
+        .selectExpr(s"ts_us DIV $EntropyWinUs AS win", "src_ip")
+        .groupBy($"win", $"src_ip").agg(count(lit(1)).as("c"))
+      val tot = per.groupBy($"win".as("tw"))
+        .agg(sum($"c").cast("bigint").as("n_packets"),
+          count(lit(1)).as("n_srcs"))
+      per.join(broadcast(tot), $"win" === $"tw")
+        .groupBy($"win", $"n_packets", $"n_srcs")
+        .agg(sum($"c" * (length(expr("bin(n_packets DIV c)")) - 1))
+          .cast("bigint").as("info_bits"))
+        .selectExpr(s"win * $EntropyWinUs AS window_start_us",
+          "n_packets", "n_srcs", "info_bits",
+          "(1000 * info_bits) DIV n_packets AS mbits_per_packet",
+          s"n_packets >= $MinPackets AND (1000 * info_bits) DIV n_packets < $LowEntropyMbits AS low_entropy")
+        .orderBy("window_start_us")
+    }
+  }
+
+  val qSrcEntropy = Q(
+    "q_src_entropy",
+    (spark, dir) =>
+      entropyOn(BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
+    Some(s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+per AS (SELECT ts_us // $EntropyWinUs AS win, src_ip, count(*) AS c
+        FROM packets GROUP BY 1, 2),
+tot AS (SELECT win AS tw, CAST(sum(c) AS BIGINT) AS n_packets, count(*) AS n_srcs
+        FROM per GROUP BY 1),
+b AS (SELECT win, n_packets, n_srcs,
+             CAST(sum(c * (length(format('{:b}', n_packets // c)) - 1)) AS BIGINT) AS info_bits
+      FROM per JOIN tot ON per.win = tot.tw
+      GROUP BY 1, 2, 3)
+SELECT win * $EntropyWinUs AS window_start_us, n_packets, n_srcs, info_bits,
+       (1000 * info_bits) // n_packets AS mbits_per_packet,
+       n_packets >= $MinPackets AND (1000 * info_bits) // n_packets < $LowEntropyMbits AS low_entropy
+FROM b
+ORDER BY window_start_us""")
+  )
+
+  val all: Seq[Q] = Seq(qDetect, qIpPrefix, qSrcEntropy)
 }

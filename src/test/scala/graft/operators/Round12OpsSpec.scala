@@ -183,4 +183,44 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(s2(id + 100) == s1(id), s"copy of doc $id diverged")
     }
   }
+  // ---- source-entropy flood signal ----
+
+  private def packets(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("ts_us", "src_ip")
+  }
+
+  test("entropy: a single-source window collapses to zero bits and flags low_entropy") {
+    val h = Detection.EntropyWinUs
+    val got = Detection.entropyOn(packets(
+      (0L until 10L).map(i => (i * 1000L, "10.0.0.1")): _*)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)) ==
+      ((10L, 1L, 0L, 0L, true)))
+    assert(r.getLong(0) == 0L && h > 0)
+  }
+
+  test("entropy: a uniform 8-source window scores exactly 3000 mbits and does not flag") {
+    // 8 sources x 2 packets: every c = 2, N = 16, floorLog2(16/2) = 3
+    val rows = for { s <- 0 until 8; k <- 0 until 2 }
+      yield ((s * 100 + k).toLong, s"10.0.0.$s")
+    val r = Detection.entropyOn(packets(rows: _*)).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)) ==
+      ((16L, 8L, 48L, 3000L, false)))
+  }
+
+  test("entropy: below the MinPackets support floor nothing flags, even at zero entropy") {
+    val r = Detection.entropyOn(packets(
+      (1L, "10.0.0.1"), (2L, "10.0.0.1"), (3L, "10.0.0.1"))).collect().head
+    assert(r.getLong(4) == 0L && !r.getBoolean(5))
+  }
+
+  test("entropy: windows partition by event-time hour") {
+    val h = Detection.EntropyWinUs
+    val got = Detection.entropyOn(packets(
+      (0L, "a"), (h - 1, "a"), (h, "b"), (2 * h + 5, "c"))).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (h, 1L), (2 * h, 1L)))
+  }
 }
