@@ -73,16 +73,19 @@ object CsvFlows {
     (spark, dir) => {
       import org.apache.spark.sql.types._
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // xml needs its record-framing tag on both legs (csv's `header`
+      // is ignored by the other writers, rowTag by the non-xml ones)
+      val fmtOpts = if (fmt == "xml") Map("rowTag" -> "event") else Map.empty[String, String]
       graft.Tables.events(spark, dir)
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .write.mode("overwrite").option("header", "true").format(fmt).save(tmp)
+        .write.mode("overwrite").option("header", "true").options(fmtOpts).format(fmt).save(tmp)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
       val back =
         if (fmt == "csv") load(spark, tmp, Some(schema))
-        else spark.read.schema(schema).format(fmt).load(tmp)
+        else spark.read.schema(schema).options(fmtOpts).format(fmt).load(tmp)
       back
         .groupBy(col("event_type"))
         .agg(
@@ -100,11 +103,13 @@ object CsvFlows {
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  /** csv (S3 proper) + orc + json — every bundled format a reference
-    * user could bring data in as. Parquet is every other query's scan.
-    * (Avro is NOT bundled: spark-sql 4.1 carries the shim classes but
-    * the datasource registration lives in the external spark-avro
-    * module, absent from /opt/spark/jars — probed and reverted r12.)
+  /** csv (S3 proper) + orc + json + xml (the former spark-xml StAX
+    * source, bundled in Spark 4's core) — every bundled format a
+    * reference user could bring data in as. Parquet is every other
+    * query's scan. (Avro is NOT bundled: spark-sql 4.1 carries the
+    * shim classes but the datasource registration lives in the
+    * external spark-avro module, absent from /opt/spark/jars — probed
+    * and reverted r12.)
     */
   /** Schema-evolution read: two parquet file sets under one table path
     * with DIFFERENT column sets (the shape of a table whose schema grew
@@ -204,6 +209,6 @@ GROUP BY event_type ORDER BY event_type"""))
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
   def roundtripQueries: Seq[graft.Q] =
-    Seq("csv", "orc", "json").map(roundtripQuery) :+ schemaMergeQuery :+
+    Seq("csv", "orc", "json", "xml").map(roundtripQuery) :+ schemaMergeQuery :+
       partitionedScanQuery :+ zstdRoundtripQuery
 }

@@ -232,5 +232,60 @@ FROM events
 GROUP BY 1, 2 ORDER BY day""")
   )
 
-  val all: Seq[Q] = Seq(qJsonExtract, qVariantExtract, qVariantShapes, qCalendar)
+  /** XML schema-on-read — the third semi-structured codec next to
+    * from_json and VARIANT, bundled natively in Spark 4 (the former
+    * spark-xml module's StAX parser lives in spark-sql now). The XML
+    * strings are BUILT by `to_xml` from the relational columns and
+    * parsed straight back by `from_xml` against a declared schema, so
+    * the oracle needs no XML support at all: DuckDB restates the
+    * aggregate from the source columns, and any encode/parse loss in
+    * the Spark round trip (numeric text forms, whitespace handling,
+    * tag framing) breaks the hash. One fabricated unclosed-tag row
+    * rides along under the REAL 'error' event type — it exercises
+    * PERMISSIVE null-field parsing (from_xml yields a non-null struct
+    * of null fields, probed r12) while keeping every output group
+    * null-free: the malformed row lands in a group whose sums come
+    * from real rows, so no all-null aggregate reaches the driver's
+    * NULL-unsortable hash compare.
+    *
+    * Scale: to_xml/from_xml are per-row projections inside codegen —
+    * no shuffle before the 5-key hash agg, same posture as
+    * [[qJsonExtract]].
+    */
+  private val xmlSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("cents", LongType)))
+
+  val qXmlExtract = Q(
+    "q_xml_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      val xml = Tables.events(spark, dir)
+        .select($"event_type", to_xml(struct($"event_id",
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))).as("x"))
+        .unionAll(Seq(("error", "<ROW><event_id>oops</ROW>")).toDF("event_type", "x"))
+      xml.select($"event_type", from_xml($"x", xmlSchema).as("p"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"p.event_id").as("n_parsed"),
+          sum($"p.event_id").cast("bigint").as("sum_ids"),
+          sum($"p.cents").cast("bigint").as("sum_cents"),
+          min($"p.cents").as("min_cents"),
+          max($"p.cents").as("max_cents"))
+        .orderBy($"event_type")
+    },
+    Some("""
+WITH ev AS (SELECT event_type, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+            UNION ALL SELECT 'error', NULL, NULL)
+SELECT event_type, count(*) AS n_rows, count(event_id) AS n_parsed,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM ev GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qJsonExtract, qVariantExtract, qVariantShapes, qCalendar, qXmlExtract)
 }

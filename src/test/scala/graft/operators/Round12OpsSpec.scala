@@ -223,4 +223,29 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 2L), (h, 1L), (2 * h, 1L)))
   }
+  // ---- XML schema-on-read semantics ----
+
+  test("from_xml PERMISSIVE: malformed XML yields null fields, partial parses keep good ones") {
+    import org.apache.spark.sql.functions.{from_xml, lit => flit}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("cents", LongType)))
+    val rows = Seq(
+      "<ROW><event_id>1</event_id><cents>250</cents></ROW>", // clean
+      "<ROW><event_id>oops</ROW>",                           // unclosed tag
+      "garbage",                                             // not XML
+      "<ROW><event_id>7</event_id><cents>bad</cents></ROW>") // bad cell only
+      .toDF("x")
+    val got = rows
+      .select(from_xml($"x", schema).as("p"))
+      .selectExpr("p IS NULL AS pn", "p.event_id AS e", "p.cents AS c")
+      .collect()
+      .map(r => (r.getBoolean(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      (false, Some(1L), Some(250L)),
+      (false, None, None),     // struct survives, fields null — the
+      (false, None, None),     // q_xml_extract count(p.event_id) contract
+      (false, Some(7L), None))) // cell-level nulling, not row-level
+  }
 }
