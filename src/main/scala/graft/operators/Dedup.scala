@@ -710,6 +710,78 @@ ORDER BY cluster_size"""
     },
     Some(clusterSizesSql(DuckSql)))
 
+  // ================= transitivity audit over the dup graph =================
+
+  /** Global clustering coefficient of the verified-pair graph — the
+    * structural audit behind the "chaining" question every fuzzy-dedup
+    * operator asks: are the LSH clusters tight cliques (high
+    * transitivity — A≈B and B≈C imply A≈C, so min-id canonicalization
+    * is safe) or long similarity CHAINS (low transitivity — the
+    * connected component merges documents that never resembled each
+    * other, the classic over-merge failure)? Reported as one row:
+    * edges, vertices, wedges (Σ C(deg,2), exact integers), triangles,
+    * and transitivity = 3·triangles/wedges in floor-division basis
+    * points.
+    *
+    * Shape at scale: consumes the cached `dpairs_v` verified-pair
+    * stage — zero new candidate generation. The wedge enumeration is
+    * the canonical ordered-edge join (a<b<c: (a,b)⋈(b,c) on b, closed
+    * by (a,c)), whose cost is Σ_b deg(b)² — bounded here because the
+    * jaccard ≥ 0.5 verify caps the pair graph's degree structurally
+    * (near-dup graphs at high thresholds decompose into small
+    * near-cliques; the capped candidate generation upstream bounds
+    * degree even for pathological template corpora). The degree/wedge
+    * side is one map-side-combinable aggregate; the three 1-row
+    * aggregates combine by cross-joining singletons.
+    */
+  private[graft] def transitivityOn(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val e = pairs.select($"doc_a", $"doc_b") // canonical doc_a < doc_b
+      val deg = e.select($"doc_a".as("v")).unionAll(e.select($"doc_b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val vs = deg.agg(count(lit(1)).as("n_vertices"),
+        coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L))
+          .cast("bigint").as("n_wedges")) // empty graph: sum() is NULL
+      val es = e.agg(count(lit(1)).as("n_edges"))
+      val tri = e.select($"doc_a".as("a"), $"doc_b".as("b"))
+        .join(e.select($"doc_a".as("b2"), $"doc_b".as("c")), $"b" === $"b2")
+        .join(e.select($"doc_a".as("ta"), $"doc_b".as("tc")),
+          $"a" === $"ta" && $"c" === $"tc")
+        .agg(count(lit(1)).as("n_triangles"))
+      es.crossJoin(vs).crossJoin(tri)
+        .selectExpr("n_edges", "n_vertices", "n_wedges", "n_triangles",
+          """CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+             ELSE (30000 * n_triangles) DIV n_wedges END AS transitivity_bp""")
+    }
+  }
+
+  val qDupTransitivity = Q(
+    "q_dup_graph_transitivity",
+    (spark, dir) =>
+      transitivityOn(minhashOn(spark, dir, Tables.documents(spark, dir))),
+    Some(s"""
+WITH ${minhashCtes(DuckSql)},
+deg AS (SELECT v, count(*) AS d
+        FROM (SELECT doc_a AS v FROM dpairs UNION ALL SELECT doc_b FROM dpairs)
+        GROUP BY v),
+vs AS (SELECT count(*) AS n_vertices,
+              CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+       FROM deg),
+es AS (SELECT count(*) AS n_edges FROM dpairs),
+tr AS (SELECT count(*) AS n_triangles
+       FROM dpairs e1
+       JOIN dpairs e2 ON e1.doc_b = e2.doc_a
+       JOIN dpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+SELECT es.n_edges, vs.n_vertices, vs.n_wedges,
+       CAST(tr.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN vs.n_wedges = 0 THEN CAST(0 AS BIGINT)
+            ELSE (30000 * tr.n_triangles) // vs.n_wedges END AS transitivity_bp
+FROM es CROSS JOIN vs CROSS JOIN tr""")
+  )
+
   // ================= PageRank centrality over the dup graph =================
 
   /** Which near-duplicate is the MOST CENTRAL copy? Connected
@@ -1574,7 +1646,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
-      qClusters, qClusterSizes,
+      qClusters, qClusterSizes, qDupTransitivity,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
       qDedupStreamWindowed, qPageRank)

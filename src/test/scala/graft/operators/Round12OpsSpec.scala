@@ -248,4 +248,30 @@ class Round12OpsSpec extends AnyFunSuite {
       (false, None, None),     // q_xml_extract count(p.event_id) contract
       (false, Some(7L), None))) // cell-level nulling, not row-level
   }
+  // ---- dup-graph transitivity ----
+
+  test("transitivity: triangle + pendant gives the paper numbers; empty graph gives zeros") {
+    import spark.implicits._
+    // edges (1,2),(2,3),(1,3),(3,4): degrees 2,2,3,1 -> wedges 1+1+3 = 5,
+    // one triangle -> transitivity = 3*1/5 = 6000 bp
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.transitivityOn(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 4L, 5L, 1L, 6000L)))
+    val empty = Dedup.transitivityOn(pairs.where($"doc_a" < 0)).collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4)) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("transitivity: a clique is fully transitive (10000 bp), a path has no triangles") {
+    import spark.implicits._
+    // K4: 6 edges, wedges = 4*C(3,2) = 12, triangles = 4 -> 3*4/12 = 10000 bp
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.transitivityOn(k4).collect().head.getLong(4) == 10000L)
+    // path 1-2-3-4: 2 wedges, 0 triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val p = Dedup.transitivityOn(path).collect().head
+    assert((p.getLong(2), p.getLong(3), p.getLong(4)) == ((2L, 0L, 0L)))
+  }
 }
