@@ -517,8 +517,39 @@ ORDER BY depth"""
     },
     Some(hierarchySql(DuckSql)))
 
+  /** Correlated LATERAL top-k — the per-row-subquery spelling of
+    * grouped top-k ("for every nation, its 3 richest customers"),
+    * exercising a decorrelation path none of the other queries touch:
+    * Catalyst rewrites the LATERAL (ORDER BY ... LIMIT 3) subquery
+    * into WindowGroupLimit operators with a MAP-SIDE partial group
+    * limit BEFORE the exchange (each task forwards at most 3 rows per
+    * nation) plus a broadcast join of the 25-row nation dimension — at
+    * 100 TB the shuffle carries ≤ 3·|nations|·|tasks| rows, not the
+    * customer table. The identical SQL text runs on DuckDB (LATERAL is
+    * standard there), so the oracle also pins that Spark's
+    * decorrelation preserves per-group LIMIT semantics exactly.
+    * Determinism: the inner ORDER BY (cents DESC, c_custkey) is total,
+    * so the kept set is unique regardless of balance ties.
+    */
+  private val lateralTopkSql = """
+SELECT n.n_name, l.c_custkey, l.cents
+FROM nation n,
+LATERAL (SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+         FROM customer c WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY cents DESC, c_custkey LIMIT 3) l
+ORDER BY n.n_name, l.cents DESC, l.c_custkey"""
+
+  val qLateralTopk = Q(
+    "q_lateral_topk",
+    (spark, dir) => {
+      StageViews.ensure(spark, "nation", dir)(Tables.nation(spark, dir))
+      StageViews.ensure(spark, "customer", dir)(Tables.customer(spark, dir))
+      spark.sql(lateralTopkSql)
+    },
+    Some(lateralTopkSql))
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
       qHistogram, qRankFamily, qHllSketch, qHllIntersect, qWelford, qCollectSet,
-      qHierarchy)
+      qHierarchy, qLateralTopk)
 }

@@ -274,4 +274,25 @@ class Round12OpsSpec extends AnyFunSuite {
     val p = Dedup.transitivityOn(path).collect().head
     assert((p.getLong(2), p.getLong(3), p.getLong(4)) == ((2L, 0L, 0L)))
   }
+  // ---- correlated LATERAL top-k ----
+
+  test("lateral top-k: decorrelates to group-limit operators and matches the rank spelling") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Relational.qLateralTopk.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the LIMIT-under-LATERAL must become WindowGroupLimit pruning
+    // (map-side partial + final), never a per-nation loop or cartesian
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pruning in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val viaRank = spark.sql("""
+      SELECT n_name, c_custkey, cents FROM (
+        SELECT n.n_name, c.c_custkey,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY CAST(round(c.c_acctbal * 100, 0) AS BIGINT) DESC,
+                                           c.c_custkey) AS rn
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+      WHERE rn <= 3 ORDER BY n_name, cents DESC, c_custkey""")
+    assert(df.collect().toSeq == viaRank.collect().toSeq)
+  }
 }
