@@ -172,5 +172,109 @@ LEFT JOIN tagg t ON p.user_id = t.tu AND p.journey = t.tj
 ORDER BY purchase_id""")
   )
 
-  val all: Seq[Q] = Seq(qEventTransitions, qAttribution)
+  /** Ordered journey-path strings — each user's first [[PathLen]]
+    * event types joined into one `a>b>c` path, the relation a funnel/
+    * journey-mining layer groups on ("which opening paths convert?").
+    * Emitted per user with the path's length and a count of how many
+    * users share the identical opening path (the mining step itself).
+    *
+    * Determinism: the kept prefix is the total order (ts_us, event_id)
+    * head; Spark builds the string via sort_array over collected
+    * (ts_us, event_id, type) structs — array_sort on structs is
+    * lexicographic over the leading total-order fields, so the
+    * concatenation order is exact, never partition order — and DuckDB
+    * states the same with `string_agg(... ORDER BY ts_us, event_id)`.
+    *
+    * Shape at scale: the rank filter and the collect share one
+    * user-partitioned exchange; collect_list holds ≤ [[PathLen]]
+    * structs per user (bounded state, unlike an uncapped collect); the
+    * path-popularity count is a map-side-combinable groupBy over the
+    * already-reduced per-user relation.
+    */
+  val PathLen = 8
+
+  private[graft] def pathsOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")))
+        .where($"rn" <= PathLen)
+      val per = e.groupBy($"user_id")
+        .agg(count(lit(1)).as("path_len"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)"),
+            ">").as("path"))
+      val pop = per.groupBy($"path".as("p")).agg(count(lit(1)).as("n_users_same_path"))
+      per.join(pop, $"path" === $"p")
+        .select($"user_id", $"path_len", $"path", $"n_users_same_path")
+        .orderBy("user_id")
+    }
+  }
+
+  val qEventPaths = Q(
+    "q_event_paths",
+    (spark, dir) => pathsOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+per AS (SELECT user_id, count(*) AS path_len,
+               string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM e WHERE rn <= $PathLen GROUP BY user_id),
+pop AS (SELECT path AS p, count(*) AS n_users_same_path FROM per GROUP BY path)
+SELECT user_id, path_len, path, n_users_same_path
+FROM per JOIN pop ON per.path = pop.p
+ORDER BY user_id""")
+  )
+
+  /** Per-user modal event type — the exact MODE aggregate (absent from
+    * both engines' portable surface) stated as a deterministic
+    * rank-1-of-counts: ties break toward the lexicographically
+    * smallest type, so the answer is unique by construction. Two
+    * map-side-combinable aggregates ((user, type) counts, then per-user
+    * total) and one rank window over the ALREADY-REDUCED counts
+    * relation — the window input is |users|·|types| rows, never the
+    * event stream. share_bp is exact floor division.
+    */
+  private[graft] def modeOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val c = events.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val tot = c.groupBy($"user_id".as("tu"))
+        .agg(sum($"c").cast("bigint").as("n_events"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"c".desc, $"event_type")))
+        .where($"rn" === 1)
+        .join(tot, $"user_id" === $"tu")
+        .selectExpr("user_id", "event_type AS modal_type", "c AS modal_count",
+          "n_events", "(10000 * c) DIV n_events AS share_bp")
+        .orderBy("user_id")
+    }
+  }
+
+  val qModalType = Q(
+    "q_modal_event_type",
+    (spark, dir) => modeOn(Tables.events(spark, dir)),
+    Some("""
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id AS tu, CAST(sum(c) AS BIGINT) AS n_events FROM c GROUP BY 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY c DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS modal_type, c AS modal_count, n_events,
+       (10000 * c) // n_events AS share_bp
+FROM r JOIN tot ON r.user_id = tot.tu
+WHERE rn = 1
+ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qEventTransitions, qAttribution, qEventPaths, qModalType)
 }

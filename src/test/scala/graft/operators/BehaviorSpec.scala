@@ -124,6 +124,39 @@ class BehaviorSpec extends AnyFunSuite {
       (2L, 7500L, 15000L, -7500L, 5000L, "down"),
       (4L, 7500L, 7500L, 0L, 0L, "flat"))) // lag skips the absent week 3
   }
+  test("event paths: total-order prefix, PathLen cap, and path popularity") {
+    // user 1 emits PathLen+2 events — path keeps the first PathLen;
+    // user 2 repeats user 1's opening exactly; user 3 diverges
+    val L = Behavior.PathLen
+    val types = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val rows =
+      (0 until L + 2).map(i => (1L, (i + 1) * H, (i + 1).toLong, types(i))) ++
+      (0 until L).map(i => (2L, (i + 1) * H, (100 + i).toLong, types(i))) ++
+      Seq((3L, 1 * H, 200L, "z"))
+    val got = Behavior.pathsOn(ev(rows: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val want = types.take(L).mkString(">")
+    assert(got(1L) == ((L.toLong, want, 2L)))
+    assert(got(2L) == ((L.toLong, want, 2L)))
+    assert(got(3L) == ((1L, "z", 1L)))
+  }
+
+  test("event paths: timestamp ties break by event_id, never partition order") {
+    val e = ev((1L, H, 5L, "b"), (1L, H, 2L, "a"), (1L, H, 9L, "c"))
+    assert(Behavior.pathsOn(e).collect().head.getString(2) == "a>b>c")
+  }
+
+  test("modal type: exact counts with lexicographic tie-break") {
+    val e = ev(
+      (1L, 1 * H, 1L, "view"), (1L, 2 * H, 2L, "view"), (1L, 3 * H, 3L, "click"),
+      // user 2: a 2-2 tie — 'click' < 'view' lexicographically
+      (2L, 1 * H, 4L, "view"), (2L, 2 * H, 5L, "view"),
+      (2L, 3 * H, 6L, "click"), (2L, 4 * H, 7L, "click"))
+    val got = Behavior.modeOn(e).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("view", 2L, 3L, 6666L)))
+    assert(got(2L) == (("click", 2L, 4L, 5000L)))
+  }
 
   private implicit class MapOps(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
