@@ -782,6 +782,83 @@ SELECT es.n_edges, vs.n_vertices, vs.n_wedges,
 FROM es CROSS JOIN vs CROSS JOIN tr""")
   )
 
+  // ================= BFS hop distance to the cluster rep =================
+
+  /** How FAR is each near-duplicate from its cluster's canonical doc?
+    * Hop distance over the verified-pair graph is the per-document
+    * companion to [[qDupTransitivity]]'s global audit: hops = 1 means
+    * the doc was directly verified against the canonical copy; hops ≥ 2
+    * means it joined the cluster only TRANSITIVELY (A≈B≈C without A≈C
+    * ever being checked) — exactly the rows an over-merge reviewer
+    * samples first. Singletons report 0.
+    *
+    * Execution is textbook distributed BFS seeded at every cluster rep:
+    * per round, the frontier joins the (bidirected) edge relation,
+    * anti-joins the settled set, and localCheckpoints — the same
+    * truncate-the-lineage loop as [[Graph.connectedComponents]], with
+    * one driver count() per round as the documented empty-frontier
+    * test. Rounds are bounded by [[MaxHops]] = 32; within the bound the
+    * result is exact (near-dup clusters at jaccard ≥ 0.5 have tiny
+    * diameters — sf0.01 converges in 3 rounds), and BOTH engines state
+    * the same bound (the oracle's recursive CTE carries `hops < 32`),
+    * so the cap is part of the semantics, not a divergence. Cost per
+    * round is frontier-sized — never corpus-sized — on the cached
+    * dpairs_v/cc_comp_v stages.
+    */
+  val MaxHops = 32
+
+  /** The BFS over any (doc_id, cluster_rep) assignment and canonical
+    * (doc_a < doc_b) pair relation — spec entry for the hand-graph
+    * laws; the catalog query binds the cached dedup stages.
+    */
+  private[graft] def hopDistancesOn(comp: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = comp.sparkSession
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val edges = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .unionAll(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+        .localCheckpoint(true)
+      var dist = comp.select($"cluster_rep".as("rep")).distinct()
+        .select($"rep", $"rep".as("node"), lit(0L).as("hops"))
+        .localCheckpoint(true)
+      var frontier = dist
+      var k = 0L
+      while (k < MaxHops && frontier.limit(1).count() > 0) {
+        k += 1
+        frontier = frontier.join(edges, $"node" === $"u")
+          .select($"rep", $"v".as("node")).distinct()
+          .join(dist, Seq("rep", "node"), "left_anti")
+          .select($"rep", $"node", lit(k).as("hops"))
+          .localCheckpoint(true)
+        dist = dist.unionAll(frontier).localCheckpoint(true)
+      }
+      comp.join(dist,
+          comp("cluster_rep") === dist("rep") && comp("doc_id") === dist("node"))
+        .select($"doc_id", $"cluster_rep", $"hops")
+        .orderBy("doc_id")
+    }
+  }
+
+  val qHopDistance = Q(
+    "q_dup_hop_distance",
+    (spark, dir) => hopDistancesOn(
+      clusterAssignments(spark, dir, Tables.documents(spark, dir)),
+      minhashOn(spark, dir, Tables.documents(spark, dir))),
+    Some(s"""
+WITH RECURSIVE ${clusterCtes(DuckSql)},
+bfs AS (SELECT cluster_rep AS rep, cluster_rep AS node, 0 AS hops
+        FROM (SELECT DISTINCT cluster_rep FROM comp)
+        UNION
+        SELECT b.rep, e.v, b.hops + 1
+        FROM bfs b JOIN edges e ON b.node = e.u
+        WHERE b.hops < $MaxHops)
+SELECT c.doc_id, c.cluster_rep, CAST(min(b.hops) AS BIGINT) AS hops
+FROM comp c JOIN bfs b ON b.rep = c.cluster_rep AND b.node = c.doc_id
+GROUP BY 1, 2
+ORDER BY c.doc_id""")
+  )
+
   // ================= PageRank centrality over the dup graph =================
 
   /** Which near-duplicate is the MOST CENTRAL copy? Connected
@@ -1646,7 +1723,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
-      qClusters, qClusterSizes, qDupTransitivity,
+      qClusters, qClusterSizes, qDupTransitivity, qHopDistance,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
       qDedupStreamWindowed, qPageRank)

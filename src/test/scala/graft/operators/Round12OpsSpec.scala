@@ -295,4 +295,27 @@ class Round12OpsSpec extends AnyFunSuite {
       WHERE rn <= 3 ORDER BY n_name, cents DESC, c_custkey""")
     assert(df.collect().toSeq == viaRank.collect().toSeq)
   }
+  // ---- BFS hop distance ----
+
+  test("hop distance: path cluster counts hops, singleton reports 0, cross-cluster isolated") {
+    import spark.implicits._
+    // cluster rep 1 is a path 1-2-3-4; doc 9 is a singleton
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_rep")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.hopDistancesOn(comp, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L),
+      (9L, 9L, 0L)))
+  }
+
+  test("hop distance: shortest path wins when a shortcut edge exists") {
+    import spark.implicits._
+    // 1-2-3-4 plus shortcut 1-4: doc 4 is 1 hop, doc 3 is 2 (via either side)
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("doc_id", "cluster_rep")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.hopDistancesOn(comp, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }
