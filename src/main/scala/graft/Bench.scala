@@ -44,7 +44,11 @@ object Bench {
     // bkt_tables stage), the evolving-schema variant classifier, the
     // integer-bit surprisal score, and the cluster-size audit
     "q_bucketed_join", "q_variant_shapes", "q_text_surprisal",
-    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup")
+    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup",
+    // round 12b: the behavioral-window family, entropy flood signal,
+    // LATERAL decorrelation, and the two dup-graph structure audits
+    "q_event_transitions", "q_attribution_touch", "q_src_entropy",
+    "q_lateral_topk", "q_dup_graph_transitivity", "q_dup_hop_distance")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

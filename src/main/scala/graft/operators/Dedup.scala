@@ -755,6 +755,7 @@ ORDER BY cluster_size"""
         .selectExpr("n_edges", "n_vertices", "n_wedges", "n_triangles",
           """CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
              ELSE (30000 * n_triangles) DIV n_wedges END AS transitivity_bp""")
+        .orderBy("n_edges") // single row; total ORDER BY is the house contract
     }
   }
 
@@ -779,7 +780,8 @@ SELECT es.n_edges, vs.n_vertices, vs.n_wedges,
        CAST(tr.n_triangles AS BIGINT) AS n_triangles,
        CASE WHEN vs.n_wedges = 0 THEN CAST(0 AS BIGINT)
             ELSE (30000 * tr.n_triangles) // vs.n_wedges END AS transitivity_bp
-FROM es CROSS JOIN vs CROSS JOIN tr""")
+FROM es CROSS JOIN vs CROSS JOIN tr
+ORDER BY n_edges""")
   )
 
   // ================= BFS hop distance to the cluster rep =================

@@ -548,8 +548,66 @@ ORDER BY n.n_name, l.cents DESC, l.c_custkey"""
     },
     Some(lateralTopkSql))
 
+  /** 2-D Pareto front (skyline) — the orders no other order beats on
+    * BOTH price and recency: the multi-objective "best offers" question
+    * (maximize value, maximize freshness) that cannot be answered by
+    * any single ORDER BY. A point is dominated iff some point is ≥ on
+    * both axes and strictly better on one; equal points share a front
+    * cell with their order count.
+    *
+    * The Spark side exploits the 2-D structure instead of the O(n²)
+    * dominance join: (1) reduce to one (cents, max-date) cell per
+    * price point — same-price dominance resolved by a map-side
+    * combinable groupBy, never a self-join; (2) one running-max window
+    * over cents DESC with a RANGE frame excluding peers — a point
+    * survives iff its date strictly beats every strictly-higher-priced
+    * cell's best date. The window input is bounded by the PRICE DOMAIN
+    * (≤ |distinct cents|, a value-range bound like q_wow_delta's
+    * calendar bound), not by order count — at 100 TB the reduce sees
+    * the data, the window sees ≤ ~10⁷ narrow rows (range-partitioned
+    * prefix-max, the Packing two-phase pattern, is the documented
+    * fallback if the price domain ever widens). The oracle is the
+    * DEFINITION — a NOT EXISTS dominance anti-join — so the hash gate
+    * proves the windowed rewrite equals the quadratic spec.
+    */
+  private[graft] def skylineOn(pts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = pts.sparkSession
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val agg = pts.groupBy($"cents", $"dt").agg(count(lit(1)).as("n_orders"))
+      val best = agg.groupBy($"cents".as("bc")).agg(max($"dt").as("bdt"))
+      val cells = agg.join(best, $"cents" === $"bc" && $"dt" === $"bdt")
+        .select($"cents", $"dt", $"n_orders")
+      cells
+        .withColumn("hmax", max($"dt").over(
+          Window.orderBy($"cents".desc).rangeBetween(Window.unboundedPreceding, -1)))
+        .where($"hmax".isNull || $"dt" > $"hmax")
+        .select($"cents", $"dt", $"n_orders")
+        .orderBy($"cents".desc)
+    }
+  }
+
+  val qParetoFront = Q(
+    "q_pareto_front",
+    (spark, dir) => skylineOn(
+      Tables.orders(spark, dir).selectExpr(
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS dt")),
+    Some("""
+WITH pts AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                    epoch_us(o_orderdate) AS dt
+             FROM orders),
+agg AS (SELECT cents, dt, count(*) AS n_orders FROM pts GROUP BY 1, 2),
+front AS (SELECT a.* FROM agg a WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.cents >= a.cents AND b.dt >= a.dt
+    AND (b.cents > a.cents OR b.dt > a.dt)))
+SELECT cents, dt, n_orders FROM front ORDER BY cents DESC""")
+  )
+
   val all: Seq[Q] =
     Seq(q1, qDistinct, qSalted, qApproxDistinct, qApproxPercentiles, qTopkPerGroup,
       qHistogram, qRankFamily, qHllSketch, qHllIntersect, qWelford, qCollectSet,
-      qHierarchy, qLateralTopk)
+      qHierarchy, qLateralTopk, qParetoFront)
 }

@@ -89,6 +89,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     * specific enough that a reviewer can re-check them.
     */
   private val boundedWindowJustification: Map[String, String] = Map(
+    "q_wow_delta" ->
+      ("the unpartitioned lag reads the per-epoch-week HashAggregate output — " +
+        "one row per calendar week with at least one order. The input is " +
+        "bounded by the CALENDAR (~365 rows for the 7-year TPC-H date span, " +
+        "~5k rows for a century), not by order count; the reduce below it is " +
+        "map-side combinable and sees all the data."),
+    "q_pareto_front" ->
+      ("the unpartitioned running-max reads the per-price-point skyline cells " +
+        "(one row per distinct cents value after the same-price max-date " +
+        "reduce) — bounded by the PRICE DOMAIN (<= ~10^7 distinct cents for " +
+        "any realistic price range), not by order count. The two reduces " +
+        "below it are map-side combinable; a range-partitioned two-phase " +
+        "prefix-max (Packing.scala's pattern) is the documented fallback if " +
+        "the value domain ever widens."),
     "q_sequence_pack" ->
       ("phase-2 of the two-phase distributed prefix sum (Packing.scala): the " +
         "unpartitioned running sum reads ONE ROW PER 1024-DOC BUCKET (child is " +

@@ -318,4 +318,24 @@ class Round12OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+  // ---- 2-D Pareto front ----
+
+  test("pareto front: windowed rewrite matches hand dominance, duplicates share a cell") {
+    import spark.implicits._
+    val pts = Seq((3L, 1L), (2L, 2L), (1L, 3L), (2L, 1L), (3L, 0L), (3L, 1L))
+      .toDF("cents", "dt")
+    val got = Relational.skylineOn(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // staircase: (3,1)x2, (2,2), (1,3); (2,1) loses to (2,2), (3,0) to (3,1)
+    assert(got == Seq((3L, 1L, 2L), (2L, 2L, 1L), (1L, 3L, 1L)))
+  }
+
+  test("pareto front: equality on one axis still dominates when the other is strict") {
+    import spark.implicits._
+    // (2,5) is dominated by (3,5): same date, strictly higher cents
+    val pts = Seq((3L, 5L), (2L, 5L), (2L, 7L)).toDF("cents", "dt")
+    val got = Relational.skylineOn(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((3L, 5L), (2L, 7L)))
+  }
 }
