@@ -131,9 +131,21 @@ ORDER BY src_prefix16""")
     val spark = packets.sparkSession
     locally {
       import spark.implicits._
-      val per = packets
+      entropyFromCounts(packets
         .selectExpr(s"ts_us DIV $EntropyWinUs AS win", "src_ip")
-        .groupBy($"win", $"src_ip").agg(count(lit(1)).as("c"))
+        .groupBy($"win", $"src_ip").agg(count(lit(1)).as("c")))
+    }
+  }
+
+  /** The entropy rollup from an ALREADY-MAINTAINED per-(window, source)
+    * count relation — the shape a streaming deployment feeds it from
+    * ([[qSrcEntropyStream]]): the stream owns the counts state, the
+    * report is a batch pass over it.
+    */
+  private[graft] def entropyFromCounts(per: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = per.sparkSession
+    locally {
+      import spark.implicits._
       val tot = per.groupBy($"win".as("tw"))
         .agg(sum($"c").cast("bigint").as("n_packets"),
           count(lit(1)).as("n_srcs"))
@@ -149,11 +161,20 @@ ORDER BY src_prefix16""")
     }
   }
 
-  val qSrcEntropy = Q(
-    "q_src_entropy",
-    (spark, dir) =>
-      entropyOn(BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
-    Some(s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+  /** The same entropy signal fed by Structured Streaming — the
+    * deployment split a real detection service runs: the STREAM
+    * maintains the per-(window, source) packet counts (one watermarked
+    * event-time aggregation, state bounded to open windows; update
+    * mode emits each key's final count under AvailableNow), and the
+    * entropy report is the [[entropyFromCounts]] batch rollup over the
+    * maintained counts table. Entropy itself cannot be one streaming
+    * aggregation — Σ c·floorLog2(N DIV c) needs every c AND the window
+    * total N together, which only exists once the window's sources are
+    * complete — so splitting state-maintenance from report is the
+    * honest streaming shape, not a workaround. Gated by the SAME
+    * oracle as the batch query: stream == batch, bit for bit.
+    */
+  private val entropyOracle: String = s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
 packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
 per AS (SELECT ts_us // $EntropyWinUs AS win, src_ip, count(*) AS c
         FROM packets GROUP BY 1, 2),
@@ -167,8 +188,34 @@ SELECT win * $EntropyWinUs AS window_start_us, n_packets, n_srcs, info_bits,
        (1000 * info_bits) // n_packets AS mbits_per_packet,
        n_packets >= $MinPackets AND (1000 * info_bits) // n_packets < $LowEntropyMbits AS low_entropy
 FROM b
-ORDER BY window_start_us""")
+ORDER BY window_start_us"""
+
+  val qSrcEntropyStream = Q(
+    "q_src_entropy_stream",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+      import spark.implicits._
+      val sinkName = s"entropy_stream_${System.nanoTime()}"
+      val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
+        .withColumn("event_time", timestamp_micros($"ts_us"))
+        .withWatermark("event_time", "2 minutes")
+        .groupBy($"src_ip", window($"event_time", "1 hour"))
+        .agg(count(lit(1)).as("c"))
+        .selectExpr("src_ip", s"unix_micros(window.start) DIV $EntropyWinUs AS win", "c")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      entropyFromCounts(spark.table(sinkName).select($"win", $"src_ip", $"c"))
+    },
+    Some(entropyOracle)) // stream == batch: the SAME oracle gates both
+
+  val qSrcEntropy = Q(
+    "q_src_entropy",
+    (spark, dir) =>
+      entropyOn(BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
+    Some(entropyOracle)
   )
 
-  val all: Seq[Q] = Seq(qDetect, qIpPrefix, qSrcEntropy)
+  val all: Seq[Q] = Seq(qDetect, qIpPrefix, qSrcEntropy, qSrcEntropyStream)
 }
