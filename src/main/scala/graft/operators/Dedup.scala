@@ -739,13 +739,30 @@ ORDER BY cluster_size"""
     locally {
       import org.apache.spark.sql.functions._
       import spark.implicits._
-      val e = pairs.select($"doc_a", $"doc_b") // canonical doc_a < doc_b
+      // canonical doc_a < doc_b. localCheckpoint truncates the minhash
+      // lineage: the audit mentions this relation six times across four
+      // aggregate subtrees, and planning each mention over the full
+      // cached-chain plan (AQE stages included) cost ~3.4 s of pure
+      // overhead at sf0.1 for a 253-row graph (r12 probe); over the
+      // checkpointed leaf the whole audit is sub-second.
+      val e = pairs.select($"doc_a", $"doc_b").localCheckpoint(true)
       val deg = e.select($"doc_a".as("v")).unionAll(e.select($"doc_b".as("v")))
         .groupBy($"v").agg(count(lit(1)).as("d"))
       val vs = deg.agg(count(lit(1)).as("n_vertices"),
         coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L))
           .cast("bigint").as("n_wedges")) // empty graph: sum() is NULL
       val es = e.agg(count(lit(1)).as("n_edges"))
+      // Triangle join on the ordered-id edges directly. The
+      // degree-ordered "compact-forward" orientation (enumerating only
+      // oriented wedges, O(m^1.5) worst case) was implemented and
+      // MEASURED against this form in r12: 10-31 s vs 5.4 s steady at
+      // sf0.1 — its two extra degree joins plus the orientation
+      // materialization cost more than the hub protection is worth on
+      // THIS graph, because a jaccard >= 0.5 pair graph is a union of
+      // small near-cliques (no hubs exist for the orientation to
+      // defuse; upstream BandCap bounds candidate fanout structurally).
+      // On a hub-prone graph the oriented form is the right call —
+      // here the simple join IS the optimized plan.
       val tri = e.select($"doc_a".as("a"), $"doc_b".as("b"))
         .join(e.select($"doc_a".as("b2"), $"doc_b".as("c")), $"b" === $"b2")
         .join(e.select($"doc_a".as("ta"), $"doc_b".as("tc")),
