@@ -214,6 +214,34 @@ object ScaleSmoke {
       (m, secB)
     }
     println(f"[scale] bloom growth: input x${sketchResults.last._1 / sketchResults.head._1} -> time x${sketchResults.last._2 / sketchResults.head._2}%.1f")
+
+    // ---- behavioral family (r12b): attribution over replicated USERS.
+    // Each replica shifts user_id and event_id, so per-user windows
+    // never cross replicas — purchases (output rows) must grow EXACTLY
+    // ×m, and the user-partitioned window passes must track input
+    // linearly. Off-×m growth means journey numbering leaked across
+    // the replica boundary or the touch join stopped being
+    // journey-sized.
+    val evB = Tables.events(spark, sfDir).cache()
+    evB.count()
+    val behaviorResults = multiples.map { m =>
+      val e = evB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("user_id + rep * 1000000 AS user_id", "ts",
+          "event_id + rep * 100000000 AS event_id", "event_type", "value")
+      val t0b = System.nanoTime()
+      val rows = operators.Behavior.attributionOn(e).count()
+      val secB = (System.nanoTime() - t0b) / 1e9
+      println(f"[scale] behav   x$m%-3d events=${baseRows * m}%9d purchases=$rows%8d  $secB%7.2f s")
+      (m, secB, rows)
+    }
+    locally {
+      val inputRatio = behaviorResults.last._1.toDouble / behaviorResults.head._1
+      val rowRatio = behaviorResults.last._3.toDouble / behaviorResults.head._3
+      println(f"[scale] behav purchases: input x$inputRatio%.0f -> rows x$rowRatio%.2f (exact-linear bound)")
+      require(rowRatio == inputRatio,
+        s"attribution rows grew x$rowRatio for x$inputRatio input — journey windows leaked across replicas")
+    }
+    evB.unpersist()
     ordersB.unpersist(); custB.unpersist()
     emb.unpersist(); docs.unpersist()
     operators.StageViews.unpersistAll(spark)
