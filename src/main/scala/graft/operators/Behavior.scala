@@ -275,6 +275,118 @@ WHERE rn = 1
 ORDER BY user_id""")
   )
 
+  /** Opening-path conversion rates — the question journey mining
+    * exists to answer: for each distinct opening path (the first
+    * [[PathLen]] event types), how many users later convert? A user
+    * converts when they purchase AFTER the opening window (rn >
+    * PathLen) — conversion inside the window would be readable off the
+    * path string itself and the rate would degenerate to 0/10000.
+    *
+    * Shape at scale: one user-partitioned rank pass (shared exchange
+    * with the path build), the bounded path collect, a per-user
+    * boolean aggregate, and one groupBy over the |distinct paths|
+    * relation — every stage after the rank is user- or path-sized.
+    */
+  private[graft] def pathConversionOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")))
+      val per = e.where($"rn" <= PathLen)
+        .groupBy($"user_id")
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"))
+      val conv = e.groupBy($"user_id".as("cu"))
+        .agg(max(when($"rn" > PathLen && $"event_type" === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+      per.join(conv, $"user_id" === $"cu")
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"converted").cast("bigint").as("n_converted"))
+        .selectExpr("path", "n_users", "n_converted",
+          "(10000 * n_converted) DIV n_users AS cvr_bp")
+        .orderBy("path")
+    }
+  }
+
+  val qPathConversion = Q(
+    "q_path_conversion",
+    (spark, dir) => pathConversionOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+per AS (SELECT user_id, string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM e WHERE rn <= $PathLen GROUP BY user_id),
+conv AS (SELECT user_id AS cu,
+                max(CASE WHEN rn > $PathLen AND event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         FROM e GROUP BY user_id)
+SELECT path, count(*) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       (10000 * CAST(sum(converted) AS BIGINT)) // count(*) AS cvr_bp
+FROM per JOIN conv ON per.user_id = conv.cu
+GROUP BY path
+ORDER BY path""")
+  )
+
+  /** Event debouncing/throttling — the dedupe-in-time cleaning pass a
+    * clickstream pipeline runs before counting anything: an event is
+    * NOISE when it repeats the same (user, type) within
+    * [[DebounceUs]] of the PREVIOUS RAW event (lag semantics — the
+    * deterministic, windowable spelling; keep-chain debouncing, where
+    * the clock resets only on kept events, is inherently sequential
+    * state and lives in the transformWithState family instead).
+    * Reported per event type: raw count, kept count, dropped share.
+    *
+    * One (user, type)-partitioned lag pass, then a map-side-combinable
+    * rollup to |types| rows.
+    */
+  val DebounceUs: Long = 60L * 1000000
+
+  private[graft] def debounceOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events
+        .select($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          $"event_id", $"event_type")
+        .withColumn("prev_ts", lag($"ts_us", 1).over(
+          Window.partitionBy($"user_id", $"event_type").orderBy($"ts_us", $"event_id")))
+        .withColumn("kept",
+          when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > DebounceUs, 1L).otherwise(0L))
+      e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"kept").cast("bigint").as("n_kept"))
+        .selectExpr("event_type", "n_events", "n_kept",
+          "(10000 * (n_events - n_kept)) DIV n_events AS dropped_bp")
+        .orderBy("event_type")
+    }
+  }
+
+  val qDebounce = Q(
+    "q_event_debounce",
+    (spark, dir) => debounceOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY epoch_us(ts), event_id) AS prev_ts
+           FROM events),
+k AS (SELECT event_type,
+             CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $DebounceUs THEN 1 ELSE 0 END AS kept
+      FROM e)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       (10000 * (count(*) - CAST(sum(kept) AS BIGINT))) // count(*) AS dropped_bp
+FROM k GROUP BY event_type
+ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
-    Seq(qEventTransitions, qAttribution, qEventPaths, qModalType)
+    Seq(qEventTransitions, qAttribution, qEventPaths, qModalType,
+      qPathConversion, qDebounce)
 }

@@ -146,6 +146,83 @@ SELECT event_type,
 FROM ranked GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Robust outlier detection via MAD — median absolute deviation, the
+    * robust-statistics replacement for z-scores (one fat-fingered
+    * value shifts a mean and stddev arbitrarily; it moves a median by
+    * at most one rank). Per event type: the discrete median of cents,
+    * the discrete median of absolute deviations from it, and how many
+    * events sit beyond 3×MAD. Every statistic is an ELEMENT of the
+    * data picked by rank ([[qPercentiles]]' technique) — integer-exact
+    * in both engines, no interpolation, no float moments.
+    *
+    * Shape at scale: two (event_type)-partitioned rank passes (the
+    * second over deviations needs the first's median — joined back as
+    * a |types|-row broadcast) and one map-side-combinable rollup.
+    */
+  val MadK = 3L
+
+  private[graft] def madOutliersOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = events.select($"event_type", $"event_id",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String, out: String) = {
+        val w = Window.partitionBy($"event_type").orderBy(col(valueCol), $"event_id")
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(max(when($"rn" === ceil(lit(0.5) * $"n").cast("int"), col(valueCol))).as(out))
+      }
+      val med = medianOf(e, "cents", "med_cents")
+        .select($"event_type".as("mt"), $"med_cents")
+      val dev = e.join(broadcast(med), $"event_type" === $"mt")
+        .select($"event_type", $"event_id", $"cents", $"med_cents",
+          abs($"cents" - $"med_cents").as("dev"))
+      val mad = medianOf(dev, "dev", "mad_cents")
+        .select($"event_type".as("dt"), $"mad_cents")
+      dev.join(broadcast(mad), $"event_type" === $"dt")
+        .groupBy($"event_type", $"med_cents", $"mad_cents")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"dev" > $"mad_cents" * MadK, 1L).otherwise(0L))
+            .cast("bigint").as("n_outliers"))
+        .selectExpr("event_type", "n_events", "med_cents", "mad_cents",
+          "n_outliers", "(10000 * n_outliers) DIV n_events AS outlier_bp")
+        .orderBy("event_type")
+    }
+  }
+
+  val qMadOutliers = Q(
+    "q_mad_outliers",
+    (spark, dir) => madOutliersOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT event_type, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM e),
+med AS (SELECT event_type AS mt,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INT) THEN cents END) AS med_cents
+        FROM r1 GROUP BY 1),
+dev AS (SELECT e.event_type, e.event_id, e.cents, med.med_cents,
+               abs(e.cents - med.med_cents) AS dev
+        FROM e JOIN med ON e.event_type = med.mt),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM dev),
+mad AS (SELECT event_type AS dt,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INT) THEN dev END) AS mad_cents
+        FROM r2 GROUP BY 1)
+SELECT dev.event_type, count(*) AS n_events, dev.med_cents, mad.mad_cents,
+       CAST(sum(CASE WHEN dev.dev > $MadK * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       (10000 * CAST(sum(CASE WHEN dev.dev > $MadK * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS outlier_bp
+FROM dev JOIN mad ON dev.event_type = mad.dt
+GROUP BY dev.event_type, dev.med_cents, mad.mad_cents
+ORDER BY dev.event_type""")
+  )
+
   /** CUBE over (returnflag, linestatus): all four grouping sets in one
     * map-side-expanded hash aggregate — completes the grouping-set
     * family next to ROLLUP (the reference has neither; SURVEY §2.4).
@@ -421,5 +498,5 @@ ORDER BY l_returnflag"""
 
   val all: Seq[Q] = Seq(qRollup, qPivot, qSessionWindow, qPercentiles, qCube,
     qSetOps, qSessionWindowStream, qGroupingSets, qUnpivot, qMedianCont,
-    qWeightedMedian)
+    qWeightedMedian, qMadOutliers)
 }

@@ -162,4 +162,64 @@ class BehaviorSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map { case (u, a, b, c) => u -> ((a, b, c)) }.toMap
   }
+
+  test("path conversion: converts only on purchases AFTER the opening window") {
+    val L = Behavior.PathLen
+    // user 1: L views then a purchase (converts); user 2: purchase INSIDE
+    // the opening window, nothing after (does not convert)
+    val rows =
+      ((0 until L).map(i => (1L, (i + 1) * H, (i + 1).toLong, "view")) :+
+        (1L, (L + 1) * H, 99L, "purchase")) ++
+      ((0 until L - 1).map(i => (2L, (i + 1) * H, (200 + i).toLong, "view")) :+
+        (2L, L * H, 299L, "purchase"))
+    val got = Behavior.pathConversionOn(ev(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val allViews = Seq.fill(L)("view").mkString(">")
+    val withPurch = (Seq.fill(L - 1)("view") :+ "purchase").mkString(">")
+    assert(got.toSet == Set(
+      (allViews, 1L, 1L, 10000L),   // user 1 converted after the window
+      (withPurch, 1L, 0L, 0L)))     // user 2's in-window purchase is path, not conversion
+  }
+
+  test("debounce: lag semantics (gap vs previous RAW event), per (user, type)") {
+    val s30 = 30L * 1000000000L // 30s in nanos; DebounceUs is 60s
+    // same type at t=0, t=50s, t=100s: lag semantics drops BOTH followers
+    // (each is <= 60s from its raw predecessor); keep-chain semantics
+    // would keep t=100s (100s from the kept t=0) — this test pins lag.
+    val e = ev(
+      (1L, 0L, 1L, "view"), (1L, 50L * 1000000000L, 2L, "view"),
+      (1L, 100L * 1000000000L, 3L, "view"),
+      // different type inside the window is never debounced against views
+      (1L, s30, 4L, "click"))
+    val got = Behavior.debounceOn(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toMap2s
+    assert(got("view") == ((3L, 1L, 6666L)))
+    assert(got("click") == ((1L, 1L, 0L)))
+  }
+
+  test("MAD outliers: discrete medians by rank, 3xMAD cut, zero-MAD degeneracy") {
+    import spark.implicits._
+    def evv(rows: (Long, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    // type 'a': cents [0,10,20,30,1000] -> med 20, devs sorted [0,10,10,20,980]
+    // -> mad 10, outliers dev > 30: one (980)
+    // type 'b': cents [10,10,10,10,100] -> med 10, mad 0, outliers dev > 0: one
+    val e = evv(
+      (1L, 1 * H, 1L, "a", 0.00), (1L, 2 * H, 2L, "a", 0.10),
+      (1L, 3 * H, 3L, "a", 0.20), (1L, 4 * H, 4L, "a", 0.30),
+      (1L, 5 * H, 5L, "a", 10.00),
+      (1L, 1 * H, 6L, "b", 0.10), (1L, 2 * H, 7L, "b", 0.10),
+      (1L, 3 * H, 8L, "b", 0.10), (1L, 4 * H, 9L, "b", 0.10),
+      (1L, 5 * H, 10L, "b", 1.00))
+    val got = MultiDimAgg.madOutliersOn(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") == ((5L, 20L, 10L, 1L, 2000L)))
+    assert(got("b") == ((5L, 10L, 0L, 1L, 2000L)))
+  }
+
+  private implicit class MapOps3(rows: Array[(String, Long, Long, Long)]) {
+    def toMap2s: Map[String, (Long, Long, Long)] =
+      rows.map { case (t, a, b, c) => t -> ((a, b, c)) }.toMap
+  }
 }
