@@ -338,5 +338,114 @@ FROM s, mx
 WHERE end_us // 1000 + ${SessionGapUs / 1000} <= max_us // 1000
 ORDER BY user_id, start_us"""))
 
-  val all: Seq[Q] = Seq(qTwsRunningTotals, qTwsTopEventType, qTwsSessionTimers)
+  // ======== keep-chain debouncing: the sequential state variant ========
+
+  case class ChainEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  case class ChainStats(user_id: Long, event_type: String, n_events: Long, n_kept: Long)
+  private case class ChainState(last_kept_ts: Long, n_events: Long, n_kept: Long)
+
+  /** Keep-CHAIN debouncing — the variant [[Behavior.qDebounce]]'s lag
+    * spelling explicitly cannot express: the clock resets only on KEPT
+    * events (an event is kept iff it is the key's first ever or lies
+    * more than `debounceUs` after the last KEPT one), so keeping
+    * decisions depend on earlier keeping decisions — inherently
+    * sequential per-key state, the textbook transformWithState case.
+    * Rows are folded in (ts_us, event_id) order WITHIN each batch (the
+    * iterator's own order is not contractual), and the chain carries
+    * across batches through the ValueState; like any log-replay
+    * semantics it assumes per-key batch time-monotonicity (file/Kafka
+    * replay order), which the single-source catalog run satisfies.
+    * n_events grows monotonically, so the last emission per key is
+    * identifiable without relying on batch order.
+    */
+  class ChainDebounceProcessor(debounceUs: Long)
+      extends StatefulProcessor[(Long, String), ChainEvent, ChainStats] {
+    @transient private var state: ValueState[ChainState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ChainState](
+        "chain", Encoders.product[ChainState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[ChainEvent],
+        timerValues: TimerValues): Iterator[ChainStats] = {
+      var s =
+        if (state.exists()) state.get()
+        else ChainState(Long.MinValue, 0L, 0L)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val keep = s.n_events == 0L || e.ts_us - s.last_kept_ts > debounceUs
+        s = ChainState(if (keep) e.ts_us else s.last_kept_ts,
+          s.n_events + 1, s.n_kept + (if (keep) 1L else 0L))
+      }
+      state.update(s)
+      Iterator.single(ChainStats(key._1, key._2, s.n_events, s.n_kept))
+    }
+  }
+
+  /** Catalog entry: keep-chain debounce over the event stream, rolled
+    * up per event type. The oracle states the chain as a recursive CTE
+    * stepping rank-by-rank within each (user, type) — recursion depth
+    * is the longest per-key sequence, bounded by per-user activity,
+    * never corpus size — which makes this one of the few stateful
+    * operators whose SEQUENTIAL semantics still hash-gate against SQL.
+    */
+  val qTwsDebounce = Q(
+    "q_tws_debounce_chain",
+    (spark, dir) => {
+      import spark.implicits._
+      val sinkName = s"tws_chain_${System.nanoTime()}"
+      withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = graft.Tables.eventsStream(spark, dir)
+            .selectExpr("user_id", "event_type",
+              "CAST(ts DIV 1000 AS BIGINT) AS ts_us", "event_id")
+            .as[ChainEvent]
+            .groupByKey(e => (e.user_id, e.event_type))
+            .transformWithState(new ChainDebounceProcessor(Behavior.DebounceUs),
+              TimeMode.None(), OutputMode.Update(), Encoders.product[ChainStats])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      import org.apache.spark.sql.expressions.Window
+      spark.table(sinkName)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"event_type").orderBy($"n_events".desc)))
+        .where($"rn" === 1)
+        .groupBy($"event_type")
+        .agg(sum($"n_events").cast("bigint").as("n_events"),
+          sum($"n_kept").cast("bigint").as("n_kept"))
+        .selectExpr("event_type", "n_events", "n_kept",
+          "(10000 * (n_events - n_kept)) DIV n_events AS dropped_bp")
+        .orderBy("event_type")
+    },
+    Some(s"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+chain AS (
+  SELECT user_id, event_type, rn, ts_us AS last_kept, 1 AS kept
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.rn,
+         CASE WHEN e.ts_us - c.last_kept > ${Behavior.DebounceUs}
+              THEN e.ts_us ELSE c.last_kept END,
+         CASE WHEN e.ts_us - c.last_kept > ${Behavior.DebounceUs}
+              THEN 1 ELSE 0 END
+  FROM chain c
+  JOIN e ON e.user_id = c.user_id AND e.event_type = c.event_type
+        AND e.rn = c.rn + 1)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       (10000 * (count(*) - CAST(sum(kept) AS BIGINT))) // count(*) AS dropped_bp
+FROM chain GROUP BY event_type
+ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qTwsRunningTotals, qTwsTopEventType, qTwsSessionTimers, qTwsDebounce)
 }

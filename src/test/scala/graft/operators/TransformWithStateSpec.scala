@@ -216,4 +216,69 @@ class TransformWithStateSpec extends AnyFunSuite {
       TwsTotals(1L, 2L, 30L, 100L, 200L)),
       "without a TTL the same wait must NOT reset the totals")
   }
+  // ---- keep-chain debounce ----
+
+  private def runChain(batches: Seq[Seq[StatefulTotals.ChainEvent]],
+      sinkName: String): Map[(Long, String), StatefulTotals.ChainStats] = {
+    import spark.implicits._
+    StatefulTotals.withRocksDb(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulTotals.ChainEvent]
+      val q = input.toDS()
+        .groupByKey(e => (e.user_id, e.event_type))
+        .transformWithState(
+          new StatefulTotals.ChainDebounceProcessor(60L * 1000000),
+          TimeMode.None(), OutputMode.Update(),
+          Encoders.product[StatefulTotals.ChainStats])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    spark.table(sinkName).as[StatefulTotals.ChainStats].collect()
+      .groupBy(r => (r.user_id, r.event_type))
+      .map { case (k, rows) => k -> rows.maxBy(_.n_events) }
+  }
+
+  test("keep-chain debounce: clock resets only on kept events (lag would differ)") {
+    val sec = 1000000L
+    // t=0, t=50s, t=100s: chain keeps t0 (first) and t100 (100s > 60s
+    // from the KEPT t0); lag semantics would drop t100 too (50s gap to
+    // the raw t50). This corpus separates the two definitions.
+    val got = runChain(Seq(Seq(
+      StatefulTotals.ChainEvent(1L, "view", 0L, 1L),
+      StatefulTotals.ChainEvent(1L, "view", 50L * sec, 2L),
+      StatefulTotals.ChainEvent(1L, "view", 100L * sec, 3L))), "chain_sem")
+    assert(got((1L, "view")).n_events == 3L)
+    assert(got((1L, "view")).n_kept == 2L)
+  }
+
+  test("keep-chain debounce: the chain carries across micro-batches") {
+    val sec = 1000000L
+    // batch 1 keeps t0; batch 2's t50s must be dropped against the
+    // PRIOR batch's kept timestamp, and t130s kept against t0
+    val got = runChain(Seq(
+      Seq(StatefulTotals.ChainEvent(7L, "click", 0L, 1L)),
+      Seq(StatefulTotals.ChainEvent(7L, "click", 50L * sec, 2L),
+        StatefulTotals.ChainEvent(7L, "click", 130L * sec, 3L))), "chain_carry")
+    assert(got((7L, "click")) ==
+      StatefulTotals.ChainStats(7L, "click", 3L, 2L))
+  }
+
+  test("keep-chain debounce: within-batch fold is (ts, id)-ordered, not arrival-ordered") {
+    val sec = 1000000L
+    // rows arrive reversed; a time-ordered fold keeps t0 and t100s —
+    // an arrival-ordered fold would keep t100s first and then t0 too
+    // (negative gap), yielding the same count here, so pin via the
+    // tighter corpus: t0, t70s, t120s reversed. Time order: keep t0,
+    // keep t70s (70 > 60), drop t120s (50s after t70s). Arrival order
+    // (t120s, t70s, t0) would keep t120s then drop the rest: n_kept 1.
+    val got = runChain(Seq(Seq(
+      StatefulTotals.ChainEvent(9L, "x", 120L * sec, 3L),
+      StatefulTotals.ChainEvent(9L, "x", 70L * sec, 2L),
+      StatefulTotals.ChainEvent(9L, "x", 0L, 1L))), "chain_order")
+    assert(got((9L, "x")) == StatefulTotals.ChainStats(9L, "x", 3L, 2L))
+  }
 }
