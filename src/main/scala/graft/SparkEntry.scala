@@ -40,6 +40,7 @@ object SparkEntry {
       operators.Packing.all ++
       operators.WebCorpus.all ++
       operators.Behavior.all ++
+      operators.Mitigation.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries
