@@ -41,6 +41,7 @@ object SparkEntry {
       operators.WebCorpus.all ++
       operators.Behavior.all ++
       operators.Mitigation.all ++
+      operators.Concurrency.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

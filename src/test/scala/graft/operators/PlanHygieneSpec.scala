@@ -110,6 +110,13 @@ class PlanHygieneSpec extends AnyFunSuite {
         "docs -> 10^8 two-long rows (~1.6 GB) through the single task, vs 10^11 " +
         "rows for the naive one-window spelling. Bounded relative to input by " +
         "construction; phase 1 (the per-row scatter) is fully partitioned."),
+    "q_peak_concurrency" ->
+      ("phase-2 of the two-phase distributed prefix sum (same shape as " +
+        "q_sequence_pack): the unpartitioned running sum reads ONE ROW PER " +
+        "CALENDAR DAY (child is the per-day_idx HashAggregate of endpoint " +
+        "deltas) — bounded by the calendar (~365/year), not by session or " +
+        "event count. Phase 1 (the within-day running sum) is partitioned " +
+        "on day_idx."),
     "q_corpus_mix" ->
       ("the unpartitioned window computes corpus-level shares over the output " +
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +
