@@ -312,6 +312,71 @@ FROM l
 ORDER BY week""")
   )
 
+  /** Rolling 7-day distinct actives (DAU / WAU / stickiness) — the
+    * retention dashboard's headline trio. Exact distincts, no sketch:
+    * the trick is that a K-day rolling COUNT DISTINCT needs neither a
+    * range window (count-distinct frames don't exist) nor a K-way
+    * self-join — dedup to the user-day relation (input-linear, ONE
+    * map-side-combinable shuffle), then explode each user-day onto the
+    * K report days it supports (a constant K=7 fan-out of the ALREADY
+    * tiny relation) and re-dedup per report day. At 100 TB the raw
+    * stream is touched exactly once; everything after is user-day-sized.
+    *
+    * Report days are the days with activity (the spine join drops
+    * phantom days past the corpus edge and would drop dead-quiet days
+    * mid-corpus — a documented contract matching the dashboard's
+    * "days with traffic" x-axis). stickiness_bp = 10000·DAU/WAU floor
+    * division; all outputs BIGINT.
+    */
+  val RollDays: Int = 7
+
+  /** DAU/WAU over any events relation carrying (user_id, ts epoch-nanos
+    * BIGINT) — spec entry for the hand-window laws.
+    */
+  private[graft] def rollingDistinctOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val ud = events
+        .selectExpr(s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx", "user_id")
+        .distinct()
+      val days = ud.select($"day_idx").distinct()
+      val expand = ud
+        .select($"day_idx", $"user_id",
+          explode(sequence(lit(0), lit(RollDays - 1))).as("off"))
+        .select(($"day_idx" + $"off").as("rday"), $"user_id")
+      val wau = expand.join(days.withColumnRenamed("day_idx", "rday"), "rday")
+        .groupBy($"rday".as("day_idx"))
+        .agg(countDistinct($"user_id").as("wau"))
+      val dau = ud.groupBy($"day_idx").agg(countDistinct($"user_id").as("dau"))
+      dau.join(wau, "day_idx")
+        .selectExpr("day_idx", "dau", "wau",
+          "(10000 * dau) DIV wau AS stickiness_bp")
+        .orderBy("day_idx")
+    }
+  }
+
+  private val DayUs: Long = 86400L * 1000000
+
+  val qRollingDistinct = Q(
+    "q_rolling_distinct_users",
+    (spark, dir) => rollingDistinctOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day_idx, user_id FROM events),
+days AS (SELECT DISTINCT day_idx FROM ud),
+expand AS (SELECT ud.day_idx + o.off AS rday, ud.user_id
+           FROM ud CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) o(off)),
+wau AS (SELECT e.rday AS day_idx, count(DISTINCT e.user_id) AS wau
+        FROM expand e JOIN days d ON e.rday = d.day_idx GROUP BY 1),
+dau AS (SELECT day_idx, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+SELECT CAST(dau.day_idx AS BIGINT) AS day_idx,
+       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       (10000 * dau) // wau AS stickiness_bp
+FROM dau JOIN wau ON dau.day_idx = wau.day_idx
+ORDER BY day_idx""")
+  )
+
   val all: Seq[Q] =
-    Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta)
+    Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta,
+      qRollingDistinct)
 }
