@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Behavior.all ++
       operators.Mitigation.all ++
       operators.Concurrency.all ++
+      operators.MarketBasket.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item co-occurrence — "bought together" affinity, the
+  * collaborative-filtering primitive behind every recommendation
+  * shelf. For each part, the top-[[TopK]] partner parts by the number
+  * of shared orders, with a Jaccard affinity over order sets in exact
+  * basis points.
+  *
+  * Shape at scale: the pair join is the canonical bounded self-join —
+  * pairs are generated WITHIN an order key, so its cost is
+  * Σ k_i·(k_i−1)/2 over basket sizes k_i. That is linear in the fact
+  * only while baskets are bounded, so the operator ENFORCES the bound
+  * ([[MaxBasket]]): an oversized basket (a crawler cart, a bot order)
+  * contributes O(k²) pairs of zero recommendation signal and is
+  * dropped whole, the same cap-the-hot-key discipline as the LSH
+  * BandCap. Everything downstream is pair-sized: one groupBy to
+  * (a,b,n_ab), a broadcast of the |parts|-row order-frequency
+  * relation onto both sides, and a per-part top-K window over the
+  * pair relation (bounded by parts·avg-neighbors, never fact-sized).
+  *
+  * Determinism: neighbors rank by (n_ab DESC, partner id ASC) — a
+  * total order; Jaccard is floor-division bp over exact distinct
+  * counts. All outputs BIGINT.
+  */
+object MarketBasket {
+
+  val MaxBasket: Int = 32
+  val TopK: Int = 3
+
+  /** Top-K co-occurrence neighbors over any (l_orderkey, l_partkey)
+    * fact — spec entry for the cap and hand-affinity laws.
+    */
+  private[graft] def cooccurrenceOn(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val basket = lineitem.select($"l_orderkey", $"l_partkey").distinct()
+    val sized = basket
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("bsize"))
+      .where($"bsize" <= MaxBasket)
+      .select($"l_orderkey")
+    val b = basket.join(sized, "l_orderkey")
+    val pairs = b.as("x").join(b.as("y"), Seq("l_orderkey"))
+      .where($"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val freq = b.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+    val sym = pairs.select($"pa".as("part"), $"pb".as("neighbor"), $"n_ab")
+      .unionAll(pairs.select($"pb".as("part"), $"pa".as("neighbor"), $"n_ab"))
+    val withFreq = sym
+      .join(broadcast(freq.select($"l_partkey".as("part"), $"n_orders".as("na"))), "part")
+      .join(broadcast(freq.select($"l_partkey".as("neighbor"), $"n_orders".as("nb"))), "neighbor")
+    withFreq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"part").orderBy($"n_ab".desc, $"neighbor".asc)))
+      .where($"rank" <= TopK)
+      .selectExpr("part", "CAST(rank AS BIGINT) AS rank", "neighbor", "n_ab",
+        "(10000 * n_ab) DIV (na + nb - n_ab) AS jaccard_bp")
+      .orderBy("part", "rank")
+  }
+
+  val qItemCooccurrence = Q(
+    "q_item_cooccurrence",
+    (spark, dir) => cooccurrenceOn(Tables.lineitem(spark, dir)),
+    Some(s"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
+b AS (SELECT basket.* FROM basket JOIN sized ON basket.l_orderkey = sized.l_orderkey),
+pairs AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_ab
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2),
+freq AS (SELECT l_partkey, count(*) AS n_orders FROM b GROUP BY 1),
+sym AS (SELECT pa AS part, pb AS neighbor, n_ab FROM pairs
+        UNION ALL SELECT pb, pa, n_ab FROM pairs),
+ranked AS (SELECT s.part, s.neighbor, s.n_ab, fa.n_orders AS na, fb.n_orders AS nb,
+                  row_number() OVER (PARTITION BY s.part
+                                     ORDER BY s.n_ab DESC, s.neighbor) AS rank
+           FROM sym s JOIN freq fa ON s.part = fa.l_partkey
+                      JOIN freq fb ON s.neighbor = fb.l_partkey)
+SELECT part, CAST(rank AS BIGINT) AS rank, neighbor, CAST(n_ab AS BIGINT) AS n_ab,
+       (10000 * n_ab) // (na + nb - n_ab) AS jaccard_bp
+FROM ranked WHERE rank <= $TopK
+ORDER BY part, rank""")
+  )
+
+  val all: Seq[Q] = Seq(qItemCooccurrence)
+}

@@ -58,4 +58,48 @@ class Round12cOpsSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1L && r.getLong(3) <= 10000L)
     }
   }
+
+  private def baskets(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("l_orderkey", "l_partkey")
+  }
+
+  test("co-occurrence: hand affinity matrix with exact jaccard bp") {
+    // orders: 1:[A=10,B=20,C=30], 2:[A,B], 3:[A,C], 4:[B]
+    // pairs: (A,B)=2, (A,C)=2, (B,C)=1; freq A=3 B=3 C=2
+    val got = MarketBasket.cooccurrenceOn(baskets(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 20L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      // A: B first (tie on n_ab=2, lower id), j(A,B)=20000/(3+3-2)=5000;
+      //    C second, j(A,C)=20000/(3+2-2)=6666
+      (10L, 1L, 20L, 2L, 5000L), (10L, 2L, 30L, 2L, 6666L),
+      // B: A (n=2, j=5000) then C (n=1, 10000/(3+2-1)=2500)
+      (20L, 1L, 10L, 2L, 5000L), (20L, 2L, 30L, 1L, 2500L),
+      // C: A (n=2, j=6666) then B (n=1, j=2500)
+      (30L, 1L, 10L, 2L, 6666L), (30L, 2L, 20L, 1L, 2500L)))
+  }
+
+  test("co-occurrence: oversized baskets are dropped whole; dup lines don't inflate") {
+    // order 9 has MaxBasket+1 parts → contributes zero pairs AND zero freq
+    val big = (1L to (MarketBasket.MaxBasket + 1L)).map(p => (9L, 100L + p))
+    val rows = Seq((1L, 10L), (1L, 20L), (1L, 10L)) ++ big
+    val got = MarketBasket.cooccurrenceOn(baskets(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // only the (10,20) pair from order 1 survives; dup (1,10) line ignored
+    assert(got == Seq((10L, 20L, 1L, 10000L), (20L, 10L, 1L, 10000L)))
+  }
+
+  test("co-occurrence: top-K bounds neighbors per part on the driver corpus") {
+    val got = MarketBasket.cooccurrenceOn(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001")).collect()
+    assert(got.nonEmpty)
+    val perPart = got.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perPart.max <= MarketBasket.TopK)
+    got.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L))
+  }
 }
