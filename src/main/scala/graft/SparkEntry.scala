@@ -43,6 +43,7 @@ object SparkEntry {
       operators.Mitigation.all ++
       operators.Concurrency.all ++
       operators.MarketBasket.all ++
+      operators.Profiling.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

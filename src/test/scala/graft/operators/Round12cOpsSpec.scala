@@ -94,6 +94,35 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(got == Seq((10L, 20L, 1L, 10000L), (20L, 10L, 1L, 10000L)))
   }
 
+  test("profile: planted nulls, distincts, and the scrub sentinel are exact") {
+    import spark.implicits._
+    // 4 rows: one 'error' (→ null after scrub), duplicate user values
+    val e = Seq(
+      (1L, 100L, 7L, "view", 0.50),
+      (2L, 200L, 7L, "error", 0.50),
+      (3L, 300L, 8L, "click", 1.25),
+      (4L, 400L, 8L, "error", 0.999)) // cents 100 (round-half-even in both engines? 99.9 → 100)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Profiling.profileOn(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("event_id", 4L, 0L, 4L, 0L),
+      ("event_type_scrubbed", 4L, 2L, 2L, 5000L),
+      ("ts", 4L, 0L, 4L, 0L),
+      ("user_id", 4L, 0L, 2L, 0L),
+      ("value_cents", 4L, 0L, 3L, 0L))) // 50, 50, 125, 100 → 3 distinct
+  }
+
+  test("profile: driver corpus is null-free except the scrub column") {
+    val got = Profiling.profileOn(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    val byCol = got.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byCol("event_type_scrubbed") > 0L,
+      "the scrub sentinel must be non-vacuous on the driver corpus")
+    assert(byCol.filterNot(_._1 == "event_type_scrubbed").values.forall(_ == 0L))
+  }
+
   test("co-occurrence: top-K bounds neighbors per part on the driver corpus") {
     val got = MarketBasket.cooccurrenceOn(
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001")).collect()
