@@ -44,6 +44,7 @@ object SparkEntry {
       operators.Concurrency.all ++
       operators.MarketBasket.all ++
       operators.Profiling.all ++
+      operators.Ewma.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.flow.{BatchFlowFeaturizer, FlowFeatureSql}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EWMA burst detection — the control-chart sibling of `q_src_entropy`
+  * and `q_rate_anomaly`: for every /16 source prefix and hour, an
+  * exponentially-weighted baseline of the PRIOR [[HistHours]] hourly
+  * packet counts (weight halves per hour of age), and an alert when
+  * the current hour exceeds [[Theta]]× that baseline. This is the
+  * per-entity decayed counter a rate limiter actually keeps — a burst
+  * an hour ago dominates the baseline, last night's traffic barely
+  * registers — restated in EXACT integers: every weight is a power of
+  * two (`shiftleft`), the baseline is a scaled BIGINT sum, and the
+  * alert test cross-multiplies (`cnt · (2^K − 1) > θ · baseline`)
+  * instead of dividing, so the oracle hash-matches with no float
+  * anywhere (same reasoning as `q_decay_halflife`; a libm `exp` could
+  * never be oracle-gated).
+  *
+  * Shape at scale: counts reduce the packet stream to the
+  * (prefix, hour) relation FIRST — one map-side-combinable groupBy on
+  * a calendar×prefix-bounded key — and the EWMA is a constant-K=10
+  * explode of that already-tiny relation onto the hours it baselines
+  * (the q_rolling_distinct_users trick: a decayed-sum window needs
+  * neither a per-row ordered window nor a dense hour spine, because
+  * absent hours contribute exactly 0). Alerts require
+  * [[MinHist]] prior active hours, so a prefix's first appearance is
+  * warmup, not noise.
+  */
+object Ewma {
+
+  val HistHours: Int = 10
+  val Theta: Long = 4L
+  val MinHist: Long = 3L
+  val HourUs: Long = 3600L * 1000000
+  private val WeightSum: Long = (1L << HistHours) - 1 // Σ 2^(K-k), k=1..K
+
+  /** EWMA alerts over any packet relation carrying (src_ip, ts_us) —
+    * spec entry for the hand-baseline, warmup, and decay-dominance
+    * laws; the catalog query binds the driver packet stream.
+    */
+  private[graft] def ewmaAlertsOn(packets: DataFrame): DataFrame = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    val ph = packets
+      .select(
+        regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
+        expr(s"ts_us DIV $HourUs").as("h"))
+      .groupBy($"pfx", $"h").agg(count(lit(1)).as("cnt"))
+    val base = ph
+      .select($"pfx", $"h", $"cnt",
+        explode(sequence(lit(1), lit(HistHours))).as("k"))
+      .select($"pfx", ($"h" + $"k").as("h"),
+        expr(s"cnt * shiftleft(CAST(1 AS BIGINT), $HistHours - k)").as("w"))
+      .groupBy($"pfx", $"h")
+      .agg(sum($"w").cast("bigint").as("baseline_scaled"),
+        count(lit(1)).as("n_hist"))
+    ph.join(base, Seq("pfx", "h"))
+      .where($"n_hist" >= MinHist &&
+        $"cnt" * lit(WeightSum) > lit(Theta) * $"baseline_scaled")
+      .select($"pfx", $"h".as("hour_idx"), $"cnt", $"baseline_scaled", $"n_hist")
+      .orderBy("pfx", "hour_idx")
+  }
+
+  val qEwmaAlerts = Q(
+    "q_ewma_burst",
+    (spark, dir) => ewmaAlertsOn(
+      BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
+    Some(s"""
+WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+ph AS (SELECT regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS pfx,
+              ts_us // $HourUs AS h, count(*) AS cnt
+       FROM packets GROUP BY 1, 2),
+ex AS (SELECT pfx, h + o.k AS h,
+              CAST(cnt AS BIGINT) * (1 << ($HistHours - o.k)) AS w
+       FROM ph CROSS JOIN (SELECT unnest(range(1, ${HistHours + 1})) AS k) o),
+base AS (SELECT pfx, h, CAST(sum(w) AS BIGINT) AS baseline_scaled,
+                count(*) AS n_hist
+         FROM ex GROUP BY 1, 2)
+SELECT ph.pfx AS pfx, CAST(ph.h AS BIGINT) AS hour_idx, CAST(cnt AS BIGINT) AS cnt,
+       baseline_scaled, CAST(n_hist AS BIGINT) AS n_hist
+FROM ph JOIN base ON ph.pfx = base.pfx AND ph.h = base.h
+WHERE n_hist >= $MinHist AND cnt * $WeightSum > $Theta * baseline_scaled
+ORDER BY pfx, hour_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qEwmaAlerts)
+}

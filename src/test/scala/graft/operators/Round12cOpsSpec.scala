@@ -59,6 +59,56 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  private val HourUs = 3600L * 1000000L
+
+  private def pk(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src_ip", "ts_us")
+  }
+
+  /** n packets for prefix 10.0 in hour h. */
+  private def burst(h: Long, n: Int): Seq[(String, Long)] =
+    (1 to n).map(i => ("10.0.0.1", h * HourUs + i))
+
+  test("ewma: hand baseline — a 5x burst after 3 quiet hours alerts, 2x does not") {
+    // hours 0,1,2: 10 packets each. Baseline for hour 3 (K=10):
+    // 10·2^9 + 10·2^8 + 10·2^7 = 10·(512+256+128) = 8960; n_hist=3.
+    // alert iff cnt·1023 > 4·8960 = 35840 → cnt > 35.03 → cnt ≥ 36.
+    val quiet = burst(0, 10) ++ burst(1, 10) ++ burst(2, 10)
+    val hot = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 36): _*)).collect()
+    assert(hot.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("10.0", 3L, 36L, 8960L, 3L)))
+    val mild = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 35): _*)).collect()
+    assert(mild.isEmpty, "cnt=35 sits exactly at the threshold boundary")
+  }
+
+  test("ewma: warmup — fewer than MinHist active prior hours never alerts") {
+    // 2 quiet hours then a huge burst: n_hist=2 < 3 → no alert
+    val got = Ewma.ewmaAlertsOn(
+      pk(burst(0, 1) ++ burst(1, 1) ++ burst(2, 500): _*)).collect()
+    assert(got.isEmpty)
+  }
+
+  test("ewma: recency dominates — old traffic decays out of the baseline") {
+    // identical total history, but placed 8-10 hours back vs 1-3 back:
+    // the distant history's weights (2^0..2^2) make a far smaller
+    // baseline, so the same current count alerts only in the first case
+    val cur = burst(11, 20)
+    val recent = burst(8, 10) ++ burst(9, 10) ++ burst(10, 10)
+    val distant = burst(1, 10) ++ burst(2, 10) ++ burst(3, 10)
+    val alertRecent = Ewma.ewmaAlertsOn(pk(recent ++ cur: _*)).collect()
+    val alertDistant = Ewma.ewmaAlertsOn(pk(distant ++ cur: _*)).collect()
+    assert(alertRecent.isEmpty, "recent history baselines the burst away")
+    assert(alertDistant.nonEmpty, "decayed history cannot explain the burst")
+  }
+
+  test("ewma: non-vacuous at the oracle scale") {
+    val got = Ewma.ewmaAlertsOn(graft.flow.BatchFlowFeaturizer.packetsFromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.01"))).collect()
+    assert(got.length > 0, "sf0.01 must emit alert rows through the oracle")
+  }
+
   private def baskets(rows: (Long, Long)*) = {
     import spark.implicits._
     rows.toDF("l_orderkey", "l_partkey")
