@@ -96,5 +96,68 @@ FROM legs
 ORDER BY col""")
   )
 
-  val all: Seq[Q] = Seq(qTableProfile)
+  /** Benford first-digit audit — the data-forensics screen for
+    * fabricated or truncated numeric columns: the leading-digit
+    * distribution of order amounts against Benford's law, with the
+    * expectation frozen as exact basis-point constants
+    * (⌊log10(1+1/d)·10⁴⌋ — computed once offline; a runtime log10
+    * could never be oracle-gated). A natural multi-magnitude amount
+    * column tracks the curve; a capped, uniform, or invented one
+    * doesn't, and the per-digit delta says which digits drifted.
+    *
+    * Shape: one map-side-combinable 9-key groupBy over the cents
+    * projection plus a broadcast of the 1-row total. The digit is
+    * taken textually from the exact BIGINT cents (first char of the
+    * decimal string — no float log), so both engines agree on every
+    * row.
+    */
+  private[graft] def benfordOn(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    locally {
+      import spark.implicits._
+      val cents = orders.selectExpr(
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
+        .where($"cents" > 0L)
+        .selectExpr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT) AS digit")
+      val counts = cents.groupBy($"digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum($"n").cast("bigint").as("n_total"))
+      counts.join(broadcast(total))
+        .selectExpr("digit", "n", "(10000 * n) DIV n_total AS share_bp",
+          s"CAST($BenfordCase AS BIGINT) AS benford_bp")
+        .selectExpr("digit", "n", "share_bp", "benford_bp",
+          "share_bp - benford_bp AS delta_bp")
+        .orderBy("digit")
+    }
+  }
+
+  /** ⌊log10(1+1/d)·10⁴⌋ for d = 1..9, as one CASE expression valid in
+    * both dialects.
+    */
+  private val BenfordCase: String =
+    Seq(3010, 1760, 1249, 969, 791, 669, 579, 511, 457).zipWithIndex
+      .map { case (bp, i) => s"WHEN ${i + 1} THEN $bp" }
+      .mkString("CASE digit ", " ", " ELSE 0 END")
+
+  val qBenford = Q(
+    "q_benford_audit",
+    (spark, dir) => benfordOn(Tables.orders(spark, dir)),
+    Some(s"""
+WITH cents AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0
+), counts AS (
+  SELECT digit, count(*) AS n FROM cents GROUP BY 1
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       (10000 * CAST(n AS BIGINT)) // n_total AS share_bp,
+       CAST($BenfordCase AS BIGINT) AS benford_bp,
+       (10000 * CAST(n AS BIGINT)) // n_total - CAST($BenfordCase AS BIGINT) AS delta_bp
+FROM counts, total
+ORDER BY digit""")
+  )
+
+  val all: Seq[Q] = Seq(qTableProfile, qBenford)
 }

@@ -59,6 +59,27 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("benford: digits extracted from exact cents; deltas against frozen constants") {
+    import spark.implicits._
+    // cents: 199 (d=1), 2050 (d=2), 150075 (d=1), 999 (d=9) → d1:2, d2:1, d9:1
+    val o = Seq(1.99, 20.50, 1500.75, 9.99).toDF("o_totalprice")
+    val got = Profiling.benfordOn(o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 5000L, 3010L, 1990L),
+      (2L, 1L, 2500L, 1760L, 740L),
+      (9L, 1L, 2500L, 457L, 2043L)))
+  }
+
+  test("benford: shares cover the distribution; corpus has all nine digits") {
+    val got = Profiling.benfordOn(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")).collect()
+    assert(got.map(_.getLong(0)).toSeq.sorted == (1L to 9L))
+    val s = got.map(_.getLong(2)).sum
+    assert(s <= 10000L && s > 10000L - 9, s"floor shares sum to $s")
+  }
+
   private val HourUs = 3600L * 1000000L
 
   private def pk(rows: (String, Long)*) = {
