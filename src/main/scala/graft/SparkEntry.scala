@@ -45,6 +45,7 @@ object SparkEntry {
       operators.MarketBasket.all ++
       operators.Profiling.all ++
       operators.Ewma.all ++
+      operators.Deciles.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

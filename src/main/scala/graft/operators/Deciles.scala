@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact customer-spend deciles — the equi-depth bucketing behind
+  * "top 10% of customers drive X% of revenue". The naive spelling is
+  * `ntile(10)` over a global per-customer ORDER BY — a single-task
+  * window over a corpus-scale relation, exactly the anti-pattern the
+  * plan-hygiene sweep exists to catch. This operator computes the SAME
+  * assignment distributively:
+  *
+  *  1. spend per customer (map-side-combinable groupBy to exact cents);
+  *  2. the cents-value histogram, and an exclusive prefix sum over it —
+  *     the only unpartitioned window, over the PRICE-DOMAIN-bounded
+  *     distinct-cents relation (the q_pareto_front argument: ≤ ~10⁷
+  *     rows for any realistic amount range, independent of customer
+  *     count);
+  *  3. within-cents tie ranks (window PARTITIONED by cents — parallel);
+  *  4. rank = prefix + tie, decile = ⌊10·(rank−1)/n⌋ — the floor
+  *     formula, stated identically in both engines rather than
+  *     trusting ntile's remainder policy to agree across engines.
+  *
+  * Determinism: total rank order (cents, custkey); all outputs BIGINT;
+  * revenue shares are floor-division bp of exact cent sums.
+  */
+object Deciles {
+
+  /** Decile summary over any orders relation carrying (o_custkey,
+    * o_totalprice) — spec entry for the tie-break, size-balance, and
+    * share laws.
+    */
+  private[graft] def decilesOn(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val spend = orders.groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("bigint").as("cents"))
+    val hist = spend.groupBy($"cents").agg(count(lit(1)).as("c_n"))
+    val prefW = Window.orderBy($"cents").rowsBetween(Window.unboundedPreceding, -1)
+    val below = hist
+      .withColumn("below", coalesce(sum($"c_n").over(prefW), lit(0L)))
+      .select($"cents", $"below")
+    val tieW = Window.partitionBy($"cents").orderBy($"o_custkey")
+    val tot = spend.agg(count(lit(1)).as("n_total"),
+      sum($"cents").cast("bigint").as("cents_total"))
+    spend.withColumn("tie", row_number().over(tieW))
+      .join(below, "cents")
+      .join(broadcast(tot))
+      .selectExpr("cents", "(10 * (below + tie - 1)) DIV n_total AS decile",
+        "cents_total")
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"),
+        sum($"cents").cast("bigint").as("sum_cents"),
+        max($"cents_total").as("ct"))
+      .selectExpr("decile", "n_customers", "min_cents", "max_cents",
+        "sum_cents", "(10000 * sum_cents) DIV ct AS revenue_share_bp")
+      .orderBy("decile")
+  }
+
+  val qSpendDeciles = Q(
+    "q_spend_deciles",
+    (spark, dir) => decilesOn(Tables.orders(spark, dir)),
+    Some("""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), hist AS (
+  SELECT cents, count(*) AS c_n FROM spend GROUP BY 1
+), below AS (
+  SELECT cents, CAST(coalesce(sum(c_n) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM hist
+), tot AS (
+  SELECT count(*) AS n_total, CAST(sum(cents) AS BIGINT) AS cents_total FROM spend
+), ranked AS (
+  SELECT s.cents,
+         (10 * (b.below + row_number() OVER (PARTITION BY s.cents ORDER BY s.o_custkey) - 1))
+           // t.n_total AS decile,
+         t.cents_total
+  FROM spend s JOIN below b ON s.cents = b.cents CROSS JOIN tot t
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_customers,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       (10000 * CAST(sum(cents) AS BIGINT)) // max(cents_total) AS revenue_share_bp
+FROM ranked
+GROUP BY 1
+ORDER BY decile""")
+  )
+
+  val all: Seq[Q] = Seq(qSpendDeciles)
+}

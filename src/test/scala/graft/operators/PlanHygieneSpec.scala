@@ -117,6 +117,13 @@ class PlanHygieneSpec extends AnyFunSuite {
         "deltas) — bounded by the calendar (~365/year), not by session or " +
         "event count. Phase 1 (the within-day running sum) is partitioned " +
         "on day_idx."),
+    "q_spend_deciles" ->
+      ("the unpartitioned exclusive prefix sum reads the per-cents-value " +
+        "histogram (HashAggregate keyed by the exact cent amount) — bounded " +
+        "by the PRICE DOMAIN (<= ~10^7 distinct cents for any realistic " +
+        "amount range), the q_pareto_front argument. The per-customer rank " +
+        "itself is the partitioned tie window plus this broadcast prefix — " +
+        "no per-customer global window anywhere."),
     "q_corpus_mix" ->
       ("the unpartitioned window computes corpus-level shares over the output " +
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +

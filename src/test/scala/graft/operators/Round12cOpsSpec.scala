@@ -80,6 +80,45 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(s <= 10000L && s > 10000L - 9, s"floor shares sum to $s")
   }
 
+  private def ord(rows: (Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("o_custkey", "o_totalprice")
+  }
+
+  test("deciles: 10 distinct spends → one customer per decile, exact bounds") {
+    val rows = (1L to 10L).map(c => (c, c * 10.0)) // cents 1000..10000
+    val got = Deciles.decilesOn(ord(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(_._1) == (0L to 9L))
+    assert(got.map(_._2).forall(_ == 1L))
+    assert(got.map(_._3) == (1L to 10L).map(_ * 1000L))
+    assert(got.map(_._4) == got.map(_._3)) // min == max, one customer each
+  }
+
+  test("deciles: ties split deterministically by custkey; sizes differ by <= 1") {
+    // 23 customers, all the same spend → deciles sized 3/2 by rank formula
+    val rows = (1L to 23L).map(c => (c, 5.0))
+    val got = Deciles.decilesOn(ord(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._2).sum == 23L)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1L)
+    // orders aggregate per customer first: two orders = one customer
+    val dup = Deciles.decilesOn(ord((1L, 5.0), (1L, 5.0), (2L, 5.0))).collect()
+    assert(dup.map(_.getLong(1)).sum == 2L)
+  }
+
+  test("deciles: revenue shares are monotone and sum within floor slack") {
+    val got = Deciles.decilesOn(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.map(_._1) == (0L to 9L))
+    // equi-depth by spend: decile 9 must out-earn decile 0
+    assert(got.last._2 > got.head._2)
+    val s = got.map(_._3).sum
+    assert(s <= 10000L && s > 10000L - 10)
+  }
+
   private val HourUs = 3600L * 1000000L
 
   private def pk(rows: (String, Long)*) = {
