@@ -376,7 +376,63 @@ FROM dau JOIN wau ON dau.day_idx = wau.day_idx
 ORDER BY day_idx""")
   )
 
+  /** New vs returning actives — per day, how many of the day's distinct
+    * users are first-ever-seen vs repeat, plus the cumulative reach
+    * (total distinct users through that day). The growth-accounting
+    * counterpart of [[qRollingDistinct]]: DAU splits exactly into
+    * `new_users + returning`, and `cum_users` is the running sum of
+    * first appearances — NOT a running distinct, because a user's
+    * first day is unique by construction, which is what makes exact
+    * cumulative reach linear.
+    *
+    * Shape at scale: user-day dedup (one combinable shuffle), a
+    * per-user min (user-sized), two day-keyed aggregates, a broadcast
+    * day join, and ONE unpartitioned running sum over the per-day
+    * relation — calendar-bounded, the q_wow_delta whitelist argument.
+    * The raw stream is read once.
+    */
+  private[graft] def newVsReturningOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ud = events
+        .selectExpr(s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx", "user_id")
+        .distinct()
+      val dau = ud.groupBy($"day_idx").agg(count(lit(1)).as("dau"))
+      val firsts = ud.groupBy($"user_id").agg(min($"day_idx").as("day_idx"))
+        .groupBy($"day_idx").agg(count(lit(1)).as("new_users"))
+      val cumW = Window.orderBy($"day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dau.join(broadcast(firsts), Seq("day_idx"), "left")
+        .withColumn("new_users", coalesce($"new_users", lit(0L)))
+        .withColumn("cum_users", sum($"new_users").over(cumW).cast("bigint"))
+        .selectExpr("day_idx", "dau", "new_users",
+          "dau - new_users AS returning", "cum_users")
+        .orderBy("day_idx")
+    }
+  }
+
+  val qNewVsReturning = Q(
+    "q_new_vs_returning",
+    (spark, dir) => newVsReturningOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day_idx, user_id FROM events),
+dau AS (SELECT day_idx, count(*) AS dau FROM ud GROUP BY 1),
+firsts AS (SELECT day_idx, count(*) AS new_users
+           FROM (SELECT user_id, min(day_idx) AS day_idx FROM ud GROUP BY 1)
+           GROUP BY 1)
+SELECT CAST(d.day_idx AS BIGINT) AS day_idx,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+       CAST(dau - coalesce(new_users, 0) AS BIGINT) AS returning,
+       CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM dau d LEFT JOIN firsts f ON d.day_idx = f.day_idx
+ORDER BY day_idx""")
+  )
+
   val all: Seq[Q] =
     Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta,
-      qRollingDistinct)
+      qRollingDistinct, qNewVsReturning)
 }

@@ -117,6 +117,11 @@ class PlanHygieneSpec extends AnyFunSuite {
         "deltas) — bounded by the calendar (~365/year), not by session or " +
         "event count. Phase 1 (the within-day running sum) is partitioned " +
         "on day_idx."),
+    "q_new_vs_returning" ->
+      ("the unpartitioned running sum reads the per-day dau/new_users join " +
+        "output — one row per calendar day with activity, the q_wow_delta " +
+        "calendar-bounded argument. Everything below it is user-day-sized " +
+        "combinable aggregation."),
     "q_spend_deciles" ->
       ("the unpartitioned exclusive prefix sum reads the per-cents-value " +
         "histogram (HashAggregate keyed by the exact cent amount) — bounded " +

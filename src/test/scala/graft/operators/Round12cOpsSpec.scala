@@ -80,6 +80,31 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(s <= 10000L && s > 10000L - 9, s"floor shares sum to $s")
   }
 
+  test("new-vs-returning: hand growth ledger") {
+    // day0: u1,u2 (both new); day1: u1 (returning), u3 (new); day3: u1,u2,u3
+    val got = TimeSeries.newVsReturningOn(ev(
+      (1L, 0L), (2L, 0L),
+      (1L, DayNs), (3L, DayNs),
+      (1L, 3 * DayNs), (2L, 3 * DayNs), (3L, 3 * DayNs))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 0L, 2L),
+      (1L, 2L, 1L, 1L, 3L),
+      (3L, 3L, 0L, 3L, 3L)))
+  }
+
+  test("new-vs-returning: ledger laws on the driver corpus") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = TimeSeries.newVsReturningOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got.foreach { case (_, dau, nw, ret, _) => assert(nw + ret == dau) }
+    assert(got.map(_._5) == got.map(_._5).sorted, "cum reach is monotone")
+    assert(got.map(_._3).sum == e.select("user_id").distinct().count())
+    assert(got.head._2 == got.head._3, "day 0 is all new users")
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
