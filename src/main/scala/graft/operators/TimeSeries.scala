@@ -432,7 +432,76 @@ FROM dau d LEFT JOIN firsts f ON d.day_idx = f.day_idx
 ORDER BY day_idx""")
   )
 
+  /** Activity streaks — gaps-and-islands per user over active DAYS:
+    * the length of each run of consecutive calendar days with
+    * activity, the classic `day − row_number()` grouping trick (two
+    * runs of consecutive days have constant, distinct differences).
+    * Reported per user: active-day count, streak count, the longest
+    * streak, and when it started (earliest start on a tie).
+    *
+    * Shape at scale: user-day dedup (one combinable shuffle), then
+    * every window is PARTITIONED BY user_id — the island numbering,
+    * the streak aggregate, and the longest-pick all cluster on the
+    * same key, so Catalyst plans one Exchange for the whole chain.
+    * Per-user day counts are calendar-bounded (≤ days in the corpus
+    * span), so no partition can be hot.
+    *
+    * Determinism: islands are keyed by exact integer day differences;
+    * the longest streak ties break to the EARLIEST start via a
+    * min-over-filtered aggregate, not an ordering hint.
+    */
+  private[graft] def streaksOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ud = events
+        .selectExpr("user_id", s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx")
+        .distinct()
+      val byUser = Window.partitionBy($"user_id").orderBy($"day_idx")
+      val isl = ud
+        .withColumn("grp", $"day_idx" - row_number().over(byUser))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"), min($"day_idx").as("start_day"))
+      isl
+        .withColumn("longest",
+          max($"len").over(Window.partitionBy($"user_id")))
+        .groupBy($"user_id")
+        .agg(
+          sum($"len").cast("bigint").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max($"len").as("longest_streak"),
+          min(when($"len" === $"longest", $"start_day"))
+            .as("longest_start_day"))
+        .orderBy("user_id")
+    }
+  }
+
+  val qActivityStreaks = Q(
+    "q_activity_streaks",
+    (spark, dir) => streaksOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day_idx FROM events),
+isl AS (
+  SELECT user_id, count(*) AS len, min(day_idx) AS start_day
+  FROM (SELECT user_id, day_idx,
+               day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS grp
+        FROM ud)
+  GROUP BY user_id, grp
+), mx AS (
+  SELECT user_id, max(len) AS longest FROM isl GROUP BY 1
+)
+SELECT isl.user_id AS user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(min(CASE WHEN len = mx.longest THEN start_day END) AS BIGINT) AS longest_start_day
+FROM isl JOIN mx ON isl.user_id = mx.user_id
+GROUP BY isl.user_id
+ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta,
-      qRollingDistinct, qNewVsReturning)
+      qRollingDistinct, qNewVsReturning, qActivityStreaks)
 }

@@ -105,6 +105,35 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(got.head._2 == got.head._3, "day 0 is all new users")
   }
 
+  test("streaks: hand islands — runs, counts, and earliest-tie start") {
+    // u1 active days {0,1,2, 5,6, 9}: streaks 3,2,1 → longest 3 @ day0
+    // u2 active days {4,5} twice-daily (dup events): one streak of 2
+    // u3 days {1, 3, 5}: three 1-day streaks, tie → earliest start day1
+    val got = TimeSeries.streaksOn(ev(
+      (1L, 0L), (1L, DayNs), (1L, 2 * DayNs), (1L, 5 * DayNs),
+      (1L, 6 * DayNs), (1L, 9 * DayNs),
+      (2L, 4 * DayNs), (2L, 4 * DayNs + 7L), (2L, 5 * DayNs),
+      (3L, DayNs), (3L, 3 * DayNs), (3L, 5 * DayNs))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 3L, 0L),
+      (2L, 2L, 1L, 2L, 4L),
+      (3L, 3L, 3L, 1L, 1L)))
+  }
+
+  test("streaks: lengths partition active days on the driver corpus") {
+    val got = TimeSeries.streaksOn(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "longest <= active days")
+      assert(r.getLong(2) >= 1L)
+      // a single streak means every active day is consecutive
+      if (r.getLong(2) == 1L) assert(r.getLong(3) == r.getLong(1))
+    }
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
