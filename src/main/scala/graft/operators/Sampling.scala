@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deterministic corpus splitting and sampling for the training-data
@@ -187,6 +187,51 @@ ORDER BY doc_id"""
     },
     Some(leakageSafeSql(DuckSql)))
 
+  /** A/B experiment readout — users assigned to control/treatment by
+    * the SAME md5-bucket hash as `q_split_assign` (assignment must be
+    * sticky and data-independent, never `rand()`), conversion = the
+    * user ever purchases, and the lift reported as exact basis points.
+    * Division appears only over non-negative integers (the engines'
+    * DIV/`//` disagree on negative floors — r12 rule), so the
+    * direction is a string and the relative lift is over |Δ|.
+    *
+    * Shape at scale: one map-side-combinable groupBy(user) for the
+    * conversion flag, one 2-key aggregate, one 2-row pivot. Nothing
+    * after the first aggregate is user-sized.
+    */
+  private[graft] def abLiftSql(d: SqlDialect): String = s"""
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY user_id),
+mh AS (SELECT user_id, converted, md5(CAST(user_id AS STRING)) AS h FROM u),
+v AS (SELECT converted, (${nibble28(d, "h")}) % 2 AS variant FROM mh),
+agg AS (SELECT variant, count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_conv
+        FROM v GROUP BY variant),
+piv AS (SELECT
+  CAST(max(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS a_users,
+  CAST(max(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS a_conv,
+  CAST(max(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS b_users,
+  CAST(max(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS b_conv
+  FROM agg)
+SELECT a_users, a_conv, ${d.idiv("10000 * a_conv", "a_users")} AS a_cvr_bp,
+       b_users, b_conv, ${d.idiv("10000 * b_conv", "b_users")} AS b_cvr_bp,
+       CASE WHEN ${d.idiv("10000 * b_conv", "b_users")} > ${d.idiv("10000 * a_conv", "a_users")} THEN 'up'
+            WHEN ${d.idiv("10000 * b_conv", "b_users")} < ${d.idiv("10000 * a_conv", "a_users")} THEN 'down'
+            ELSE 'flat' END AS direction,
+       abs(${d.idiv("10000 * b_conv", "b_users")} - ${d.idiv("10000 * a_conv", "a_users")}) AS lift_abs_bp,
+       ${d.idiv(s"10000 * abs(${d.idiv("10000 * b_conv", "b_users")} - ${d.idiv("10000 * a_conv", "a_users")})",
+         d.idiv("10000 * a_conv", "a_users"))} AS rel_lift_bp
+FROM piv"""
+
+  val qAbLift = Q(
+    "q_ab_lift",
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("events")
+      spark.sql(abLiftSql(SparkSql))
+    },
+    Some(abLiftSql(DuckSql)))
+
   val all: Seq[Q] = Seq(qSplit, qStratified, qReservoir, qWeighted,
-    qLeakageSafeSplit)
+    qLeakageSafeSplit, qAbLift)
 }

@@ -134,6 +134,26 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ab lift: users partition into sticky variants; bp math is self-consistent") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    e.createOrReplaceTempView("events")
+    val r = spark.sql(Sampling.abLiftSql(SparkSql)).collect().head
+    val (aU, aC, aBp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (bU, bC, bBp) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(aU + bU == e.select("user_id").distinct().count())
+    assert(aC <= aU && bC <= bU)
+    assert(aBp == 10000 * aC / aU && bBp == 10000 * bC / bU)
+    val dir = r.getString(6)
+    assert(dir == (if (bBp > aBp) "up" else if (bBp < aBp) "down" else "flat"))
+    assert(r.getLong(7) == math.abs(bBp - aBp))
+    assert(r.getLong(8) == 10000 * math.abs(bBp - aBp) / aBp)
+    // stickiness: the variant of a user is a pure function of user_id —
+    // rerunning on a shuffled relation yields the identical row
+    e.repartition(7).createOrReplaceTempView("events")
+    val r2 = spark.sql(Sampling.abLiftSql(SparkSql)).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
