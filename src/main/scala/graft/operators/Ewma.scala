@@ -43,21 +43,38 @@ object Ewma {
     */
   private[graft] def ewmaAlertsOn(packets: DataFrame): DataFrame = {
     val spark = packets.sparkSession
+    locally {
+      import spark.implicits._
+      alertsFromCounts(packets
+        .select(
+          regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
+          expr(s"ts_us DIV $HourUs").as("h"))
+        .groupBy($"pfx", $"h").agg(count(lit(1)).as("cnt")))
+    }
+  }
+
+  /** The alert rollup from an ALREADY-MAINTAINED (pfx, h, cnt) relation
+    * — the split a streaming deployment runs ([[qEwmaBurstStream]]):
+    * the stream owns the counter state, the baseline explode and alert
+    * test are a batch pass over it (the baseline needs each hour's
+    * FINAL count, which only exists once the hour closes — same
+    * argument as `Detection.entropyFromCounts`).
+    */
+  private[graft] def alertsFromCounts(ph: DataFrame): DataFrame = {
+    val spark = ph.sparkSession
     import spark.implicits._
-    val ph = packets
-      .select(
-        regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
-        expr(s"ts_us DIV $HourUs").as("h"))
-      .groupBy($"pfx", $"h").agg(count(lit(1)).as("cnt"))
+    // baseline keys are RENAMED (bpfx, bh): the stream variant reads
+    // both join sides from one memory-sink view, and identical
+    // attribute ids on both sides of the join fail to resolve
     val base = ph
       .select($"pfx", $"h", $"cnt",
         explode(sequence(lit(1), lit(HistHours))).as("k"))
-      .select($"pfx", ($"h" + $"k").as("h"),
+      .select($"pfx".as("bpfx"), ($"h" + $"k").as("bh"),
         expr(s"cnt * shiftleft(CAST(1 AS BIGINT), $HistHours - k)").as("w"))
-      .groupBy($"pfx", $"h")
+      .groupBy($"bpfx", $"bh")
       .agg(sum($"w").cast("bigint").as("baseline_scaled"),
         count(lit(1)).as("n_hist"))
-    ph.join(base, Seq("pfx", "h"))
+    ph.join(base, $"pfx" === $"bpfx" && $"h" === $"bh")
       .where($"n_hist" >= MinHist &&
         $"cnt" * lit(WeightSum) > lit(Theta) * $"baseline_scaled")
       .select($"pfx", $"h".as("hour_idx"), $"cnt", $"baseline_scaled", $"n_hist")
@@ -87,5 +104,35 @@ WHERE n_hist >= $MinHist AND cnt * $WeightSum > $Theta * baseline_scaled
 ORDER BY pfx, hour_idx""")
   )
 
-  val all: Seq[Q] = Seq(qEwmaAlerts)
+  /** The same burst signal fed by Structured Streaming: the STREAM
+    * maintains per-(prefix, hour) packet counts (one watermarked
+    * event-time aggregation — state bounded to open hours, update mode
+    * under AvailableNow emits each key's final count), and the decayed
+    * baseline + alert test run as the [[alertsFromCounts]] batch pass
+    * over the maintained counter table. Gated by the SAME oracle as
+    * [[qEwmaAlerts]]: stream == batch, bit for bit.
+    */
+  val qEwmaBurstStream = Q(
+    "q_ewma_burst_stream",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+      import spark.implicits._
+      val sinkName = s"ewma_stream_${System.nanoTime()}"
+      val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
+        .select(
+          regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
+          timestamp_micros($"ts_us").as("event_time"))
+        .withWatermark("event_time", "2 minutes")
+        .groupBy($"pfx", window($"event_time", "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("pfx", s"unix_micros(window.start) DIV $HourUs AS h", "cnt")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      alertsFromCounts(spark.table(sinkName).select($"pfx", $"h", $"cnt"))
+    },
+    qEwmaAlerts.oracle) // stream == batch: the SAME oracle gates both
+
+  val all: Seq[Q] = Seq(qEwmaAlerts, qEwmaBurstStream)
 }
