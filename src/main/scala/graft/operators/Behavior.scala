@@ -386,7 +386,129 @@ FROM k GROUP BY event_type
 ORDER BY event_type""")
   )
 
+  /** Time-to-conversion histogram — hours from a user's FIRST view to
+    * their FIRST subsequent purchase, bucketed by whole hours. The
+    * funnel-latency curve every growth team reads ("most conversions
+    * happen within N hours"). Users whose first purchase precedes any
+    * view (gift codes, imported accounts) are excluded — a documented
+    * contract, not silent loss: the n_users total plus the excluded
+    * count is pinned by the spec's partition law.
+    *
+    * Shape at scale: ONE map-side-combinable groupBy(user) computing
+    * both conditional mins, a filter, and a second combinable groupBy
+    * on the hour bucket (calendar-bounded key space). No windows, no
+    * joins — two exchanges total, the second one tiny.
+    */
+  private[graft] def timeToConvertOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      events
+        .selectExpr("user_id", "event_type",
+          "CAST(ts DIV 1000 AS BIGINT) AS ts_us")
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts_us")).as("first_view"),
+          min(when($"event_type" === "purchase", $"ts_us")).as("first_purchase"))
+        .where($"first_view".isNotNull && $"first_purchase".isNotNull &&
+          $"first_purchase" >= $"first_view")
+        .selectExpr(s"(first_purchase - first_view) DIV ${3600L * 1000000} AS latency_h")
+        .groupBy($"latency_h")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("latency_h")
+    }
+  }
+
+  val qTimeToConvert = Q(
+    "q_time_to_convert",
+    (spark, dir) => timeToConvertOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+f AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS first_purchase
+      FROM e GROUP BY 1)
+SELECT (first_purchase - first_view) // ${3600L * 1000000} AS latency_h,
+       count(*) AS n_users
+FROM f
+WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase >= first_view
+GROUP BY 1
+ORDER BY latency_h""")
+  )
+
+  /** Bot-cadence screen — per user, the MEDIAN inter-event gap and its
+    * MAD (both exact rank-picked integers, the q_mad_outliers
+    * discipline: no float moments, no interpolation), with the
+    * `metronomic` verdict MAD·10 < median: humans are bursty (MAD on
+    * the order of the median), schedulers and replay bots tick (MAD
+    * near zero at any median). Gaps are whole seconds.
+    *
+    * Shape at scale: gaps from one user-partitioned lag window; both
+    * medians from rank windows over the SAME user partitioning —
+    * Catalyst plans one Exchange for the chain (per-user row counts
+    * are session-scale, never corpus-scale). Output is user-sized.
+    */
+  private[graft] def cadenceOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val gaps = events
+        .selectExpr("user_id", "event_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us")
+        .withColumn("prev", lag($"ts_us", 1).over(byUser))
+        .where($"prev".isNotNull)
+        .selectExpr("user_id", "(ts_us - prev) DIV 1000000 AS gap_s")
+      // exact discrete median: rank the gaps, pick ⌈n/2⌉ (lower median)
+      val gw = Window.partitionBy($"user_id").orderBy($"gap_s")
+      val med = gaps
+        .withColumn("rk", row_number().over(gw))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .where($"rk" === expr("(n + 1) DIV 2"))
+        .select($"user_id", $"gap_s".as("median_gap_s"), $"n".as("n_gaps"))
+      val dev = gaps.join(med, "user_id")
+        .select($"user_id", $"n_gaps", $"median_gap_s",
+          abs($"gap_s" - $"median_gap_s").as("dev"))
+      val dw = Window.partitionBy($"user_id").orderBy($"dev")
+      dev
+        .withColumn("rk", row_number().over(dw))
+        .where($"rk" === expr("(n_gaps + 1) DIV 2"))
+        .select($"user_id", $"n_gaps", $"median_gap_s",
+          $"dev".as("mad_gap_s"),
+          ($"dev" * 10 < $"median_gap_s").as("metronomic"))
+        .orderBy("user_id")
+    }
+  }
+
+  val qBotCadence = Q(
+    "q_bot_cadence",
+    (spark, dir) => cadenceOn(Tables.events(spark, dir)),
+    Some("""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+g AS (SELECT user_id,
+             (ts_us - lag(ts_us) OVER w) // 1000000 AS gap_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+gaps AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+med AS (SELECT user_id, gap_s AS median_gap_s, n AS n_gaps
+        FROM (SELECT user_id, gap_s,
+                     row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rk,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM gaps)
+        WHERE rk = (n + 1) // 2),
+dev AS (SELECT g.user_id, m.n_gaps, m.median_gap_s,
+               abs(g.gap_s - m.median_gap_s) AS dev
+        FROM gaps g JOIN med m ON g.user_id = m.user_id)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       median_gap_s, dev AS mad_gap_s,
+       dev * 10 < median_gap_s AS metronomic
+FROM (SELECT user_id, n_gaps, median_gap_s, dev,
+             row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rk
+      FROM dev)
+WHERE rk = (n_gaps + 1) // 2
+ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qEventTransitions, qAttribution, qEventPaths, qModalType,
-      qPathConversion, qDebounce)
+      qPathConversion, qDebounce, qTimeToConvert, qBotCadence)
 }

@@ -154,6 +154,62 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(r.toSeq == r2.toSeq)
   }
 
+  private val SecNs = 1000000000L
+
+  private def tev(rows: (Long, Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  test("time-to-convert: first-view→first-purchase hours; pre-view purchases excluded") {
+    // u1: view@0, purchase@90m → 1h bucket; u2: purchase@0, view@1h → excluded
+    // u3: view@0, purchase@30m → 0h; u4: views only → excluded
+    val got = Behavior.timeToConvertOn(tev(
+      (1L, 0L, 1L, "view"), (1L, 5400L * SecNs, 2L, "purchase"),
+      (2L, 0L, 3L, "purchase"), (2L, 3600L * SecNs, 4L, "view"),
+      (3L, 0L, 5L, "view"), (3L, 1800L * SecNs, 6L, "purchase"),
+      (4L, 0L, 7L, "view"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L)))
+  }
+
+  test("time-to-convert: converters + excluded partition the user base") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val hist = Behavior.timeToConvertOn(e).collect()
+    val nConverted = hist.map(_.getLong(1)).sum
+    assert(nConverted > 0L)
+    assert(nConverted <= e.select("user_id").distinct().count())
+  }
+
+  test("bot cadence: a metronomic user has MAD 0; a bursty one does not") {
+    // bot: events every 60s exactly (gaps 60,60,60,60 → med 60, mad 0)
+    val bot = (0 to 4).map(i => (1L, i * 60L * SecNs, 10L + i, "view"))
+    // human: gaps 10s, 600s, 60s, 3000s → sorted 10,60,600,3000:
+    // med (lower) = 60; devs |10-60|=50,0,540,2940 → sorted 0,50,540,2940 → mad 50
+    val times = Seq(0L, 10L, 610L, 670L, 3670L)
+    val human = times.zipWithIndex.map { case (t, i) =>
+      (2L, t * SecNs, 20L + i, "view") }
+    val got = Behavior.cadenceOn(tev(bot ++ human: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 60L, 0L, true),
+      (2L, 4L, 60L, 50L, false)))
+  }
+
+  test("bot cadence: single-event users emit no row; corpus medians positive") {
+    val lone = Behavior.cadenceOn(tev((9L, 0L, 1L, "view"))).collect()
+    assert(lone.isEmpty)
+    val got = Behavior.cadenceOn(
+      graft.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+      assert(r.getLong(3) <= r.getLong(2) * 1000,
+        "MAD wildly exceeding the median would mean a rank bug")
+    }
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
