@@ -222,7 +222,8 @@ SELECT a_users, a_conv, ${d.idiv("10000 * a_conv", "a_users")} AS a_cvr_bp,
        abs(${d.idiv("10000 * b_conv", "b_users")} - ${d.idiv("10000 * a_conv", "a_users")}) AS lift_abs_bp,
        ${d.idiv(s"10000 * abs(${d.idiv("10000 * b_conv", "b_users")} - ${d.idiv("10000 * a_conv", "a_users")})",
          d.idiv("10000 * a_conv", "a_users"))} AS rel_lift_bp
-FROM piv"""
+FROM piv
+ORDER BY a_users"""
 
   val qAbLift = Q(
     "q_ab_lift",

@@ -112,5 +112,65 @@ ORDER BY user_id"""
     },
     Some(funnelSql.replace("EPOCH_PLACEHOLDER", "epoch_us(ts)")))
 
-  val all: Seq[Q] = Seq(qSessionize, qFunnel)
+  /** Per-day bounce rate — the share of sessions that contain exactly
+    * one event, keyed by the day the session STARTED (a session
+    * belongs to one day even when it crosses midnight — the dashboard
+    * convention that keeps the daily partition exact). Same gap
+    * sessionization as [[qSessionize]]; after the per-session
+    * aggregate everything is session-sized, and the final groupBy key
+    * is calendar-bounded.
+    */
+  private[graft] def bounceOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val sess = events
+        .selectExpr("event_id", "user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us")
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > GapUs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"), min($"ts_us").as("start_us"))
+      sess
+        .selectExpr(s"start_us DIV ${86400L * 1000000} AS day_idx",
+          "CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounced")
+        .groupBy($"day_idx")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"bounced").cast("bigint").as("n_bounces"))
+        .selectExpr("day_idx", "n_sessions", "n_bounces",
+          "(10000 * n_bounces) DIV n_sessions AS bounce_bp")
+        .orderBy("day_idx")
+    }
+  }
+
+  val qBounceRate = Q(
+    "q_bounce_rate",
+    (spark, dir) => bounceOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > $GapUs
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessed AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS start_us
+  FROM sessed GROUP BY 1, 2
+)
+SELECT start_us // ${86400L * 1000000} AS day_idx,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       (10000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS bounce_bp
+FROM sess
+GROUP BY 1
+ORDER BY day_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qSessionize, qFunnel, qBounceRate)
 }

@@ -501,7 +501,86 @@ GROUP BY isl.user_id
 ORDER BY user_id""")
   )
 
+  /** Buyer-lifecycle segmentation — every user bucketed against the
+    * corpus's final [[RecencyDays]] days BY PURCHASE RECENCY: bought
+    * recently and first bought recently → `new`; bought recently with
+    * older purchase history → `active`; has purchase history but none
+    * recent → `lapsed`; no purchase ever → `never`. The reference
+    * instant is the corpus max EVENT day (all traffic, not just
+    * purchases) — a 1-row broadcast, the q_decay_halflife shape, never
+    * a window. RecencyDays = 2 because the driver corpus's users all
+    * purchase within any longer horizon (the r11 vacuity lesson: a
+    * catalog row must split non-trivially at the oracle scale — this
+    * one lands 92/58 at sf0.01); all four arms stay pinned by the
+    * spec's planted corpus.
+    *
+    * Shape at scale: purchase user-day dedup → per-user (first, last)
+    * purchase aggregate (combinable, user-sized) → left join from the
+    * distinct-user relation (user-sized, same key) → broadcast ref →
+    * 4-key groupBy. Floor-bp shares of the full user base.
+    */
+  val RecencyDays: Long = 2L
+
+  private[graft] def lifecycleOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      val e = events.selectExpr("user_id", "event_type",
+        s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx")
+      val buyers = e.where($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min($"day_idx").as("first_buy"), max($"day_idx").as("last_buy"),
+          countDistinct($"day_idx").as("n_buy_days"))
+      val allu = e.select($"user_id").distinct()
+      val ref = e.agg(max($"day_idx").as("ref_day"))
+      val tot = allu.agg(count(lit(1)).as("n_total"))
+      allu.join(buyers, Seq("user_id"), "left")
+        .join(broadcast(ref)).join(broadcast(tot))
+        .selectExpr("n_total",
+          "coalesce(n_buy_days, 0) AS n_buy_days",
+          s"""CASE WHEN last_buy IS NULL THEN 'never'
+               WHEN last_buy >= ref_day - ${RecencyDays - 1}
+               THEN CASE WHEN first_buy >= ref_day - ${RecencyDays - 1}
+                         THEN 'new' ELSE 'active' END
+               ELSE 'lapsed' END AS segment""")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"n_buy_days").cast("bigint").as("sum_buy_days"),
+          max($"n_total").as("nt"))
+        .selectExpr("segment", "n_users", "sum_buy_days",
+          "(10000 * n_users) DIV nt AS share_bp")
+        .orderBy("segment")
+    }
+  }
+
+  val qLifecycle = Q(
+    "q_lifecycle_segments",
+    (spark, dir) => lifecycleOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) // $DayUs AS day_idx FROM events),
+buyers AS (SELECT user_id, min(day_idx) AS first_buy, max(day_idx) AS last_buy,
+                  count(DISTINCT day_idx) AS n_buy_days
+           FROM e WHERE event_type = 'purchase' GROUP BY 1),
+allu AS (SELECT DISTINCT user_id FROM e),
+ref AS (SELECT max(day_idx) AS ref_day FROM e),
+tot AS (SELECT count(*) AS n_total FROM allu),
+seg AS (SELECT CASE WHEN last_buy IS NULL THEN 'never'
+                    WHEN last_buy >= ref_day - ${RecencyDays - 1}
+                    THEN CASE WHEN first_buy >= ref_day - ${RecencyDays - 1}
+                              THEN 'new' ELSE 'active' END
+                    ELSE 'lapsed' END AS segment,
+               coalesce(n_buy_days, 0) AS n_buy_days, n_total
+        FROM allu LEFT JOIN buyers ON allu.user_id = buyers.user_id
+        CROSS JOIN ref CROSS JOIN tot)
+SELECT segment, count(*) AS n_users,
+       CAST(sum(n_buy_days) AS BIGINT) AS sum_buy_days,
+       (10000 * count(*)) // max(n_total) AS share_bp
+FROM seg
+GROUP BY 1
+ORDER BY segment""")
+  )
+
   val all: Seq[Q] =
     Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta,
-      qRollingDistinct, qNewVsReturning, qActivityStreaks)
+      qRollingDistinct, qNewVsReturning, qActivityStreaks, qLifecycle)
 }

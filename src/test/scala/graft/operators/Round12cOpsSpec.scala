@@ -210,6 +210,43 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle: all four purchase-recency segments on a planted corpus") {
+    // ref day = 10 (u5's non-purchase view); recency window [9, 10]
+    // u1: buys day 9 only → new; u2: buys day 0 and day 10 → active
+    // u3: buys day 0 only → lapsed; u4: views only → never
+    val got = TimeSeries.lifecycleOn(tev(
+      (1L, 9 * DayNs, 1L, "purchase"),
+      (2L, 0L, 2L, "purchase"), (2L, 10 * DayNs, 3L, "purchase"),
+      (3L, 0L, 4L, "purchase"),
+      (4L, 5 * DayNs, 5L, "view"),
+      (5L, 10 * DayNs, 6L, "view"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("active", 1L, 2L, 2000L),
+      ("lapsed", 1L, 1L, 2000L),
+      ("never", 2L, 0L, 4000L),
+      ("new", 1L, 1L, 2000L)))
+  }
+
+  test("lifecycle: non-vacuous split at the oracle scale") {
+    val got = TimeSeries.lifecycleOn(
+      graft.Tables.events(spark, "/root/testdata/sf0.01")).collect()
+    assert(got.length >= 2, "the catalog row must split users non-trivially")
+    assert(got.map(_.getLong(1)).sum == 150L)
+  }
+
+  test("bounce rate: single-event sessions per start day; midnight spans count once") {
+    // u1 day0: lone event (bounce); u2: 2-event session starting day0
+    // 23:59 crossing into day1 (NOT a bounce, counted on day0);
+    // u3 day1: lone event (bounce)
+    val got = Sessionize.bounceOn(tev(
+      (1L, 0L, 1L, "view"),
+      (2L, DayNs - 60L * SecNs, 2L, "view"), (2L, DayNs + 60L * SecNs, 3L, "view"),
+      (3L, DayNs + 5000L * SecNs, 4L, "view"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 2L, 1L, 5000L), (1L, 1L, 1L, 10000L)))
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
