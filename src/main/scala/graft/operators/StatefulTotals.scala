@@ -446,6 +446,122 @@ FROM chain GROUP BY event_type
 ORDER BY event_type""")
   )
 
+  // ======== token-bucket rate limiting: the admission-control variant ========
+
+  case class TbEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class TbStats(user_id: Long, n_events: Long, n_allowed: Long)
+  private case class TbState(
+      tokens: Long, last_ts: Long, n_events: Long, n_allowed: Long)
+
+  /** Token-bucket parameters, in exact micro-tokens: capacity 2
+    * tokens, cost 1 token per event, refill 1 token per hour spelled
+    * as `Δµs DIV 3600` µtokens — integer floor division, so the
+    * recursive-CTE oracle reproduces every refill bit-for-bit (a
+    * float rate could not be hash-gated). Chosen so the catalog corpus
+    * actually denies (32 events at sf0.01 — the r11 non-vacuity rule).
+    */
+  val TbCapMicro: Long = 2000000L
+  val TbCostMicro: Long = 1000000L
+  val TbRefillUsPerMicro: Long = 3600L
+
+  /** Token-bucket admission control — THE rate-limiting primitive a
+    * mitigation tier runs per source: a bucket drains one token per
+    * admitted event and refills linearly with elapsed time, capped.
+    * Like the keep-chain debounce, admission decisions feed later
+    * ones (a denied event does NOT drain the bucket, and refill is
+    * measured from the last event's arrival), so the fold is
+    * inherently sequential per key — transformWithState ValueState,
+    * rows folded in (ts_us, event_id) order within each batch, state
+    * carrying across batches.
+    */
+  class TokenBucketProcessor
+      extends StatefulProcessor[Long, TbEvent, TbStats] {
+    @transient private var state: ValueState[TbState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TbState](
+        "bucket", Encoders.product[TbState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TbEvent],
+        timerValues: TimerValues): Iterator[TbStats] = {
+      var s =
+        if (state.exists()) state.get()
+        else TbState(TbCapMicro, Long.MinValue, 0L, 0L)
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val avail =
+          if (s.n_events == 0L) TbCapMicro
+          else math.min(TbCapMicro,
+            s.tokens + (e.ts_us - s.last_ts) / TbRefillUsPerMicro)
+        val ok = avail >= TbCostMicro
+        s = TbState(if (ok) avail - TbCostMicro else avail, e.ts_us,
+          s.n_events + 1, s.n_allowed + (if (ok) 1L else 0L))
+      }
+      state.update(s)
+      Iterator.single(TbStats(key, s.n_events, s.n_allowed))
+    }
+  }
+
+  /** Catalog entry: per-user token-bucket admission over the event
+    * stream. The oracle steps the bucket rank-by-rank as a recursive
+    * CTE (depth = longest per-user sequence — session-scale, never
+    * corpus-scale), carrying the exact µtoken balance.
+    */
+  val qTwsTokenBucket = Q(
+    "q_tws_token_bucket",
+    (spark, dir) => {
+      import spark.implicits._
+      val sinkName = s"tws_bucket_${System.nanoTime()}"
+      withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = graft.Tables.eventsStream(spark, dir)
+            .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
+              "event_id")
+            .as[TbEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new TokenBucketProcessor,
+              TimeMode.None(), OutputMode.Update(), Encoders.product[TbStats])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      import org.apache.spark.sql.expressions.Window
+      spark.table(sinkName)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"n_events".desc)))
+        .where($"rn" === 1)
+        .selectExpr("user_id", "n_events", "n_allowed",
+          "n_events - n_allowed AS n_denied")
+        .orderBy("user_id")
+    },
+    Some(s"""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+tb AS (
+  SELECT user_id, rn, ts_us,
+         CAST($TbCapMicro - $TbCostMicro AS BIGINT) AS tokens, 1 AS allowed
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us,
+         CASE WHEN least($TbCapMicro, t.tokens + (e.ts_us - t.ts_us) // $TbRefillUsPerMicro) >= $TbCostMicro
+              THEN least($TbCapMicro, t.tokens + (e.ts_us - t.ts_us) // $TbRefillUsPerMicro) - $TbCostMicro
+              ELSE least($TbCapMicro, t.tokens + (e.ts_us - t.ts_us) // $TbRefillUsPerMicro) END,
+         CASE WHEN least($TbCapMicro, t.tokens + (e.ts_us - t.ts_us) // $TbRefillUsPerMicro) >= $TbCostMicro
+              THEN 1 ELSE 0 END
+  FROM tb t JOIN e ON e.user_id = t.user_id AND e.rn = t.rn + 1)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(allowed) AS BIGINT) AS n_allowed,
+       count(*) - CAST(sum(allowed) AS BIGINT) AS n_denied
+FROM tb GROUP BY user_id
+ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(qTwsRunningTotals, qTwsTopEventType, qTwsSessionTimers, qTwsDebounce)
+    Seq(qTwsRunningTotals, qTwsTopEventType, qTwsSessionTimers, qTwsDebounce,
+      qTwsTokenBucket)
 }

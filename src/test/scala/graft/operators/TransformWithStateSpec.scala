@@ -281,4 +281,63 @@ class TransformWithStateSpec extends AnyFunSuite {
       StatefulTotals.ChainEvent(9L, "x", 0L, 1L))), "chain_order")
     assert(got((9L, "x")) == StatefulTotals.ChainStats(9L, "x", 3L, 2L))
   }
+
+  private def runBucket(batches: Seq[Seq[StatefulTotals.TbEvent]],
+      sinkName: String): Map[Long, StatefulTotals.TbStats] = {
+    import spark.implicits._
+    StatefulTotals.withRocksDb(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StatefulTotals.TbEvent]
+      val q = input.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new StatefulTotals.TokenBucketProcessor,
+          TimeMode.None(), OutputMode.Update(),
+          Encoders.product[StatefulTotals.TbStats])
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sinkName)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    spark.table(sinkName).as[StatefulTotals.TbStats].collect()
+      .groupBy(_.user_id)
+      .map { case (k, rows) => k -> rows.maxBy(_.n_events) }
+  }
+
+  test("token bucket: burst drains the cap, denied events do not drain, refill readmits") {
+    val hourUs = 3600L * 1000000
+    // cap 2: e1 allow (1 token left), e2 allow (0), e3+e4 deny (a
+    // denied event must NOT consume), then after 1h refill e5 allows
+    val got = runBucket(Seq(Seq(
+      StatefulTotals.TbEvent(1L, 0L, 1L),
+      StatefulTotals.TbEvent(1L, 1000L, 2L),
+      StatefulTotals.TbEvent(1L, 2000L, 3L),
+      StatefulTotals.TbEvent(1L, 3000L, 4L),
+      StatefulTotals.TbEvent(1L, 3000L + hourUs, 5L))), "tb_sem")
+    assert(got(1L) == StatefulTotals.TbStats(1L, 5L, 3L))
+  }
+
+  test("token bucket: refill is capped at capacity (a week away never banks >2)") {
+    val weekUs = 7L * 86400L * 1000000
+    // after a week the bucket holds exactly cap=2: two allows then deny
+    val got = runBucket(Seq(Seq(
+      StatefulTotals.TbEvent(2L, 0L, 1L),
+      StatefulTotals.TbEvent(2L, weekUs, 2L),
+      StatefulTotals.TbEvent(2L, weekUs + 10L, 3L),
+      StatefulTotals.TbEvent(2L, weekUs + 20L, 4L))), "tb_cap")
+    assert(got(2L) == StatefulTotals.TbStats(2L, 4L, 3L))
+  }
+
+  test("token bucket: balance carries across micro-batches") {
+    val hourUs = 3600L * 1000000
+    // batch 1 drains the bucket (2 allows); batch 2 at +30min has only
+    // half a token → deny; at +90min total refill past 1 token → allow
+    val got = runBucket(Seq(
+      Seq(StatefulTotals.TbEvent(3L, 0L, 1L),
+        StatefulTotals.TbEvent(3L, 1L, 2L)),
+      Seq(StatefulTotals.TbEvent(3L, hourUs / 2, 3L),
+        StatefulTotals.TbEvent(3L, hourUs / 2 + hourUs, 4L))), "tb_carry")
+    assert(got(3L) == StatefulTotals.TbStats(3L, 4L, 3L))
+  }
 }
