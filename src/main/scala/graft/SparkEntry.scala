@@ -46,6 +46,7 @@ object SparkEntry {
       operators.Profiling.all ++
       operators.Ewma.all ++
       operators.Deciles.all ++
+      operators.Fulfillment.all ++
       ml.RfDetector.all ++
       ml.PretrainedRf.all ++
       ingest.CsvFlows.roundtripQueries

@@ -247,6 +247,43 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 1L, 5000L), (1L, 1L, 1L, 10000L)))
   }
 
+  test("fulfillment sla: hand percentiles — crossing picks the right day") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // one priority, 10 orders with latencies 0..9 days:
+    // p50 = smallest v with cum >= (10+1) DIV 2 = 5 → day 4
+    // p90 = smallest v with cum >= (90+9) DIV 10 = 9 → day 8
+    val orders = (0 until 10).map(i => (i.toLong, "1-URGENT", ts(0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = (0 until 10).map(i => (i.toLong, ts(i)))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Fulfillment.slaOn(orders, li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(("1-URGENT", 10L, 4L, 8L, 9L)))
+  }
+
+  test("fulfillment sla: last shipment governs; percentile order holds on the corpus") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // an order with lines shipping day 1 and day 7 has latency 7
+    val orders = Seq((1L, "2-HIGH", ts(0))).toDF(
+      "o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq((1L, ts(1)), (1L, ts(7))).toDF("l_orderkey", "l_shipdate")
+    val one = Fulfillment.slaOn(orders, li).collect().head
+    assert((one.getLong(2), one.getLong(3), one.getLong(4)) == ((7L, 7L, 7L)))
+    val corpus = Fulfillment.slaOn(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "p50 <= p90 <= max must hold")
+    }
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
