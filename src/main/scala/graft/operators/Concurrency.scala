@@ -39,7 +39,11 @@ object Concurrency {
     * epoch-nanos, event_id) — spec entry for the hand-overlap laws;
     * the catalog query binds the driver table.
     */
-  private[graft] def peakConcurrencyOn(events: DataFrame): DataFrame = {
+  /** Session endpoint deltas (+1 at start, −1 one µs after the last
+    * event), tagged with their calendar day — the shared stage under
+    * both sweep-line queries.
+    */
+  private[graft] def sessionDeltas(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
@@ -53,11 +57,17 @@ object Concurrency {
         sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"session_idx")
       .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
-    val deltas = sess.select($"start_us".as("ts_us"), lit(1L).as("delta"),
+    sess.select($"start_us".as("ts_us"), lit(1L).as("delta"),
         $"user_id", $"session_idx")
       .unionAll(sess.select(($"end_us" + 1L).as("ts_us"), lit(-1L).as("delta"),
         $"user_id", $"session_idx"))
       .withColumn("day_idx", expr(s"ts_us DIV $DayUs"))
+  }
+
+  private[graft] def peakConcurrencyOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltas = sessionDeltas(events)
     // phase 1: within-day running sum, all days in parallel
     val withinW = Window.partitionBy($"day_idx")
       .orderBy($"ts_us", $"delta", $"user_id", $"session_idx")
@@ -125,5 +135,110 @@ GROUP BY 1, 2, 3
 ORDER BY day_idx""")
   )
 
-  val all: Seq[Q] = Seq(qPeakConcurrency)
+  /** Daily coverage / uptime — the union-length of session intervals
+    * per calendar day: how many microseconds of each day had AT LEAST
+    * one session open, and the utilization in bp of the day. The
+    * interval-UNION complement of [[qPeakConcurrency]]'s max-overlap:
+    * same endpoint deltas, same two-phase distributed prefix sum, plus
+    * one marker row per calendar day (delta 0 at midnight, sentinel
+    * -1 keys so tie order is engine-identical) so a day that a session
+    * spans WHOLE still reports its carry — segments then never cross
+    * midnight, and a day's covered time is the sum of its
+    * breakpoint-to-next gaps where the running count is positive.
+    *
+    * Scale: the day spine is exploded from the 1-row (min, max) day
+    * bounds — calendar-sized; everything else is the peak query's
+    * shape (phase-1 windows partitioned by day, phase-2 offsets over
+    * the |days| relation).
+    */
+  private[graft] def coverageOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltas = sessionDeltas(events)
+    val bounds = deltas.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
+    val markers = bounds
+      .select(explode(sequence($"d0", $"d1")).as("day_idx"))
+      .select(($"day_idx" * DayUs).as("ts_us"), lit(0L).as("delta"),
+        lit(-1L).as("user_id"), lit(-1L).as("session_idx"), $"day_idx")
+    val pts = deltas.unionAll(markers)
+    val withinW = Window.partitionBy($"day_idx")
+      .orderBy($"ts_us", $"delta", $"user_id", $"session_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsetW = Window.orderBy($"day_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy($"day_idx")
+      .agg(sum($"delta").as("day_delta"))
+      .withColumn("carry", coalesce(sum($"day_delta").over(offsetW), lit(0L)))
+      .select($"day_idx".as("od"), $"carry")
+    val leadW = Window.partitionBy($"day_idx")
+      .orderBy($"ts_us", $"delta", $"user_id", $"session_idx")
+    pts
+      .withColumn("within_run", sum($"delta").over(withinW))
+      .withColumn("next_us",
+        coalesce(lead($"ts_us", 1).over(leadW), ($"day_idx" + 1) * DayUs))
+      .join(broadcast(offsets), $"day_idx" === $"od")
+      .withColumn("running", $"carry" + $"within_run")
+      .groupBy($"day_idx")
+      .agg(
+        sum(when($"running" > 0L, $"next_us" - $"ts_us").otherwise(0L))
+          .cast("bigint").as("covered_us"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_session_starts"))
+      .selectExpr("day_idx", "covered_us", "n_session_starts",
+        s"(10000 * covered_us) DIV $DayUs AS utilization_bp")
+      .orderBy("day_idx")
+  }
+
+  val qDailyCoverage = Q(
+    "q_daily_coverage",
+    (spark, dir) => coverageOn(Tables.events(spark, dir)),
+    Some(s"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > ${Sessionize.GapUs}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessed AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM sessed GROUP BY 1, 2
+), d AS (
+  SELECT start_us AS ts_us, 1 AS delta, user_id, session_idx,
+         start_us // $DayUs AS day_idx FROM sess
+  UNION ALL
+  SELECT end_us + 1, -1, user_id, session_idx,
+         (end_us + 1) // $DayUs FROM sess
+), bounds AS (
+  SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM d
+), markers AS (
+  SELECT dd * $DayUs AS ts_us, 0 AS delta,
+         CAST(-1 AS BIGINT) AS user_id, CAST(-1 AS BIGINT) AS session_idx,
+         dd AS day_idx
+  FROM (SELECT unnest(range(d0, d1 + 1)) AS dd FROM bounds)
+), pts AS (
+  SELECT * FROM d UNION ALL SELECT * FROM markers
+), r AS (
+  SELECT day_idx, ts_us, delta,
+         sum(delta) OVER (ORDER BY ts_us, delta, user_id, session_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+         coalesce(lead(ts_us) OVER (PARTITION BY day_idx
+                                    ORDER BY ts_us, delta, user_id, session_idx),
+                  (day_idx + 1) * $DayUs) AS next_us
+  FROM pts
+)
+SELECT CAST(day_idx AS BIGINT) AS day_idx,
+       CAST(sum(CASE WHEN running > 0 THEN next_us - ts_us ELSE 0 END) AS BIGINT) AS covered_us,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_session_starts,
+       (10000 * CAST(sum(CASE WHEN running > 0 THEN next_us - ts_us ELSE 0 END) AS BIGINT)) // $DayUs AS utilization_bp
+FROM r
+GROUP BY 1
+ORDER BY day_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qPeakConcurrency, qDailyCoverage)
 }

@@ -74,6 +74,43 @@ class ConcurrencySpec extends AnyFunSuite {
       (1L, 2L, 1L, (DayNs + 5 * M) / 1000)))
   }
 
+  test("coverage: union length, not sum — overlap counts once") {
+    // u1 session [0, 2h], u2 session [1h, 3h] (20-min event steps keep
+    // each session alive) → union [0, 3h] + 1us closing tick
+    val H = 60 * M
+    val u1 = (0 to 6).map(i => (1L, i * 20 * M, 10L + i))   // 0..2h
+    val u2 = (0 to 6).map(i => (2L, H + i * 20 * M, 30L + i)) // 1h..3h
+    val got = Concurrency.coverageOn(ev(u1 ++ u2: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 3L * H / 1000 + 1L, 2L, 1250L)))
+  }
+
+  test("coverage: a session spanning a whole day reports that day at 10000 bp") {
+    // session [day0 12:00, day2 12:00] — wait, a 48h event gap would
+    // split sessions; span it with events every 20 minutes
+    val step = 20 * M
+    val n = (2 * DayNs / step).toInt
+    val rows = (0 to n).map(i =>
+      (1L, DayNs / 2 + i * step, 100L + i)) // day0 12:00 → day2 12:00
+    val got = Concurrency.coverageOn(ev(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got.length == 3)
+    val day1 = got(1)
+    assert(day1._2 == 86400000000L && day1._3 == 10000L,
+      s"middle day must be fully covered, got $day1")
+    // day 0 and day 2: half each
+    assert(got.head._2 == 43200000000L && got.head._3 == 5000L)
+  }
+
+  test("coverage: quiet days in the spine report zero, never vanish") {
+    // activity on day 0 and day 3 only; days 1 and 2 appear with 0
+    val got = Concurrency.coverageOn(ev(
+      (1L, 0L, 1L), (2L, 3 * DayNs, 2L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(got(1)._2 == 0L && got(2)._2 == 0L)
+  }
+
   test("driver corpus: peaks are positive and bounded by the user count") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val users = e.select("user_id").distinct().count()

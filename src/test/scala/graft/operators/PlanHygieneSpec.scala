@@ -129,6 +129,11 @@ class PlanHygieneSpec extends AnyFunSuite {
         "amount range), the q_pareto_front argument. The per-customer rank " +
         "itself is the partitioned tie window plus this broadcast prefix — " +
         "no per-customer global window anywhere."),
+    "q_daily_coverage" ->
+      ("same shape as q_peak_concurrency: the unpartitioned window is " +
+        "phase-2 of the two-phase prefix sum over per-day delta totals — " +
+        "one row per calendar day (the day spine is exploded from a 1-row " +
+        "min/max bound), never session- or event-sized."),
     "q_corpus_mix" ->
       ("the unpartitioned window computes corpus-level shares over the output " +
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +
