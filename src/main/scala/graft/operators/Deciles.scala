@@ -96,5 +96,64 @@ GROUP BY 1
 ORDER BY decile""")
   )
 
-  val all: Seq[Q] = Seq(qSpendDeciles)
+  /** Revenue concentration — CR-k: the share of total revenue held by
+    * the top k customers, for k ∈ [[CrKs]] ("do 10 accounts carry the
+    * book?"). Spark-side the top-k is `orderBy(...).limit(k)` — a
+    * distributed TakeOrdered (per-partition heaps + a k-row driver
+    * merge), NEVER a global rank window; the oracle states the same
+    * selection as a row_number filter with the identical
+    * (cents DESC, custkey) total tie order.
+    *
+    * Shape at scale: spend-per-customer reduce (combinable), then per
+    * k one TakeOrdered(k) + 1-row aggregate unioned — k is a
+    * dashboard constant, so the whole readout is three k-row heaps
+    * over the customer relation.
+    */
+  val CrKs: Seq[Int] = Seq(1, 10, 100)
+
+  private[graft] def concentrationOn(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val spend = orders.groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("bigint").as("cents"))
+    val tot = spend.agg(sum($"cents").cast("bigint").as("total_cents"))
+    val perK = CrKs.map { k =>
+      spend.orderBy($"cents".desc, $"o_custkey".asc).limit(k)
+        .agg(count(lit(1)).cast("bigint").as("n_top"),
+          sum($"cents").cast("bigint").as("topk_cents"))
+        .select(lit(k.toLong).as("k"), $"n_top", $"topk_cents")
+    }.reduce(_ unionAll _)
+    perK.join(broadcast(tot))
+      .selectExpr("k", "n_top", "topk_cents", "total_cents",
+        "(10000 * topk_cents) DIV total_cents AS share_bp")
+      .orderBy("k")
+  }
+
+  val qRevenueConcentration = Q(
+    "q_revenue_concentration",
+    (spark, dir) => concentrationOn(Tables.orders(spark, dir)),
+    Some(s"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+  FROM spend
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM spend
+), perk AS (
+  ${CrKs.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_top,
+         CAST(sum(cents) AS BIGINT) AS topk_cents FROM ranked WHERE rk <= $k""")
+    .mkString("\n  UNION ALL\n  ")}
+)
+SELECT k, n_top, topk_cents, total_cents,
+       (10000 * topk_cents) // total_cents AS share_bp
+FROM perk CROSS JOIN tot
+ORDER BY k""")
+  )
+
+  val all: Seq[Q] = Seq(qSpendDeciles, qRevenueConcentration)
 }

@@ -312,6 +312,29 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(dup.map(_.getLong(1)).sum == 2L)
   }
 
+  test("concentration: hand CR-k with deterministic ties") {
+    // spends: c1=100.00, c2=100.00, c3=50.00, c4=50.00 → total 300.00
+    // top1 = c1 (tie → lower key) 10000*10000/30000 = 3333
+    // top10/top100 = everyone (n_top clamps to 4) → 10000
+    val got = Deciles.concentrationOn(ord(
+      (1L, 100.0), (2L, 100.0), (3L, 50.0), (4L, 50.0))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 10000L, 30000L, 3333L),
+      (10L, 4L, 30000L, 30000L, 10000L),
+      (100L, 4L, 30000L, 30000L, 10000L)))
+  }
+
+  test("concentration: shares are monotone in k on the driver corpus") {
+    val got = Deciles.concentrationOn(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got.map(_._1) == Seq(1L, 10L, 100L))
+    assert(got.map(_._2) == got.map(_._2).sorted, "CR-k monotone in k")
+    assert(got.head._2 > 0L)
+  }
+
   test("deciles: revenue shares are monotone and sum within floor slack") {
     val got = Deciles.decilesOn(
       graft.Tables.orders(spark, "/root/testdata/sf0.001")).collect()
