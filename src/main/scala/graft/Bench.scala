@@ -48,7 +48,11 @@ object Bench {
     // round 12b: the behavioral-window family, entropy flood signal,
     // LATERAL decorrelation, and the two dup-graph structure audits
     "q_event_transitions", "q_attribution_touch", "q_src_entropy",
-    "q_lateral_topk", "q_dup_graph_transitivity", "q_dup_hop_distance")
+    "q_lateral_topk", "q_dup_graph_transitivity", "q_dup_hop_distance",
+    // round 12c: the mitigation pair (LPM + token bucket), both
+    // sweep-line queries, and the distributed-rank decile family
+    "q_cidr_block_match", "q_tws_token_bucket", "q_peak_concurrency",
+    "q_daily_coverage", "q_spend_deciles", "q_item_cooccurrence")
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)

@@ -33,9 +33,18 @@ object MarketBasket {
   val TopK: Int = 3
 
   /** Top-K co-occurrence neighbors over any (l_orderkey, l_partkey)
-    * fact — spec entry for the cap and hand-affinity laws.
+    * fact — spec entry for the cap and hand-affinity laws. The capped
+    * basket relation `b` is referenced FOUR times (both self-join
+    * sides and both frequency lookups); the catalog entry passes it
+    * through a cached StageView so the fact is scanned and deduped
+    * once — the r12c plan audit counted 24 parquet scans in the
+    * uncached spelling.
     */
-  private[graft] def cooccurrenceOn(lineitem: DataFrame): DataFrame = {
+  private[graft] def cooccurrenceOn(lineitem: DataFrame): DataFrame =
+    cooccurrenceOnBasket(cappedBasket(lineitem))
+
+  /** The deduped, MaxBasket-capped (l_orderkey, l_partkey) relation. */
+  private[graft] def cappedBasket(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
     val basket = lineitem.select($"l_orderkey", $"l_partkey").distinct()
@@ -43,7 +52,12 @@ object MarketBasket {
       .groupBy($"l_orderkey").agg(count(lit(1)).as("bsize"))
       .where($"bsize" <= MaxBasket)
       .select($"l_orderkey")
-    val b = basket.join(sized, "l_orderkey")
+    basket.join(sized, "l_orderkey")
+  }
+
+  private[graft] def cooccurrenceOnBasket(b: DataFrame): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
     val pairs = b.as("x").join(b.as("y"), Seq("l_orderkey"))
       .where($"x.l_partkey" < $"y.l_partkey")
       .groupBy($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
@@ -65,7 +79,10 @@ object MarketBasket {
 
   val qItemCooccurrence = Q(
     "q_item_cooccurrence",
-    (spark, dir) => cooccurrenceOn(Tables.lineitem(spark, dir)),
+    (spark, dir) => cooccurrenceOnBasket(
+      StageViews.ensureCached(spark, "mb_basket_v", dir) {
+        cappedBasket(Tables.lineitem(spark, dir))
+      }),
     Some(s"""
 WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
