@@ -64,10 +64,18 @@ object Concurrency {
       .withColumn("day_idx", expr(s"ts_us DIV $DayUs"))
   }
 
-  private[graft] def peakConcurrencyOn(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def deltasView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    StageViews.ensureCached(spark, "sess_deltas_v", dir) {
+      sessionDeltas(graft.Tables.events(spark, dir))
+    }
+
+  private[graft] def peakConcurrencyOn(events: DataFrame): DataFrame =
+    peakOnDeltas(sessionDeltas(events))
+
+  private[graft] def peakOnDeltas(deltas: DataFrame): DataFrame = {
+    val spark = deltas.sparkSession
     import spark.implicits._
-    val deltas = sessionDeltas(events)
     // phase 1: within-day running sum, all days in parallel
     val withinW = Window.partitionBy($"day_idx")
       .orderBy($"ts_us", $"delta", $"user_id", $"session_idx")
@@ -95,7 +103,7 @@ object Concurrency {
 
   val qPeakConcurrency = Q(
     "q_peak_concurrency",
-    (spark, dir) => peakConcurrencyOn(Tables.events(spark, dir)),
+    (spark, dir) => peakOnDeltas(deltasView(spark, dir)),
     Some(s"""
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
@@ -151,10 +159,12 @@ ORDER BY day_idx""")
     * shape (phase-1 windows partitioned by day, phase-2 offsets over
     * the |days| relation).
     */
-  private[graft] def coverageOn(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def coverageOn(events: DataFrame): DataFrame =
+    coverageOnDeltas(sessionDeltas(events))
+
+  private[graft] def coverageOnDeltas(deltas: DataFrame): DataFrame = {
+    val spark = deltas.sparkSession
     import spark.implicits._
-    val deltas = sessionDeltas(events)
     val bounds = deltas.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
     val markers = bounds
       .select(explode(sequence($"d0", $"d1")).as("day_idx"))
@@ -191,7 +201,7 @@ ORDER BY day_idx""")
 
   val qDailyCoverage = Q(
     "q_daily_coverage",
-    (spark, dir) => coverageOn(Tables.events(spark, dir)),
+    (spark, dir) => coverageOnDeltas(deltasView(spark, dir)),
     Some(s"""
 WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

@@ -32,12 +32,29 @@ object Deciles {
     * o_totalprice) — spec entry for the tie-break, size-balance, and
     * share laws.
     */
-  private[graft] def decilesOn(orders: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
-    val spend = orders.groupBy($"o_custkey")
+  /** Exact cents spend per customer — referenced three times by the
+    * decile rank and four by the concentration readout, so the
+    * catalog entries pass it through ONE cached StageView (`spend_v`)
+    * shared by both queries; the spec seams keep the uncached
+    * spelling.
+    */
+  private[graft] def spendOn(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
         .cast("bigint").as("cents"))
+
+  private[graft] def spendView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    StageViews.ensureCached(spark, "spend_v", dir) {
+      spendOn(Tables.orders(spark, dir))
+    }
+
+  private[graft] def decilesOn(orders: DataFrame): DataFrame =
+    decilesOnSpend(spendOn(orders))
+
+  private[graft] def decilesOnSpend(spend: DataFrame): DataFrame = {
+    val spark = spend.sparkSession
+    import spark.implicits._
     val hist = spend.groupBy($"cents").agg(count(lit(1)).as("c_n"))
     val prefW = Window.orderBy($"cents").rowsBetween(Window.unboundedPreceding, -1)
     val below = hist
@@ -65,7 +82,7 @@ object Deciles {
 
   val qSpendDeciles = Q(
     "q_spend_deciles",
-    (spark, dir) => decilesOn(Tables.orders(spark, dir)),
+    (spark, dir) => decilesOnSpend(spendView(spark, dir)),
     Some("""
 WITH spend AS (
   SELECT o_custkey,
@@ -111,12 +128,12 @@ ORDER BY decile""")
     */
   val CrKs: Seq[Int] = Seq(1, 10, 100)
 
-  private[graft] def concentrationOn(orders: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
+  private[graft] def concentrationOn(orders: DataFrame): DataFrame =
+    concentrationOnSpend(spendOn(orders))
+
+  private[graft] def concentrationOnSpend(spend: DataFrame): DataFrame = {
+    val spark = spend.sparkSession
     import spark.implicits._
-    val spend = orders.groupBy($"o_custkey")
-      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
-        .cast("bigint").as("cents"))
     val tot = spend.agg(sum($"cents").cast("bigint").as("total_cents"))
     val perK = CrKs.map { k =>
       spend.orderBy($"cents".desc, $"o_custkey".asc).limit(k)
@@ -132,7 +149,7 @@ ORDER BY decile""")
 
   val qRevenueConcentration = Q(
     "q_revenue_concentration",
-    (spark, dir) => concentrationOn(Tables.orders(spark, dir)),
+    (spark, dir) => concentrationOnSpend(spendView(spark, dir)),
     Some(s"""
 WITH spend AS (
   SELECT o_custkey,

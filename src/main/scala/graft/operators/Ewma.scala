@@ -41,15 +41,22 @@ object Ewma {
     * spec entry for the hand-baseline, warmup, and decay-dominance
     * laws; the catalog query binds the driver packet stream.
     */
-  private[graft] def ewmaAlertsOn(packets: DataFrame): DataFrame = {
+  private[graft] def ewmaAlertsOn(packets: DataFrame): DataFrame =
+    alertsFromCounts(prefixHourCounts(packets))
+
+  /** The (prefix, hour, count) reduction — referenced by both the
+    * current-hour side and the baseline explode; the catalog entry
+    * caches it so the packet stream reduces once.
+    */
+  private[graft] def prefixHourCounts(packets: DataFrame): DataFrame = {
     val spark = packets.sparkSession
     locally {
       import spark.implicits._
-      alertsFromCounts(packets
+      packets
         .select(
           regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
           expr(s"ts_us DIV $HourUs").as("h"))
-        .groupBy($"pfx", $"h").agg(count(lit(1)).as("cnt")))
+        .groupBy($"pfx", $"h").agg(count(lit(1)).as("cnt"))
     }
   }
 
@@ -83,8 +90,11 @@ object Ewma {
 
   val qEwmaAlerts = Q(
     "q_ewma_burst",
-    (spark, dir) => ewmaAlertsOn(
-      BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
+    (spark, dir) => alertsFromCounts(
+      StageViews.ensureCached(spark, "pfx_hour_v", dir) {
+        prefixHourCounts(
+          BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir)))
+      }),
     Some(s"""
 WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
 packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),

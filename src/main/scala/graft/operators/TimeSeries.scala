@@ -333,13 +333,13 @@ ORDER BY week""")
   /** DAU/WAU over any events relation carrying (user_id, ts epoch-nanos
     * BIGINT) — spec entry for the hand-window laws.
     */
-  private[graft] def rollingDistinctOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def rollingDistinctOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rollingDistinctOnUd(userDaysOn(events))
+
+  private[graft] def rollingDistinctOnUd(ud: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = ud.sparkSession
     locally {
       import spark.implicits._
-      val ud = events
-        .selectExpr(s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx", "user_id")
-        .distinct()
       val days = ud.select($"day_idx").distinct()
       val expand = ud
         .select($"day_idx", $"user_id",
@@ -358,9 +358,26 @@ ORDER BY week""")
 
   private val DayUs: Long = 86400L * 1000000
 
+  /** The deduped (day_idx, user_id) activity relation — the shared
+    * stage under the whole daily-actives family (rolling distinct,
+    * new-vs-returning, streaks). Cached once per corpus so the raw
+    * stream is scanned and deduped exactly once across the family's
+    * seven references.
+    */
+  private[graft] def userDaysOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .selectExpr(s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx", "user_id")
+      .distinct()
+
+  private[graft] def userDayView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    StageViews.ensureCached(spark, "user_day_v", dir) {
+      userDaysOn(Tables.events(spark, dir))
+    }
+
   val qRollingDistinct = Q(
     "q_rolling_distinct_users",
-    (spark, dir) => rollingDistinctOn(Tables.events(spark, dir)),
+    (spark, dir) => rollingDistinctOnUd(userDayView(spark, dir)),
     Some(s"""
 WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day_idx, user_id FROM events),
 days AS (SELECT DISTINCT day_idx FROM ud),
@@ -391,14 +408,14 @@ ORDER BY day_idx""")
     * relation — calendar-bounded, the q_wow_delta whitelist argument.
     * The raw stream is read once.
     */
-  private[graft] def newVsReturningOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def newVsReturningOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    newVsReturningOnUd(userDaysOn(events))
+
+  private[graft] def newVsReturningOnUd(ud: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = ud.sparkSession
     locally {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ud = events
-        .selectExpr(s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx", "user_id")
-        .distinct()
       val dau = ud.groupBy($"day_idx").agg(count(lit(1)).as("dau"))
       val firsts = ud.groupBy($"user_id").agg(min($"day_idx").as("day_idx"))
         .groupBy($"day_idx").agg(count(lit(1)).as("new_users"))
@@ -415,7 +432,7 @@ ORDER BY day_idx""")
 
   val qNewVsReturning = Q(
     "q_new_vs_returning",
-    (spark, dir) => newVsReturningOn(Tables.events(spark, dir)),
+    (spark, dir) => newVsReturningOnUd(userDayView(spark, dir)),
     Some(s"""
 WITH ud AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day_idx, user_id FROM events),
 dau AS (SELECT day_idx, count(*) AS dau FROM ud GROUP BY 1),
@@ -450,14 +467,14 @@ ORDER BY day_idx""")
     * the longest streak ties break to the EARLIEST start via a
     * min-over-filtered aggregate, not an ordering hint.
     */
-  private[graft] def streaksOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def streaksOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    streaksOnUd(userDaysOn(events))
+
+  private[graft] def streaksOnUd(ud: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = ud.sparkSession
     locally {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ud = events
-        .selectExpr("user_id", s"CAST(ts DIV ${1000L * DayUs} AS BIGINT) AS day_idx")
-        .distinct()
       val byUser = Window.partitionBy($"user_id").orderBy($"day_idx")
       val isl = ud
         .withColumn("grp", $"day_idx" - row_number().over(byUser))
@@ -479,7 +496,7 @@ ORDER BY day_idx""")
 
   val qActivityStreaks = Q(
     "q_activity_streaks",
-    (spark, dir) => streaksOn(Tables.events(spark, dir)),
+    (spark, dir) => streaksOnUd(userDayView(spark, dir)),
     Some(s"""
 WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day_idx FROM events),
 isl AS (
