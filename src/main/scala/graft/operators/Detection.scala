@@ -217,5 +217,50 @@ ORDER BY window_start_us"""
     Some(entropyOracle)
   )
 
-  val all: Seq[Q] = Seq(qDetect, qIpPrefix, qSrcEntropy, qSrcEntropyStream)
+  /** Port-scan screening — sources that touch an unusually wide set of
+    * distinct (dst_ip, dst_port) endpoints within one day. Fan-out,
+    * not volume, is the scan signature (a scanner sends FEW packets to
+    * MANY endpoints; a heavy legitimate flow is the opposite), so the
+    * detector counts exact distinct endpoint pairs per (source, day)
+    * and reports the sources at or above [[ScanFanout]].
+    *
+    * Shape at scale: ONE groupBy (src_ip, day) with a two-phase exact
+    * distinct on the endpoint string — fully combinable, key space
+    * bounded by sources×days; no joins, no windows. Endpoint identity
+    * is the `ip:port` string, spelled identically in both engines.
+    */
+  val ScanFanout: Long = 4L
+
+  private[graft] def portScanOn(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = packets.sparkSession
+    locally {
+      import spark.implicits._
+      packets
+        .selectExpr("src_ip", s"ts_us DIV ${86400L * 1000000} AS day_idx",
+          "concat(dst_ip, ':', CAST(dst_port AS STRING)) AS endpoint")
+        .groupBy($"src_ip", $"day_idx")
+        .agg(countDistinct($"endpoint").as("fanout"),
+          count(lit(1)).as("n_packets"))
+        .where($"fanout" >= ScanFanout)
+        .orderBy("src_ip", "day_idx")
+    }
+  }
+
+  val qPortScan = Q(
+    "q_port_scan",
+    (spark, dir) => portScanOn(
+      BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))),
+    Some(s"""WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0)
+SELECT src_ip, ts_us // ${86400L * 1000000} AS day_idx,
+       count(DISTINCT dst_ip || ':' || CAST(dst_port AS VARCHAR)) AS fanout,
+       count(*) AS n_packets
+FROM packets
+GROUP BY 1, 2
+HAVING count(DISTINCT dst_ip || ':' || CAST(dst_port AS VARCHAR)) >= $ScanFanout
+ORDER BY src_ip, day_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qDetect, qIpPrefix, qSrcEntropy, qSrcEntropyStream,
+    qPortScan)
 }

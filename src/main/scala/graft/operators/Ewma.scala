@@ -144,5 +144,64 @@ ORDER BY pfx, hour_idx""")
     },
     qEwmaAlerts.oracle) // stream == batch: the SAME oracle gates both
 
-  val all: Seq[Q] = Seq(qEwmaAlerts, qEwmaBurstStream)
+  /** Seasonal (hour-of-day) anomaly — the calendar complement of the
+    * recency-weighted [[qEwmaAlerts]]: a prefix-hour is anomalous when
+    * its count defies ITS OWN hour-of-day norm across the other days
+    * (`cnt · n_other > θ · Σ other-days' counts at the same h24`,
+    * cross-multiplied — traffic at 3 AM is judged against 3 AM, so a
+    * nightly batch spike never pages and a quiet-hour flood does).
+    * Requires [[SeasonMinDays]] other days of history at that hour.
+    *
+    * Derives (day, hour-of-day) arithmetically from the SAME cached
+    * (prefix, hour, count) stage as the EWMA — h24 = h mod 24,
+    * day = h DIV 24 — so the packet stream still reduces once for the
+    * whole control-chart family. Everything downstream is
+    * prefix×hour-domain-sized.
+    */
+  val SeasonTheta: Long = 3L
+  val SeasonMinDays: Long = 5L
+
+  private[graft] def seasonalFromCounts(ph: DataFrame): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    val phd = ph.selectExpr("pfx", "h DIV 24 AS d", "h % 24 AS h24", "cnt")
+    val tot = phd.groupBy($"pfx".as("tpfx"), $"h24".as("th24"))
+      .agg(sum($"cnt").cast("bigint").as("tot_cnt"),
+        count(lit(1)).as("n_days"))
+    phd.join(broadcast(tot), $"pfx" === $"tpfx" && $"h24" === $"th24")
+      .where($"n_days" - 1 >= SeasonMinDays &&
+        $"cnt" * ($"n_days" - 1) > lit(SeasonTheta) * ($"tot_cnt" - $"cnt"))
+      .selectExpr("pfx", "d AS day_idx", "h24", "cnt",
+        "tot_cnt - cnt AS others_cnt", "n_days - 1 AS n_other_days")
+      .orderBy("pfx", "day_idx", "h24")
+  }
+
+  val qSeasonalAnomaly = Q(
+    "q_seasonal_anomaly",
+    (spark, dir) => seasonalFromCounts(
+      StageViews.ensureCached(spark, "pfx_hour_v", dir) {
+        prefixHourCounts(
+          BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir)))
+      }),
+    Some(s"""
+WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+ph AS (SELECT regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS pfx,
+              ts_us // $HourUs AS h, count(*) AS cnt
+       FROM packets GROUP BY 1, 2),
+phd AS (SELECT pfx, h // 24 AS d, h % 24 AS h24, cnt FROM ph),
+tot AS (SELECT pfx AS tpfx, h24 AS th24, CAST(sum(cnt) AS BIGINT) AS tot_cnt,
+               count(*) AS n_days
+        FROM phd GROUP BY 1, 2)
+SELECT pfx, CAST(d AS BIGINT) AS day_idx, CAST(h24 AS BIGINT) AS h24,
+       CAST(cnt AS BIGINT) AS cnt,
+       tot_cnt - cnt AS others_cnt,
+       CAST(n_days - 1 AS BIGINT) AS n_other_days
+FROM phd JOIN tot ON pfx = tpfx AND h24 = th24
+WHERE n_days - 1 >= $SeasonMinDays
+  AND cnt * (n_days - 1) > $SeasonTheta * (tot_cnt - cnt)
+ORDER BY pfx, day_idx, h24""")
+  )
+
+  val all: Seq[Q] = Seq(qEwmaAlerts, qEwmaBurstStream, qSeasonalAnomaly)
 }

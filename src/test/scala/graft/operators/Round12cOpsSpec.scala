@@ -284,6 +284,47 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def pkts(rows: (String, String, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src_ip", "dst_ip", "dst_port", "ts_us")
+  }
+
+  test("port scan: endpoint fan-out per day, duplicates collapse, days don't combine") {
+    val day = 86400L * 1000000
+    // scanner: 4 distinct endpoints on day 0 (one endpoint repeated);
+    // slow scanner: 2+2 endpoints split across two days → never flagged
+    val got = Detection.portScanOn(pkts(
+      ("10.0.0.1", "10.9.9.1", 80L, 0L), ("10.0.0.1", "10.9.9.1", 443L, 1L),
+      ("10.0.0.1", "10.9.9.2", 80L, 2L), ("10.0.0.1", "10.9.9.3", 80L, 3L),
+      ("10.0.0.1", "10.9.9.1", 80L, 4L), // dup endpoint
+      ("10.0.0.2", "10.9.9.1", 80L, 0L), ("10.0.0.2", "10.9.9.1", 443L, 1L),
+      ("10.0.0.2", "10.9.9.2", 80L, day), ("10.0.0.2", "10.9.9.3", 80L, day + 1))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("10.0.0.1", 0L, 4L, 5L)))
+  }
+
+  test("seasonal anomaly: judged against the SAME hour-of-day; min-history guard") {
+    import spark.implicits._
+    // prefix 10.0, hour-of-day 3: days 0..5 have 10 packets, day 6 has
+    // 100 → 100·6 > 3·60 → alert. Hour-of-day 7 has only 3 days of
+    // history (< 5 others) → its identical spike stays silent.
+    val rows =
+      (0 to 6).map(d => ("10.0", d * 24L + 3L, if (d == 6) 100L else 10L)) ++
+        (0 to 3).map(d => ("10.0", d * 24L + 7L, if (d == 3) 100L else 10L))
+    val ph = rows.toDF("pfx", "h", "cnt")
+    val got = Ewma.seasonalFromCounts(ph).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(("10.0", 6L, 3L, 100L, 60L, 6L)))
+  }
+
+  test("seasonal anomaly: non-vacuous at the oracle scale") {
+    val ph = Ewma.prefixHourCounts(graft.flow.BatchFlowFeaturizer.packetsFromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.01")))
+    val got = Ewma.seasonalFromCounts(ph).collect()
+    assert(got.nonEmpty)
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
