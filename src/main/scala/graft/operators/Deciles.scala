@@ -172,5 +172,101 @@ FROM perk CROSS JOIN tot
 ORDER BY k""")
   )
 
-  val all: Seq[Q] = Seq(qSpendDeciles, qRevenueConcentration)
+  /** RFM segmentation — every customer scored 1–4 on Recency (days
+    * since last order), Frequency (order count), and Monetary (exact
+    * cents), 4 = best quartile on each axis, rolled up per composite
+    * `rfm_code` (111…444). The classic lifecycle-marketing cut
+    * ("which 444 whales went quiet?" is code 144).
+    *
+    * Scale: all three quartile assignments use the SAME distributed
+    * histogram-rank as [[qSpendDeciles]] — value histogram (domain-
+    * bounded: day span, order-count span, price domain), exclusive
+    * prefix over it, partitioned tie window, floor formula — never a
+    * global per-customer window. The ORACLE ranks with a plain
+    * row_number (DuckDB has no scale constraint); both spell the
+    * identical (value, custkey) total order, which is the point of
+    * the equivalence. One customer-sized aggregate feeds all three.
+    *
+    * Determinism: ranks tie-break on custkey; scores are
+    * `4 − (4·(rank−1)) DIV n`; reference day is the corpus max order
+    * day (1-row broadcast).
+    */
+  private[graft] def rfmOn(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val per = orders.groupBy($"o_custkey")
+      .agg(
+        max(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV ${86400L * 1000000}"))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .cast("bigint").as("cents"))
+    val ref = per.agg(max($"last_day").as("ref_day"))
+    val tot = per.agg(count(lit(1)).as("n_total"))
+    val dims = per.join(broadcast(ref))
+      .selectExpr("o_custkey", "ref_day - last_day AS recency_days",
+        "n_orders", "cents")
+
+    // distributed rank → score 4..1 for one dimension (asc = small is best)
+    def score(dim: String, asc: Boolean): DataFrame = {
+      val hist = dims.groupBy(col(dim)).agg(count(lit(1)).as("hn"))
+      val prefW = Window
+        .orderBy(if (asc) col(dim).asc else col(dim).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val below = hist
+        .withColumn("below", coalesce(sum($"hn").over(prefW), lit(0L)))
+        .select(col(dim).as("bv"), $"below")
+      val tieW = Window.partitionBy(col(dim)).orderBy($"o_custkey")
+      dims.select($"o_custkey", col(dim))
+        .withColumn("tie", row_number().over(tieW))
+        .join(below, col(dim) === $"bv")
+        .join(broadcast(tot))
+        .selectExpr("o_custkey",
+          s"4 - (4 * (below + tie - 1)) DIV n_total AS s_$dim")
+    }
+
+    score("recency_days", asc = true)
+      .join(score("n_orders", asc = false), "o_custkey")
+      .join(score("cents", asc = false), "o_custkey")
+      .selectExpr(
+        "100 * s_recency_days + 10 * s_n_orders + s_cents AS rfm_code")
+      .groupBy($"rfm_code")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("rfm_code")
+  }
+
+  val qRfmSegments = Q(
+    "q_rfm_segments",
+    (spark, dir) => rfmOn(Tables.orders(spark, dir)),
+    Some(s"""
+WITH per AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // ${86400L * 1000000}) AS last_day,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ref AS (SELECT max(last_day) AS ref_day FROM per),
+tot AS (SELECT count(*) AS n_total FROM per),
+dims AS (
+  SELECT o_custkey, ref_day - last_day AS recency_days, n_orders, cents
+  FROM per CROSS JOIN ref
+), ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY recency_days, o_custkey) AS rk_r,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rk_f,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk_m
+  FROM dims
+), coded AS (
+  SELECT 100 * (4 - (4 * (rk_r - 1)) // n_total)
+       + 10 * (4 - (4 * (rk_f - 1)) // n_total)
+       + (4 - (4 * (rk_m - 1)) // n_total) AS rfm_code
+  FROM ranked CROSS JOIN tot
+)
+SELECT CAST(rfm_code AS BIGINT) AS rfm_code, count(*) AS n_users
+FROM coded
+GROUP BY 1
+ORDER BY rfm_code""")
+  )
+
+  val all: Seq[Q] = Seq(qSpendDeciles, qRevenueConcentration, qRfmSegments)
 }

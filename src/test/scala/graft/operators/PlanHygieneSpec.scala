@@ -134,6 +134,13 @@ class PlanHygieneSpec extends AnyFunSuite {
         "phase-2 of the two-phase prefix sum over per-day delta totals — " +
         "one row per calendar day (the day spine is exploded from a 1-row " +
         "min/max bound), never session- or event-sized."),
+    "q_rfm_segments" ->
+      ("three unpartitioned exclusive prefix sums, one per RFM axis, each " +
+        "over that axis's value HISTOGRAM (HashAggregate keyed by the " +
+        "value): recency days are calendar-bounded, order counts are " +
+        "per-customer-activity-bounded, cents are price-domain-bounded — " +
+        "the q_spend_deciles argument three times over; per-customer ranks " +
+        "come from the partitioned tie windows."),
     "q_corpus_mix" ->
       ("the unpartitioned window computes corpus-level shares over the output " +
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +

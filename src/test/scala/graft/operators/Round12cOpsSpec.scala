@@ -284,6 +284,34 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: hand quartiles — 4 customers split one per quartile on every axis") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // c1: 4 orders, newest (day 9), biggest → 444; c2: 3 orders day 6 → 333
+    // c3: 2 orders day 3 → 222; c4: 1 order day 0 → 111
+    val rows =
+      (1 to 4).map(i => (1L, ts(9), 100.0 * i)) ++
+        (1 to 3).map(i => (2L, ts(6), 50.0 * i)) ++
+        (1 to 2).map(i => (3L, ts(3), 20.0 * i)) ++
+        Seq((4L, ts(0), 10.0))
+    val o = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Deciles.rfmOn(o).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((111L, 1L), (222L, 1L), (333L, 1L), (444L, 1L)))
+  }
+
+  test("rfm: codes partition customers; scores stay in 1..4 on the corpus") {
+    val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val got = Deciles.rfmOn(o).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._2).sum == o.select("o_custkey").distinct().count())
+    got.foreach { case (code, _) =>
+      val (r, f, m) = (code / 100, (code / 10) % 10, code % 10)
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4, code)
+    }
+  }
+
   private def pkts(rows: (String, String, Long, Long)*) = {
     import spark.implicits._
     rows.toDF("src_ip", "dst_ip", "dst_port", "ts_us")
