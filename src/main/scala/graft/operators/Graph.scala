@@ -263,4 +263,34 @@ object Graph {
     }
     adj.iterator.map { case (u, nbrs) => (u, nbrs.size.toLong, r(u)) }.toSeq
   }
+
+  /** k-core of an undirected edge list by iterative peeling: drop every
+    * node with degree < k, recompute degrees, repeat `peels` times —
+    * membership depends on earlier removals, so a single degree filter
+    * is NOT the answer (a chain hanging off a clique peels one link
+    * per round). Each round is one map-side-combinable degree count
+    * plus two semi-joins of the shrinking symmetric edge relation,
+    * with a `localCheckpoint` per round: every peel references its
+    * predecessor twice, so an unbroken lineage doubles the ANALYZED
+    * plan each round (2^peels blowup in planning — the same hazard the
+    * CC solve breaks the same way). Callers pick `peels` ≥ the
+    * observed fixpoint depth of their graph family and assert
+    * convergence in a spec.
+    *
+    * Returns (doc/node id as `u`, `core_degree`) for surviving nodes.
+    */
+  def kcore(pairs: DataFrame, k: Int, peels: Int): DataFrame = {
+    var edges = pairs.select(col("u"), col("v"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to peels) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("u").as("kn"))
+      edges = edges
+        .join(keep, col("u") === col("kn")).drop("kn")
+        .join(keep.withColumnRenamed("kn", "kv"), col("v") === col("kv")).drop("kv")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -105,5 +105,75 @@ FROM ranked WHERE rank <= $TopK
 ORDER BY part, rank""")
   )
 
-  val all: Seq[Q] = Seq(qItemCooccurrence)
+  /** 3-core of the co-purchase graph — the dense product communities
+    * that survive after every weakly-attached part peels away: parts
+    * co-bought (support ≥ [[CoreMinSupport]]) with at least 3 OTHER
+    * core members. The assortment-planning cut ("which products form
+    * self-reinforcing bundles") that top-K neighbor lists can't
+    * answer, because k-core membership is a global fixpoint, not a
+    * local rank — a chain hanging off a community peels link by link
+    * ([[graft.operators.Graph.kcore]]'s iterative semantics; the dup
+    * graph was the wrong host — its sf0.01 components are paths with
+    * max degree 2, so every k≥2 core is structurally empty there).
+    *
+    * Scale: same capped-basket stage as `q_item_cooccurrence`
+    * (shared `mb_basket_v` cache); the support filter bounds the edge
+    * relation before any peel; [[CorePeels]] = 20 fixed rounds (the
+    * sf0.01 graph reaches its fixpoint at 18 — the spec pins
+    * convergence), each round degree-count + two semi-joins with the
+    * per-round checkpoint. The ORACLE states the identical 20 peels
+    * as generated MATERIALIZED CTEs — DuckDB's default inlining would
+    * otherwise re-plan the basket pipeline 2^20 times (the
+    * fd-exhaustion failure the first spelling hit), the exact dual of
+    * the Spark-side lineage blowup.
+    */
+  val CoreMinSupport: Long = 2L
+  val CoreK: Int = 3
+  val CorePeels: Int = 20
+
+  private[graft] def supportPairs(b: DataFrame): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    b.as("x").join(b.as("y"), Seq("l_orderkey"))
+      .where($"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("u"), $"y.l_partkey".as("v"))
+      .agg(count(lit(1)).as("n"))
+      .where($"n" >= CoreMinSupport)
+      .select($"u", $"v")
+  }
+
+  val qKcoreCopurchase = Q(
+    "q_kcore_copurchase",
+    (spark, dir) => {
+      import spark.implicits._
+      Graph.kcore(
+        supportPairs(StageViews.ensureCached(spark, "mb_basket_v", dir) {
+          cappedBasket(Tables.lineitem(spark, dir))
+        }), CoreK, CorePeels)
+        .select($"u".as("part"), $"core_degree")
+        .orderBy("part")
+    },
+    Some {
+      val peels = (1 to CorePeels).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $CoreK),
+e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+        JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)"""
+      }.mkString(",\n")
+      s"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
+b AS (SELECT basket.* FROM basket JOIN sized ON basket.l_orderkey = sized.l_orderkey),
+pairs AS (SELECT x.l_partkey AS u, y.l_partkey AS v
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= $CoreMinSupport),
+e0 AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+$peels
+SELECT u AS part, count(*) AS core_degree
+FROM e$CorePeels
+GROUP BY u
+ORDER BY part"""
+    })
+
+  val all: Seq[Q] = Seq(qItemCooccurrence, qKcoreCopurchase)
 }

@@ -312,6 +312,42 @@ class Round12cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: iterative peel — a chain needs two rounds, one degree filter lies") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + 5–6 tail: deg(5)=3 via (6,1,2), deg(6)=2 via (5,3).
+    // Round 1 peels 6 (deg 2); only THEN 5 drops to deg 2 and peels in
+    // round 2 — a single degree>=3 filter would wrongly keep 5.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (1L, 5L), (2L, 5L), (3L, 6L))
+      .toDF("u", "v")
+    val got = Graph.kcore(pairs, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kcore: a clique survives whole; a triangle has no 3-core") {
+    import spark.implicits._
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("u", "v")
+    val got = Graph.kcore(k5, 3, 4).collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 4L))
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(Graph.kcore(tri, 3, 4).collect().isEmpty)
+  }
+
+  test("kcore: the co-purchase catalog query converges within its peel budget") {
+    import spark.implicits._
+    val b = MarketBasket.cappedBasket(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.01"))
+    val pairs = MarketBasket.supportPairs(b).localCheckpoint()
+    val atBudget = Graph.kcore(pairs, MarketBasket.CoreK, MarketBasket.CorePeels)
+    val onePast = Graph.kcore(pairs, MarketBasket.CoreK, MarketBasket.CorePeels + 1)
+    val a = atBudget.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty, "the 3-core must be non-vacuous at oracle scale")
+    assert(a == onePast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "peel budget must reach the fixpoint on the oracle corpus")
+  }
+
   private def pkts(rows: (String, String, Long, Long)*) = {
     import spark.implicits._
     rows.toDF("src_ip", "dst_ip", "dst_port", "ts_us")
