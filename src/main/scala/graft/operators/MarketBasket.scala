@@ -175,5 +175,76 @@ GROUP BY u
 ORDER BY part"""
     })
 
-  val all: Seq[Q] = Seq(qItemCooccurrence, qKcoreCopurchase)
+  /** Association rules — directed `antecedent → consequent` over the
+    * same capped baskets: support (share of all baskets containing the
+    * pair), confidence (share of antecedent baskets that also hold the
+    * consequent), and the lift VERDICT stated as the cross-multiplied
+    * integer test `n_ab · n_baskets > n_ant · n_cons` (lift > 1 ⟺ the
+    * consequent is over-represented among the antecedent's baskets) —
+    * no division by a product, so no precision loss and no overflow
+    * until counts pass 3·10⁹ (documented bound; far beyond any
+    * per-pair count). Every pair emits BOTH directions: confidence is
+    * asymmetric, which is the whole point of rules over plain
+    * co-occurrence.
+    *
+    * Scale: pair counts and part frequencies both reduce off the
+    * shared cached basket stage; the rule relation is pair-sized.
+    */
+  val RuleMinSupport: Long = 2L
+
+  private[graft] def rulesOnBasket(b: DataFrame): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val pairs = b.as("x").join(b.as("y"), Seq("l_orderkey"))
+      .where($"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= RuleMinSupport)
+    val freq = b.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+    val nb = b.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val sym = pairs.select($"pa".as("antecedent"), $"pb".as("consequent"), $"n_ab")
+      .unionAll(pairs.select($"pb".as("antecedent"), $"pa".as("consequent"), $"n_ab"))
+    sym
+      .join(broadcast(freq.select($"l_partkey".as("antecedent"), $"n_orders".as("n_ant"))), "antecedent")
+      .join(broadcast(freq.select($"l_partkey".as("consequent"), $"n_orders".as("n_cons"))), "consequent")
+      .join(broadcast(nb))
+      .selectExpr("antecedent", "consequent", "n_ab", "n_ant",
+        "(10000 * n_ab) DIV n_baskets AS support_bp",
+        "(10000 * n_ab) DIV n_ant AS confidence_bp",
+        "n_ab * n_baskets > n_ant * n_cons AS lifted")
+      .orderBy("antecedent", "consequent")
+  }
+
+  val qBasketRules = Q(
+    "q_basket_rules",
+    (spark, dir) => rulesOnBasket(
+      StageViews.ensureCached(spark, "mb_basket_v", dir) {
+        cappedBasket(Tables.lineitem(spark, dir))
+      }),
+    Some(s"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
+b AS (SELECT basket.* FROM basket JOIN sized ON basket.l_orderkey = sized.l_orderkey),
+pairs AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_ab
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= $RuleMinSupport),
+freq AS (SELECT l_partkey, count(*) AS n_orders FROM b GROUP BY 1),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+sym AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        UNION ALL SELECT pb, pa, n_ab FROM pairs)
+SELECT s.antecedent, s.consequent, CAST(s.n_ab AS BIGINT) AS n_ab,
+       CAST(fa.n_orders AS BIGINT) AS n_ant,
+       (10000 * s.n_ab) // n_baskets AS support_bp,
+       (10000 * s.n_ab) // fa.n_orders AS confidence_bp,
+       s.n_ab * n_baskets > fa.n_orders * fc.n_orders AS lifted
+FROM sym s
+JOIN freq fa ON s.antecedent = fa.l_partkey
+JOIN freq fc ON s.consequent = fc.l_partkey
+CROSS JOIN nb
+ORDER BY antecedent, consequent""")
+  )
+
+  val all: Seq[Q] = Seq(qItemCooccurrence, qKcoreCopurchase, qBasketRules)
 }

@@ -565,6 +565,23 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(byCol.filterNot(_._1 == "event_type_scrubbed").values.forall(_ == 0L))
   }
 
+  test("basket rules: confidence is asymmetric; lift verdict is cross-multiplied") {
+    // baskets: {A,B} ×2, {A} ×2, {B} — A→B: conf 2/4=5000bp; B→A: 2/3=6666bp
+    // lift: n_ab·n_baskets = 2·5 = 10 > n_a·n_b = 4·3 = 12? NO → not lifted
+    val rows = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (4L, 10L), (5L, 20L))
+    val got = MarketBasket.rulesOnBasket(baskets(rows: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      (10L, 20L, 2L, 4L, 4000L, 5000L, false),
+      (20L, 10L, 2L, 3L, 4000L, 6666L, false)))
+    // make the pair genuinely lifted: drop the lone-A/lone-B baskets
+    val lift = MarketBasket.rulesOnBasket(
+      baskets((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))).collect()
+    assert(lift.forall(_.getBoolean(6)), "2·3 > 2·2 must report lifted")
+  }
+
   test("co-occurrence: top-K bounds neighbors per part on the driver corpus") {
     val got = MarketBasket.cooccurrenceOn(
       graft.Tables.lineitem(spark, "/root/testdata/sf0.001")).collect()
