@@ -74,7 +74,18 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // malformed row keeps the output non-empty), parameterized rate
     // anomaly, integer-bit surprisal, cluster-size histogram
     "q_variant_shapes", "q_rate_anomaly", "q_text_surprisal",
-    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup")
+    "q_dedup_cluster_sizes", "q_cohort_retention", "q_hierarchy_rollup",
+    // round 12c: the mitigation/analytics additions — sweep-line phases,
+    // histogram ranks, iterative peels, and the LPM join must all
+    // degrade to empty output, never throw, on a zero-row corpus
+    "q_cidr_block_match", "q_peak_concurrency", "q_daily_coverage",
+    "q_rolling_distinct_users", "q_new_vs_returning", "q_activity_streaks",
+    "q_lifecycle_segments", "q_item_cooccurrence", "q_kcore_copurchase",
+    "q_basket_rules", "q_table_profile", "q_benford_audit",
+    "q_spend_deciles", "q_revenue_concentration", "q_rfm_segments",
+    "q_ewma_burst", "q_seasonal_anomaly", "q_port_scan",
+    "q_fulfillment_sla", "q_bounce_rate", "q_time_to_convert",
+    "q_bot_cadence", "q_ab_lift")
 
   queries.foreach { name =>
     test(s"$name completes on an empty corpus") {
