@@ -283,13 +283,25 @@ object Graph {
     var edges = pairs.select(col("u"), col("v"))
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    for (_ <- 1 to peels) {
+    // early exit on the fixpoint: counts are near-free on the
+    // checkpointed relation, and a converged peel is the identity —
+    // stopping early cannot change the result, only skip no-op rounds
+    // (the sf1 probe showed 20 blind rounds costing 21 s where the
+    // graph converges in far fewer)
+    var prev = edges.count()
+    var i = 0
+    var converged = false
+    while (i < peels && !converged) {
       val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("u").as("kn"))
       edges = edges
         .join(keep, col("u") === col("kn")).drop("kn")
         .join(keep.withColumnRenamed("kn", "kv"), col("v") === col("kv")).drop("kv")
         .localCheckpoint()
+      val n = edges.count()
+      converged = n == prev
+      prev = n
+      i += 1
     }
     edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
   }

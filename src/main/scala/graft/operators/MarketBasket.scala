@@ -55,13 +55,39 @@ object MarketBasket {
     basket.join(sized, "l_orderkey")
   }
 
-  private[graft] def cooccurrenceOnBasket(b: DataFrame): DataFrame = {
+  /** Unfiltered within-order pair counts (pa < pb, n_ab) — the ONE
+    * self-join the whole family runs: co-occurrence, the k-core, and
+    * the rules all consume this relation (kcore/rules filter it by
+    * support), so the catalog caches it as `mb_pairs_v` and the
+    * expensive join happens once per corpus.
+    */
+  private[graft] def pairCounts(b: DataFrame): DataFrame = {
     val spark = b.sparkSession
     import spark.implicits._
-    val pairs = b.as("x").join(b.as("y"), Seq("l_orderkey"))
+    b.as("x").join(b.as("y"), Seq("l_orderkey"))
       .where($"x.l_partkey" < $"y.l_partkey")
       .groupBy($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
       .agg(count(lit(1)).as("n_ab"))
+  }
+
+  private[graft] def basketView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    StageViews.ensureCached(spark, "mb_basket_v", dir) {
+      cappedBasket(Tables.lineitem(spark, dir))
+    }
+
+  private[graft] def pairsView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    StageViews.ensureCached(spark, "mb_pairs_v", dir) {
+      pairCounts(basketView(spark, dir))
+    }
+
+  private[graft] def cooccurrenceOnBasket(b: DataFrame): DataFrame =
+    cooccurrenceOnParts(pairCounts(b), b)
+
+  private[graft] def cooccurrenceOnParts(pairs: DataFrame, b: DataFrame): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
     val freq = b.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
     val sym = pairs.select($"pa".as("part"), $"pb".as("neighbor"), $"n_ab")
       .unionAll(pairs.select($"pb".as("part"), $"pa".as("neighbor"), $"n_ab"))
@@ -79,10 +105,8 @@ object MarketBasket {
 
   val qItemCooccurrence = Q(
     "q_item_cooccurrence",
-    (spark, dir) => cooccurrenceOnBasket(
-      StageViews.ensureCached(spark, "mb_basket_v", dir) {
-        cappedBasket(Tables.lineitem(spark, dir))
-      }),
+    (spark, dir) => cooccurrenceOnParts(
+      pairsView(spark, dir), basketView(spark, dir)),
     Some(s"""
 WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
@@ -131,25 +155,23 @@ ORDER BY part, rank""")
   val CoreK: Int = 3
   val CorePeels: Int = 20
 
-  private[graft] def supportPairs(b: DataFrame): DataFrame = {
-    val spark = b.sparkSession
+  private[graft] def supportPairs(b: DataFrame): DataFrame =
+    supportEdges(pairCounts(b))
+
+  /** The support-filtered undirected edge list off the shared pair
+    * relation. */
+  private[graft] def supportEdges(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    b.as("x").join(b.as("y"), Seq("l_orderkey"))
-      .where($"x.l_partkey" < $"y.l_partkey")
-      .groupBy($"x.l_partkey".as("u"), $"y.l_partkey".as("v"))
-      .agg(count(lit(1)).as("n"))
-      .where($"n" >= CoreMinSupport)
-      .select($"u", $"v")
+    pairs.where($"n_ab" >= CoreMinSupport)
+      .select($"pa".as("u"), $"pb".as("v"))
   }
 
   val qKcoreCopurchase = Q(
     "q_kcore_copurchase",
     (spark, dir) => {
       import spark.implicits._
-      Graph.kcore(
-        supportPairs(StageViews.ensureCached(spark, "mb_basket_v", dir) {
-          cappedBasket(Tables.lineitem(spark, dir))
-        }), CoreK, CorePeels)
+      Graph.kcore(supportEdges(pairsView(spark, dir)), CoreK, CorePeels)
         .select($"u".as("part"), $"core_degree")
         .orderBy("part")
     },
@@ -192,14 +214,13 @@ ORDER BY part"""
     */
   val RuleMinSupport: Long = 2L
 
-  private[graft] def rulesOnBasket(b: DataFrame): DataFrame = {
+  private[graft] def rulesOnBasket(b: DataFrame): DataFrame =
+    rulesOnParts(pairCounts(b), b)
+
+  private[graft] def rulesOnParts(allPairs: DataFrame, b: DataFrame): DataFrame = {
     val spark = b.sparkSession
     import spark.implicits._
-    val pairs = b.as("x").join(b.as("y"), Seq("l_orderkey"))
-      .where($"x.l_partkey" < $"y.l_partkey")
-      .groupBy($"x.l_partkey".as("pa"), $"y.l_partkey".as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where($"n_ab" >= RuleMinSupport)
+    val pairs = allPairs.where($"n_ab" >= RuleMinSupport)
     val freq = b.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
     val nb = b.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_baskets"))
@@ -218,10 +239,8 @@ ORDER BY part"""
 
   val qBasketRules = Q(
     "q_basket_rules",
-    (spark, dir) => rulesOnBasket(
-      StageViews.ensureCached(spark, "mb_basket_v", dir) {
-        cappedBasket(Tables.lineitem(spark, dir))
-      }),
+    (spark, dir) => rulesOnParts(
+      pairsView(spark, dir), basketView(spark, dir)),
     Some(s"""
 WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
