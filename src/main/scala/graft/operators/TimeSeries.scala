@@ -597,7 +597,65 @@ GROUP BY 1
 ORDER BY segment""")
   )
 
+  /** Time-weighted average value (TWAP) per user — the step-function
+    * integral a plain mean gets wrong: each observation HOLDS until
+    * the next one, so a value held for ten hours weighs 3600× one
+    * held for ten seconds. The metric behind TWAP pricing, sensor
+    * duty-cycle averages, and state-dwell analysis.
+    *
+    * Exact integers throughout: value as cents, holding durations in
+    * µs from ONE user-partitioned lead pass, the integral as
+    * Σ cents·dur (bounded: Σ dur ≤ the corpus time span in µs and cents ≤ ~5·10⁴
+    * on this schema, so the per-user integral stays far inside BIGINT), and the average as the
+    * floor quotient. The LAST observation of a user has no holding
+    * period and is excluded from the integral — the standard
+    * right-open convention, pinned by the spec (a user with a single
+    * event emits no row rather than a fake zero-duration average).
+    *
+    * Shape: one window + one combinable groupBy, both on user_id —
+    * one Exchange total.
+    */
+  private[graft] def twapOn(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      events
+        .selectExpr("user_id", "event_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
+          "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+        .withColumn("dur_us", lead($"ts_us", 1).over(byUser) - $"ts_us")
+        .where($"dur_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum($"dur_us").cast("bigint").as("total_dur_us"),
+          sum($"cents" * $"dur_us").cast("bigint").as("weighted"))
+        .selectExpr("user_id", "n_holds", "total_dur_us",
+          "weighted DIV total_dur_us AS twap_cents")
+        .orderBy("user_id")
+    }
+  }
+
+  val qTwap = Q(
+    "q_twap_value",
+    (spark, dir) => twapOn(Tables.events(spark, dir)),
+    Some("""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+h AS (SELECT user_id, cents,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dur_us
+      FROM e)
+SELECT user_id, count(*) AS n_holds,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(sum(cents * dur_us) AS BIGINT) // CAST(sum(dur_us) AS BIGINT) AS twap_cents
+FROM h
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qGapFill, qRangeFrame, qCohortRetention, qDecayHalflife, qWowDelta,
-      qRollingDistinct, qNewVsReturning, qActivityStreaks, qLifecycle)
+      qRollingDistinct, qNewVsReturning, qActivityStreaks, qLifecycle, qTwap)
 }

@@ -348,6 +348,36 @@ class Round12cOpsSpec extends AnyFunSuite {
       "peel budget must reach the fixpoint on the oracle corpus")
   }
 
+  private def vev(rows: (Long, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_id", "value")
+  }
+
+  test("twap: holding durations weight the step function; plain mean would differ") {
+    // u1: value 1.00 held 9 s, then 3.00 held 1 s, then a terminal obs.
+    // TWAP = (100·9e6 + 300·1e6) / 10e6 = 120 cents; plain mean = 200.
+    val got = TimeSeries.twapOn(vev(
+      (1L, 0L, 1L, 1.0),
+      (1L, 9L * SecNs, 2L, 3.0),
+      (1L, 10L * SecNs, 3L, 9.99))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 10000000L, 120L)))
+  }
+
+  test("twap: single-observation users emit no row; corpus twap within value bounds") {
+    assert(TimeSeries.twapOn(vev((9L, 0L, 1L, 1.0))).collect().isEmpty)
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val maxCents = e.selectExpr("max(CAST(round(value * 100, 0) AS BIGINT))")
+      .collect().head.getLong(0)
+    val got = TimeSeries.twapOn(e).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= maxCents,
+        "a weighted average can never leave the observed value range")
+      assert(r.getLong(2) > 0L)
+    }
+  }
+
   private def pkts(rows: (String, String, Long, Long)*) = {
     import spark.implicits._
     rows.toDF("src_ip", "dst_ip", "dst_port", "ts_us")
