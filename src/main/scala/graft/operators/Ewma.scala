@@ -14,10 +14,21 @@ import org.apache.spark.sql.functions._
   * an hour ago dominates the baseline, last night's traffic barely
   * registers — restated in EXACT integers: every weight is a power of
   * two (`shiftleft`), the baseline is a scaled BIGINT sum, and the
-  * alert test cross-multiplies (`cnt · (2^K − 1) > θ · baseline`)
-  * instead of dividing, so the oracle hash-matches with no float
-  * anywhere (same reasoning as `q_decay_halflife`; a libm `exp` could
-  * never be oracle-gated).
+  * alert test cross-multiplies
+  * (`cnt · (2^K − 1) · θden > θnum · baseline`) instead of dividing,
+  * so the oracle hash-matches with no float anywhere (same reasoning
+  * as `q_decay_halflife`; a libm `exp` could never be oracle-gated).
+  *
+  * The catalog ratio is 7/4, chosen the `q_rate_anomaly` way (r12):
+  * the synthetic corpus' burst-over-baseline ratio flattens with scale
+  * (max 146× at sf0.001, 93× at sf0.01, 2.47× at sf0.1, 1.90× on the
+  * ×10 sf1 replica — each user contributes near-uniform traffic, so
+  * CLT averaging kills relative bursts as per-prefix-hour counts
+  * grow), and the r12 θ=4 cut was vacuous at sf0.1/sf1 — the sf1
+  * probe row proved only `0 = 0`. At 7/4 every probed SF exercises
+  * the alert path (331 @ sf0.001, 693 @ sf0.01, 66 @ sf0.1,
+  * 5 @ sf1) and the spec pins both non-vacuity and the
+  * threshold-monotonicity law.
   *
   * Shape at scale: counts reduce the packet stream to the
   * (prefix, hour) relation FIRST — one map-side-combinable groupBy on
@@ -32,7 +43,8 @@ import org.apache.spark.sql.functions._
 object Ewma {
 
   val HistHours: Int = 10
-  val Theta: Long = 4L
+  val ThetaNum: Long = 7L
+  val ThetaDen: Long = 4L
   val MinHist: Long = 3L
   val HourUs: Long = 3600L * 1000000
   private val WeightSum: Long = (1L << HistHours) - 1 // Σ 2^(K-k), k=1..K
@@ -67,9 +79,11 @@ object Ewma {
     * FINAL count, which only exists once the hour closes — same
     * argument as `Detection.entropyFromCounts`).
     */
-  private[graft] def alertsFromCounts(ph: DataFrame): DataFrame = {
+  private[graft] def alertsFromCounts(ph: DataFrame,
+      num: Long = ThetaNum, den: Long = ThetaDen): DataFrame = {
     val spark = ph.sparkSession
     import spark.implicits._
+    require(num > 0 && den > 0, s"threshold ratio must be positive: $num/$den")
     // baseline keys are RENAMED (bpfx, bh): the stream variant reads
     // both join sides from one memory-sink view, and identical
     // attribute ids on both sides of the join fail to resolve
@@ -83,7 +97,7 @@ object Ewma {
         count(lit(1)).as("n_hist"))
     ph.join(base, $"pfx" === $"bpfx" && $"h" === $"bh")
       .where($"n_hist" >= MinHist &&
-        $"cnt" * lit(WeightSum) > lit(Theta) * $"baseline_scaled")
+        $"cnt" * lit(WeightSum) * lit(den) > lit(num) * $"baseline_scaled")
       .select($"pfx", $"h".as("hour_idx"), $"cnt", $"baseline_scaled", $"n_hist")
       .orderBy("pfx", "hour_idx")
   }
@@ -110,7 +124,7 @@ base AS (SELECT pfx, h, CAST(sum(w) AS BIGINT) AS baseline_scaled,
 SELECT ph.pfx AS pfx, CAST(ph.h AS BIGINT) AS hour_idx, CAST(cnt AS BIGINT) AS cnt,
        baseline_scaled, CAST(n_hist AS BIGINT) AS n_hist
 FROM ph JOIN base ON ph.pfx = base.pfx AND ph.h = base.h
-WHERE n_hist >= $MinHist AND cnt * $WeightSum > $Theta * baseline_scaled
+WHERE n_hist >= $MinHist AND cnt * $WeightSum * $ThetaDen > $ThetaNum * baseline_scaled
 ORDER BY pfx, hour_idx""")
   )
 
@@ -147,10 +161,15 @@ ORDER BY pfx, hour_idx""")
   /** Seasonal (hour-of-day) anomaly — the calendar complement of the
     * recency-weighted [[qEwmaAlerts]]: a prefix-hour is anomalous when
     * its count defies ITS OWN hour-of-day norm across the other days
-    * (`cnt · n_other > θ · Σ other-days' counts at the same h24`,
-    * cross-multiplied — traffic at 3 AM is judged against 3 AM, so a
-    * nightly batch spike never pages and a quiet-hour flood does).
-    * Requires [[SeasonMinDays]] other days of history at that hour.
+    * (`cnt · n_other · θden > θnum · Σ other-days' counts at the same
+    * h24`, cross-multiplied — traffic at 3 AM is judged against 3 AM,
+    * so a nightly batch spike never pages and a quiet-hour flood
+    * does). Requires [[SeasonMinDays]] other days of history at that
+    * hour. The catalog ratio is 8/5 for the same reason [[qEwmaAlerts]]
+    * runs at 7/4: the corpus' same-hour ratio flattens with scale
+    * (max 3.64 @ sf0.001 → 1.66 on the sf1 replica), and the r12 θ=3
+    * cut was sf0.1/sf1-vacuous; at 8/5 every probed SF emits rows
+    * (102 / 348 / 47 / 5) and the spec pins monotonicity.
     *
     * Derives (day, hour-of-day) arithmetically from the SAME cached
     * (prefix, hour, count) stage as the EWMA — h24 = h mod 24,
@@ -158,19 +177,22 @@ ORDER BY pfx, hour_idx""")
     * whole control-chart family. Everything downstream is
     * prefix×hour-domain-sized.
     */
-  val SeasonTheta: Long = 3L
+  val SeasonNum: Long = 8L
+  val SeasonDen: Long = 5L
   val SeasonMinDays: Long = 5L
 
-  private[graft] def seasonalFromCounts(ph: DataFrame): DataFrame = {
+  private[graft] def seasonalFromCounts(ph: DataFrame,
+      num: Long = SeasonNum, den: Long = SeasonDen): DataFrame = {
     val spark = ph.sparkSession
     import spark.implicits._
+    require(num > 0 && den > 0, s"threshold ratio must be positive: $num/$den")
     val phd = ph.selectExpr("pfx", "h DIV 24 AS d", "h % 24 AS h24", "cnt")
     val tot = phd.groupBy($"pfx".as("tpfx"), $"h24".as("th24"))
       .agg(sum($"cnt").cast("bigint").as("tot_cnt"),
         count(lit(1)).as("n_days"))
     phd.join(broadcast(tot), $"pfx" === $"tpfx" && $"h24" === $"th24")
       .where($"n_days" - 1 >= SeasonMinDays &&
-        $"cnt" * ($"n_days" - 1) > lit(SeasonTheta) * ($"tot_cnt" - $"cnt"))
+        $"cnt" * ($"n_days" - 1) * lit(den) > lit(num) * ($"tot_cnt" - $"cnt"))
       .selectExpr("pfx", "d AS day_idx", "h24", "cnt",
         "tot_cnt - cnt AS others_cnt", "n_days - 1 AS n_other_days")
       .orderBy("pfx", "day_idx", "h24")
@@ -199,7 +221,7 @@ SELECT pfx, CAST(d AS BIGINT) AS day_idx, CAST(h24 AS BIGINT) AS h24,
        CAST(n_days - 1 AS BIGINT) AS n_other_days
 FROM phd JOIN tot ON pfx = tpfx AND h24 = th24
 WHERE n_days - 1 >= $SeasonMinDays
-  AND cnt * (n_days - 1) > $SeasonTheta * (tot_cnt - cnt)
+  AND cnt * (n_days - 1) * $SeasonDen > $SeasonNum * (tot_cnt - cnt)
 ORDER BY pfx, day_idx, h24""")
   )
 

@@ -16,16 +16,23 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: the rules relation is dashboard-scale (thousands of
   * rows) and the verdict is a pure function of the source ADDRESS, not
-  * the packet — so the range join runs on the DISTINCT-ip relation
-  * (IP-space-sized; bounded by the address space, not the traffic),
-  * against a `broadcast` of the rules. The packet-sized work is one
-  * broadcast equi-join of the tiny verdict relation back onto the
-  * stream plus a map-side-combinable groupBy whose key space is
-  * |rules|-bounded. Nothing packet-sized ever enters a range join or a
-  * window. At a rule count where even the per-ip nested-loop stings,
-  * the standard refinement is bucketing both sides by a fixed leading
-  * prefix (e.g. /8) to make the candidate join an equi-join — noted
-  * here, not needed at any plausible rule-table size.
+  * the packet — so the range join runs on the DISTINCT-ip relation,
+  * against a `broadcast` of the rules (the ONLY forced broadcast here:
+  * rules are config, never input-derived). The verdict relation itself
+  * is NOT hint-broadcast back onto the stream: under the adversarial
+  * threat model this engine exists for — spoofed randomized sources —
+  * distinct src_ip cardinality is bounded only by the 2^32 address
+  * space, and a forced broadcast of tens of millions of verdict rows
+  * is a driver/executor OOM. The verdict join is a plain equi-join on
+  * src_ip; AQE picks broadcast when the relation is actually small and
+  * falls back to a scale-safe shuffle join when it isn't
+  * (MitigationSpec pins the absence of the hint). The remaining
+  * packet-sized work is one map-side-combinable groupBy whose key
+  * space is |rules|-bounded. Nothing packet-sized ever enters a range
+  * join or a window. At a rule count where even the per-ip nested-loop
+  * stings, the standard refinement is bucketing both sides by a fixed
+  * leading prefix (e.g. /8) to make the candidate join an equi-join —
+  * noted here, not needed at any plausible rule-table size.
   *
   * Determinism: LPM picks max `plen` with `rule_id` as the total
   * tie-break (two same-length rules covering one ip is a config smell,
@@ -87,7 +94,7 @@ object Mitigation {
         coalesce($"rule_id", lit(-1L)).as("rule_id"),
         coalesce($"cidr", lit("")).as("cidr"),
         coalesce($"action", lit("allow")).as("action"))
-    packets.join(broadcast(v), "src_ip")
+    packets.join(v, "src_ip")
       .groupBy($"rule_id", $"cidr", $"action")
       .agg(
         count(lit(1)).as("n_packets"),

@@ -119,6 +119,24 @@ class MitigationSpec extends AnyFunSuite {
     assert(ids.contains(6L), "10.2.1.32/27 should capture b-side traffic")
   }
 
+  test("no forced broadcast of input-derived relations — only config rules hinted") {
+    // Under spoofed randomized sources, the distinct-src_ip verdict
+    // relation is bounded only by the 2^32 address space; a forced
+    // broadcast of it is an OOM at adversarial cardinality. The ONLY
+    // hint allowed in the plan is the literal rules table (config
+    // data, a LocalRelation leaf) — the verdict join must stay a
+    // plain equi-join whose strategy AQE chooses at runtime.
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, ResolvedHint}
+    val df = Mitigation.qCidrMatch.run(spark, "/root/testdata/sf0.001")
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "the config rules broadcast should remain hinted")
+    hints.foreach { h =>
+      assert(h.child.collectLeaves().forall(_.isInstanceOf[LocalRelation]),
+        "a broadcast hint covers an input-derived relation — would OOM " +
+          "at adversarial distinct-IP cardinality:\n" + h.treeString)
+    }
+  }
+
   test("cidrBounds rejects unaligned bases") {
     intercept[IllegalArgumentException](Mitigation.cidrBounds("10.0.0.1/8"))
     assert(Mitigation.cidrBounds("10.2.1.32/27") ==

@@ -419,6 +419,21 @@ class Round12cOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("seasonal anomaly: alerts are antitone in the threshold ratio") {
+    // 3/2 < 8/5 < 2/1 < 3/1 — nesting plus catalog-cut non-vacuity on
+    // the driver corpus (the r12 3/1 cut was sf0.1/sf1-vacuous)
+    val ph = Ewma.prefixHourCounts(graft.flow.BatchFlowFeaturizer.packetsFromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))).cache()
+    def keys(num: Long, den: Long): Set[(String, Long, Long)] =
+      Ewma.seasonalFromCounts(ph, num, den).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val Seq(loose, catalog, two, three) =
+      Seq((3L, 2L), (8L, 5L), (2L, 1L), (3L, 1L)).map((keys _).tupled)
+    assert(three.subsetOf(two) && two.subsetOf(catalog) && catalog.subsetOf(loose))
+    assert(catalog.nonEmpty)
+    ph.unpersist()
+  }
+
   private def ord(rows: (Long, Double)*) = {
     import spark.implicits._
     rows.toDF("o_custkey", "o_totalprice")
@@ -492,17 +507,34 @@ class Round12cOpsSpec extends AnyFunSuite {
   private def burst(h: Long, n: Int): Seq[(String, Long)] =
     (1 to n).map(i => ("10.0.0.1", h * HourUs + i))
 
-  test("ewma: hand baseline — a 5x burst after 3 quiet hours alerts, 2x does not") {
+  test("ewma: hand baseline — a burst after 3 quiet hours alerts at the exact cut") {
     // hours 0,1,2: 10 packets each. Baseline for hour 3 (K=10):
     // 10·2^9 + 10·2^8 + 10·2^7 = 10·(512+256+128) = 8960; n_hist=3.
-    // alert iff cnt·1023 > 4·8960 = 35840 → cnt > 35.03 → cnt ≥ 36.
+    // alert iff cnt·1023·4 > 7·8960 = 62720 → cnt > 15.33 → cnt ≥ 16.
     val quiet = burst(0, 10) ++ burst(1, 10) ++ burst(2, 10)
-    val hot = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 36): _*)).collect()
+    val hot = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 16): _*)).collect()
     assert(hot.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4))).toSeq ==
-      Seq(("10.0", 3L, 36L, 8960L, 3L)))
-    val mild = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 35): _*)).collect()
-    assert(mild.isEmpty, "cnt=35 sits exactly at the threshold boundary")
+      Seq(("10.0", 3L, 16L, 8960L, 3L)))
+    val mild = Ewma.ewmaAlertsOn(pk(quiet ++ burst(3, 15): _*)).collect()
+    assert(mild.isEmpty, "cnt=15 sits just under the 7/4 cut")
+  }
+
+  test("ewma: alerts are antitone in the threshold ratio (monotonicity law)") {
+    // strictly ordered ratios 3/2 < 7/4 < 2/1 < 4/1: each tighter cut's
+    // alert set must nest inside the looser one's, and the catalog 7/4
+    // must be non-vacuous where the r12 4/1 cut was already vacuous —
+    // the exact inversion that motivated the re-threshold
+    val ph = Ewma.prefixHourCounts(graft.flow.BatchFlowFeaturizer.packetsFromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))).cache()
+    def keys(num: Long, den: Long): Set[(String, Long)] =
+      Ewma.alertsFromCounts(ph, num, den).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val Seq(loose, catalog, two, four) =
+      Seq((3L, 2L), (7L, 4L), (2L, 1L), (4L, 1L)).map((keys _).tupled)
+    assert(four.subsetOf(two) && two.subsetOf(catalog) && catalog.subsetOf(loose))
+    assert(catalog.nonEmpty)
+    ph.unpersist()
   }
 
   test("ewma: warmup — fewer than MinHist active prior hours never alerts") {
@@ -515,8 +547,9 @@ class Round12cOpsSpec extends AnyFunSuite {
   test("ewma: recency dominates — old traffic decays out of the baseline") {
     // identical total history, but placed 8-10 hours back vs 1-3 back:
     // the distant history's weights (2^0..2^2) make a far smaller
-    // baseline, so the same current count alerts only in the first case
-    val cur = burst(11, 20)
+    // baseline, so the same current count (15 < the 16-packet cut over
+    // a recent-history baseline of 8960) alerts only in the distant case
+    val cur = burst(11, 15)
     val recent = burst(8, 10) ++ burst(9, 10) ++ burst(10, 10)
     val distant = burst(1, 10) ++ burst(2, 10) ++ burst(3, 10)
     val alertRecent = Ewma.ewmaAlertsOn(pk(recent ++ cur: _*)).collect()
