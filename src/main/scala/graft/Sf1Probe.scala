@@ -143,6 +143,37 @@ object Sf1Probe {
     failed.foreach(f => println(s"[sf1] FAILED: $f"))
     println("[sf1] slowest 10: " + results.sortBy(-_._2).take(10)
       .map { case (n, s, _) => f"$n=$s%.1f" }.mkString(", "))
+
+    // Isolated re-runs of the slowest movers in a FRESH session (full
+    // runs only): the long sweep's accumulated cache/heap pressure
+    // inflates its own tail — r12's sweep numbers for the tws pair were
+    // ~2x their isolated cost — so the probe reports both. Min-of-two
+    // so shared-stage rebuilds land on attempt 1, same basis as the
+    // sweep's per-query numbers (which read already-cached stages).
+    val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val movers = results.sortBy(-_._2).take(6).map(_._1)
+      val s2 = newSession()
+      s2.range(1000000).selectExpr("sum(id)").collect()
+      val iso = movers.map { name =>
+        currentQuery = s"iso:$name"
+        val q = SparkEntry.catalog.find(_.name == name).get
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try q.run(s2, out).count()
+          catch { case e: Throwable => println(s"[sf1] iso FAILED $name: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = math.min(once(), once())
+        println(f"[sf1] iso $name%-32s $sec%8.2f s (swept ${results.find(_._1 == name).get._2}%.2f)")
+        name -> sec
+      }
+      operators.StageViews.unpersistAll(s2)
+      s2.stop()
+      iso
+    }
     // Persist the probe as a diffable per-round artifact (committed as
     // SF1_rN.json): the 100×-scale evidence should live in the repo,
     // not in commit messages.
@@ -160,9 +191,10 @@ object Sf1Probe {
     val sjson = operators.StageViews.buildLog.map(b =>
       f"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${b.sec}%.3f}""")
       .mkString("[", ",", "]")
+    val ijson = isolated.map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),
-      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"stage_builds":$sjson,"queries":{$qjson}}""")
+      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
   }

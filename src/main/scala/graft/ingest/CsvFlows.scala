@@ -162,10 +162,15 @@ FROM m GROUP BY gen ORDER BY gen"""))
     "q_partitioned_scan",
     (spark, dir) => {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.Tables.events(spark, dir)
+      val src = graft.Tables.events(spark, dir)
         .selectExpr("event_id", "user_id", "value", "event_type")
-        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-      spark.read.parquet(tmp)
+      src.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      // schema-on-read, not inference: an empty day writes a partitioned
+      // table with ZERO partition directories, and schema inference then
+      // throws UNABLE_TO_INFER_SCHEMA — the declared schema (partition
+      // column included) keeps the read planning-time cheap on a large
+      // store and empty-input-safe (EmptyCorpusSpec)
+      spark.read.schema(src.schema).parquet(tmp)
         .where(col("event_type") === "purchase")
         .groupBy(col("event_type"))
         .agg(

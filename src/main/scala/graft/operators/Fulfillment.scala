@@ -5,58 +5,99 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Fulfillment SLA percentiles — per order priority, the exact p50 /
-  * p90 / max of order-to-last-shipment latency in whole days. The
-  * operations question ("are URGENT orders actually shipping
-  * faster?") needs DISCRETE percentiles (smallest latency v with
-  * cum(v) ≥ ⌈p·n⌉), computed without ever sorting the fact:
+/** Order-fulfillment latency family over ONE shared per-order stage.
   *
-  *  1. per-order last ship date — a map-side-combinable groupBy on
-  *     the lineitem's natural key;
-  *  2. one equi-join to orders ON that key (fact-to-fact but
-  *     key-clustered: both sides shuffle-partition on o_orderkey and
-  *     AQE reuses the layout);
-  *  3. the (priority, latency_days) histogram — tiny: |priorities| ×
-  *     latency-domain, calendar-bounded;
-  *  4. within-priority cumulative counts (window over the tiny
-  *     histogram, partitioned — parallel) and the crossing tests
-  *     `cum ≥ (n+1) DIV 2` (lower median, the q_bot_cadence
-  *     convention) and `cum ≥ ⌈9n/10⌉ = (9n+9) DIV 10`.
+  * `order_ship_v` — (orderkey, priority, order-date, last-ship,
+  * latency-days, order-month) — is the orders⋈lineitem fact-fact
+  * equi-join reduced to one row per order. It was r12's single most
+  * expensive stage (11.06 s sf1 as `sla_hist_v`, consumed by exactly
+  * one query); the r13 refactor caches the per-order relation instead
+  * of the priority×day histogram, so every order-latency question —
+  * SLA percentiles, monthly trend, breach rates, and whatever a real
+  * deployment adds next — pays the fact join ONCE. The per-order
+  * relation is |orders|-sized (fine to cache: it is the natural
+  * persisted intermediate a 100 TB pipeline would maintain as a table),
+  * and every consumer below reduces it immediately to a domain-bounded
+  * rollup (priority×day histogram, calendar months, priorities).
   *
-  * Determinism: whole-day floor latencies, exact counts, integer
-  * crossing thresholds — identical arithmetic in both engines.
+  * Join shape at scale: lineitem pre-aggregates to per-order last-ship
+  * BEFORE the join (map-side-combinable groupBy on its natural key),
+  * then one equi-join on o_orderkey — both sides shuffle-partition on
+  * the same key and AQE reuses the layout. Nothing bigger than
+  * |orders| survives the stage.
+  *
+  * Determinism: whole-day floor latencies from exact micros, exact
+  * counts, integer crossing thresholds and basis points — identical
+  * arithmetic in both engines.
   */
 object Fulfillment {
 
   private val DayUs = 86400L * 1000000
 
-  /** SLA rollup over orders+lineitem relations carrying (o_orderkey,
-    * o_orderpriority, o_orderdate) and (l_orderkey, l_shipdate) —
-    * spec entry for the hand-percentile and crossing-boundary laws.
+  /** The shared per-order relation: one row per order that shipped at
+    * least one line — spec entry; the catalog queries read the cached
+    * `order_ship_v` stage built from this.
     */
-  private[graft] def slaOn(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    slaOnHist(histOn(orders, lineitem))
-
-  /** The (priority, latency-days) histogram — the fact join reduced to
-    * a priority×day-domain relation; referenced twice downstream (the
-    * cumulative pass and the totals), so the catalog entry caches it.
-    */
-  private[graft] def histOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  private[graft] def orderShipOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     val ship = lineitem
       .selectExpr("l_orderkey",
         "unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS ship_us")
       .groupBy($"l_orderkey").agg(max($"ship_us").as("last_ship_us"))
-    val lat = orders
-      .selectExpr("o_orderkey", "o_orderpriority",
+    orders
+      .selectExpr("o_orderkey", "o_orderpriority", "o_orderdate",
         "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ord_us")
       .join(ship, $"o_orderkey" === $"l_orderkey")
-      .selectExpr("o_orderpriority AS priority",
+      .selectExpr(
+        "o_orderkey AS orderkey",
+        "o_orderpriority AS priority",
+        "CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS order_month",
         s"(last_ship_us - ord_us) DIV $DayUs AS days")
-    lat.groupBy($"priority", $"days").agg(count(lit(1)).as("c"))
   }
 
+  private def orderShipStage(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    StageViews.ensureCached(spark, "order_ship_v", dir) {
+      orderShipOn(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    }
+
+  /** Oracle CTE shared by the family: the DuckDB spelling of
+    * [[orderShipOn]].
+    */
+  private val OrderShipCte = s"""
+ship AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_ship_us
+  FROM lineitem GROUP BY 1
+), os AS (
+  SELECT o.o_orderkey AS orderkey,
+         o.o_orderpriority AS priority,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+         (s.last_ship_us - epoch_us(o.o_orderdate)) // $DayUs AS days
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+)"""
+
+  /** The (priority, latency-days) histogram — |priorities| ×
+    * day-domain, calendar-bounded.
+    */
+  private[graft] def histFromOrderShip(os: DataFrame): DataFrame = {
+    val spark = os.sparkSession
+    import spark.implicits._
+    os.groupBy($"priority", $"days").agg(count(lit(1)).as("c"))
+  }
+
+  /** SLA rollup over orders+lineitem relations — spec entry for the
+    * hand-percentile and crossing-boundary laws.
+    */
+  private[graft] def slaOn(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    slaOnHist(histFromOrderShip(orderShipOn(orders, lineitem)))
+
+  /** Per-priority discrete p50/p90/max via crossing tests over the
+    * histogram: smallest latency v with cum(v) ≥ ⌈p·n⌉ — `cum ≥
+    * (n+1) DIV 2` (lower median, the q_bot_cadence convention) and
+    * `cum ≥ ⌈9n/10⌉ = (9n+9) DIV 10` — computed without ever sorting
+    * the fact.
+    */
   private[graft] def slaOnHist(hist: DataFrame): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
@@ -78,18 +119,11 @@ object Fulfillment {
   val qFulfillmentSla = Q(
     "q_fulfillment_sla",
     (spark, dir) => slaOnHist(StageViews.ensureCached(spark, "sla_hist_v", dir) {
-      histOn(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      histFromOrderShip(orderShipStage(spark, dir))
     }),
     Some(s"""
-WITH ship AS (
-  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_ship_us
-  FROM lineitem GROUP BY 1
-), lat AS (
-  SELECT o.o_orderpriority AS priority,
-         (s.last_ship_us - epoch_us(o.o_orderdate)) // $DayUs AS days
-  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
-), hist AS (
-  SELECT priority, days, count(*) AS c FROM lat GROUP BY 1, 2
+WITH $OrderShipCte, hist AS (
+  SELECT priority, days, count(*) AS c FROM os GROUP BY 1, 2
 ), cum AS (
   SELECT priority, days, c,
          sum(c) OVER (PARTITION BY priority ORDER BY days
@@ -109,5 +143,73 @@ GROUP BY priority, n_orders, max_days
 ORDER BY priority""")
   )
 
-  val all: Seq[Q] = Seq(qFulfillmentSla)
+  /** Monthly fulfillment-latency trend — the dashboard a fulfillment
+    * team actually watches: per order-month, order count, exact
+    * latency-day totals/max, and the mean in exact centidays
+    * (`100·Σdays DIV n` — floor division keeps the oracle compare
+    * integer). Reads the cached per-order stage; the rollup is
+    * calendar-bounded.
+    */
+  private[graft] def latencyTrendFromOrderShip(os: DataFrame): DataFrame = {
+    val spark = os.sparkSession
+    import spark.implicits._
+    os.groupBy($"order_month".as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"days").cast("bigint").as("sum_days"),
+        max($"days").as("max_days"))
+      .withColumn("avg_days_x100",
+        expr("(100 * sum_days) DIV n_orders").cast("bigint"))
+      .orderBy("month")
+  }
+
+  val qShipLatencyTrend = Q(
+    "q_ship_latency_trend",
+    (spark, dir) => latencyTrendFromOrderShip(orderShipStage(spark, dir)),
+    Some(s"""
+WITH $OrderShipCte
+SELECT order_month AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(days) AS BIGINT) AS sum_days,
+       CAST(max(days) AS BIGINT) AS max_days,
+       CAST((100 * sum(days)) // count(*) AS BIGINT) AS avg_days_x100
+FROM os GROUP BY 1
+ORDER BY month""")
+  )
+
+  /** SLA breach rate per priority: orders whose order-to-last-ship
+    * latency exceeds [[BreachDays]] whole days, as a count and an
+    * exact basis-point share (`10000·n_late DIV n`). The operations
+    * complement of the percentile view: percentiles say how slow the
+    * tail IS, the breach rate says how much of the book violates the
+    * promise.
+    */
+  val BreachDays = 100L
+
+  private[graft] def breachFromOrderShip(os: DataFrame): DataFrame = {
+    val spark = os.sparkSession
+    import spark.implicits._
+    os.groupBy($"priority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"days" > BreachDays, 1L).otherwise(0L)).cast("bigint").as("n_late"))
+      .withColumn("breach_bp",
+        expr("(10000 * n_late) DIV n_orders").cast("bigint"))
+      .orderBy("priority")
+  }
+
+  val qSlaBreachRate = Q(
+    "q_sla_breach_rate",
+    (spark, dir) => breachFromOrderShip(orderShipStage(spark, dir)),
+    Some(s"""
+WITH $OrderShipCte
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN days > $BreachDays THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST((10000 * sum(CASE WHEN days > $BreachDays THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS breach_bp
+FROM os GROUP BY 1
+ORDER BY priority""")
+  )
+
+  val all: Seq[Q] = Seq(qFulfillmentSla, qShipLatencyTrend, qSlaBreachRate)
 }
