@@ -241,6 +241,28 @@ object ScaleSmoke {
       require(rowRatio == inputRatio,
         s"attribution rows grew x$rowRatio for x$inputRatio input — journey windows leaked across replicas")
     }
+    // ---- twap family (r13): the per-user step-integral must stay ONE
+    // user-partitioned window + one combinable groupBy. Replicated
+    // users are disjoint, so output rows (users with >= 2 events) grow
+    // EXACTLY ×m; off-×m growth means the lead window leaked across
+    // the replica boundary.
+    val twapResults = multiples.map { m =>
+      val e = evB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("user_id + rep * 1000000 AS user_id", "ts",
+          "event_id + rep * 100000000 AS event_id", "event_type", "value")
+      val t0b = System.nanoTime()
+      val rows = operators.TimeSeries.twapOn(e).count()
+      val secB = (System.nanoTime() - t0b) / 1e9
+      println(f"[scale] twap    x$m%-3d events=${baseRows * m}%9d users=$rows%8d  $secB%7.2f s")
+      (m, secB, rows)
+    }
+    locally {
+      val inputRatio = twapResults.last._1.toDouble / twapResults.head._1
+      val rowRatio = twapResults.last._3.toDouble / twapResults.head._3
+      println(f"[scale] twap users: input x$inputRatio%.0f -> rows x$rowRatio%.2f (exact-linear bound)")
+      require(rowRatio == inputRatio,
+        s"twap rows grew x$rowRatio for x$inputRatio input — the lead window leaked across replicas")
+    }
     evB.unpersist()
     ordersB.unpersist(); custB.unpersist()
     emb.unpersist(); docs.unpersist()
