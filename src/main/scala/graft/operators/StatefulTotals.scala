@@ -23,6 +23,19 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * grouping key; emission is one row per active key per batch. This is
   * the shape of any 100 TB streaming enrichment: bounded per-key state,
   * no stream-length dependence.
+  *
+  * Micro-batch cost, measured (r12 VERDICT task 6 asked whether the
+  * file source fragments the corpus into many tiny batches): at sf1
+  * the AvailableNow run executes exactly ONE 1M-row micro-batch
+  * (StreamingQueryListener: batchId=0, numInputRows=1e6, addBatch
+  * ≈3.1 s of a 4.1 s trigger) — batching is already maximal, so no
+  * maxFilesPerTrigger tuning applies. The isolated cost is 6.0 s
+  * (q_tws_running_totals) / 4.3 s (q_tws_debounce_chain); the 9 s
+  * figures in SF1_r12 were ~2× sweep-pressure inflation, now visible
+  * in the probe's `isolated` re-run map rather than inferred. The
+  * residual cost is the typed-row state path itself (per-row case
+  * class decode + RocksDB commit), which is the price of arbitrary
+  * per-key state — not a plan defect.
   */
 object StatefulTotals {
 
