@@ -215,6 +215,36 @@ object ScaleSmoke {
     }
     println(f"[scale] bloom growth: input x${sketchResults.last._1 / sketchResults.head._1} -> time x${sketchResults.last._2 / sketchResults.head._2}%.1f")
 
+    // ---- fulfillment family (r13): the shared per-order stage is a
+    // fact-fact equi-join with lineitem pre-aggregated to per-order
+    // last-ship BEFORE the join, so its output must be EXACTLY one row
+    // per shipped order (×m under replication) and its cost linear.
+    // Off-×m rows mean the pre-aggregation leaked across replicas or
+    // the join stopped being per-order.
+    val liB = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey", "l_shipdate").cache()
+    liB.count()
+    val shipResults = multiples.map { m =>
+      val o = ordersB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("o_orderkey + rep * 100000000 AS o_orderkey",
+          "o_orderpriority", "o_orderdate")
+      val l = liB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("l_orderkey + rep * 100000000 AS l_orderkey", "l_shipdate")
+      val t0f = System.nanoTime()
+      val rows = operators.Fulfillment.orderShipOn(o, l).count()
+      val secF = (System.nanoTime() - t0f) / 1e9
+      println(f"[scale] ordship x$m%-3d orders=${nOrd * m}%9d rows=$rows%9d  $secF%7.2f s")
+      (m, secF, rows)
+    }
+    locally {
+      val inputRatio = shipResults.last._1.toDouble / shipResults.head._1
+      val rowRatio = shipResults.last._3.toDouble / shipResults.head._3
+      println(f"[scale] ordship rows: input x$inputRatio%.0f -> rows x$rowRatio%.2f (exact-linear bound)")
+      require(rowRatio == inputRatio,
+        s"order_ship rows grew x$rowRatio for x$inputRatio input — per-order reduction leaked across replicas")
+    }
+    liB.unpersist()
+
     // ---- behavioral family (r12b): attribution over replicated USERS.
     // Each replica shifts user_id and event_id, so per-user windows
     // never cross replicas — purchases (output rows) must grow EXACTLY

@@ -16,23 +16,26 @@ import org.apache.spark.sql.functions._
   *
   * Shape at scale: the rules relation is dashboard-scale (thousands of
   * rows) and the verdict is a pure function of the source ADDRESS, not
-  * the packet — so the range join runs on the DISTINCT-ip relation,
-  * against a `broadcast` of the rules (the ONLY forced broadcast here:
-  * rules are config, never input-derived). The verdict relation itself
-  * is NOT hint-broadcast back onto the stream: under the adversarial
+  * the packet — so the ONLY packet-sized work is one map-side-
+  * combinable groupBy reducing the stream to the per-src_ip traffic
+  * rollup. Everything downstream operates on IP-space-sized relations:
+  * the LPM range join runs on the per-IP keys against a `broadcast` of
+  * the rules (the ONLY forced broadcast here: rules are config, never
+  * input-derived), and the verdict joins the per-IP AGGREGATES — never
+  * the raw packets — before the |rules|-bounded final rollup
+  * (n_src_ips is a count of per-IP rows, bytes/syn are sums of sums).
+  * Nothing input-derived is hint-broadcast: under the adversarial
   * threat model this engine exists for — spoofed randomized sources —
   * distinct src_ip cardinality is bounded only by the 2^32 address
   * space, and a forced broadcast of tens of millions of verdict rows
-  * is a driver/executor OOM. The verdict join is a plain equi-join on
-  * src_ip; AQE picks broadcast when the relation is actually small and
-  * falls back to a scale-safe shuffle join when it isn't
-  * (MitigationSpec pins the absence of the hint). The remaining
-  * packet-sized work is one map-side-combinable groupBy whose key
-  * space is |rules|-bounded. Nothing packet-sized ever enters a range
-  * join or a window. At a rule count where even the per-ip nested-loop
-  * stings, the standard refinement is bucketing both sides by a fixed
-  * leading prefix (e.g. /8) to make the candidate join an equi-join —
-  * noted here, not needed at any plausible rule-table size.
+  * is a driver/executor OOM (the r12 watch item). Both sides of the
+  * verdict join are distinct-IP-sized, so AQE broadcasts when small
+  * and shuffles scale-safely when adversarial; MitigationSpec pins
+  * that every hint in the plan covers only config data. At a rule
+  * count where even the per-ip nested-loop stings, the standard
+  * refinement is bucketing both sides by a fixed leading prefix
+  * (e.g. /8) to make the candidate join an equi-join — noted here,
+  * not needed at any plausible rule-table size.
   *
   * Determinism: LPM picks max `plen` with `rule_id` as the total
   * tie-break (two same-length rules covering one ip is a config smell,
@@ -82,8 +85,14 @@ object Mitigation {
       (id, cidr, action, lo, hi, plen)
     }
     val r = ruleRows.toDF("rule_id", "cidr", "action", "lo", "hi", "plen")
-    val ips = packets.select($"src_ip").distinct()
-      .withColumn("ip", IpFn($"src_ip"))
+    // the one packet-sized pass: reduce the stream to per-source
+    // traffic (map-side combinable; output is distinct-IP-sized)
+    val perIp = packets.groupBy($"src_ip")
+      .agg(
+        count(lit(1)).as("ip_packets"),
+        sum($"length").cast("bigint").as("ip_bytes"),
+        sum($"syn_flag").cast("bigint").as("ip_syn"))
+    val ips = perIp.select($"src_ip").withColumn("ip", IpFn($"src_ip"))
     // candidate ranges per DISTINCT ip; LPM = rank-1 by (plen desc, id)
     val m = ips.join(broadcast(r), $"ip" >= $"lo" && $"ip" <= $"hi", "left")
     val v = m.withColumn("rn", row_number().over(
@@ -94,13 +103,13 @@ object Mitigation {
         coalesce($"rule_id", lit(-1L)).as("rule_id"),
         coalesce($"cidr", lit("")).as("cidr"),
         coalesce($"action", lit("allow")).as("action"))
-    packets.join(v, "src_ip")
+    perIp.join(v, "src_ip")
       .groupBy($"rule_id", $"cidr", $"action")
       .agg(
-        count(lit(1)).as("n_packets"),
-        countDistinct($"src_ip").as("n_src_ips"),
-        sum($"length").cast("bigint").as("total_bytes"),
-        sum($"syn_flag").cast("bigint").as("syn_packets"))
+        sum($"ip_packets").cast("bigint").as("n_packets"),
+        count(lit(1)).as("n_src_ips"),
+        sum($"ip_bytes").cast("bigint").as("total_bytes"),
+        sum($"ip_syn").cast("bigint").as("syn_packets"))
       .orderBy("rule_id")
   }
 
