@@ -43,7 +43,7 @@ object Bench {
     "q_top_customers", "q_market_share", "q_sessionize",
     "q_sequence_pack", "q_pagerank_dup", "q_bucketed_join",
     "q_cidr_block_match", "q_ewma_burst", "q_fulfillment_sla",
-    "q_tws_running_totals", "q_item_cooccurrence")
+    "q_tws_running_totals", "q_item_cooccurrence", "q_mg_heavy_hitters")
 
   /** How many of the slowest swept queries get a fresh-session
     * isolated re-run (phase 2).

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries heavy-hitter summary as a typed, MERGEABLE custom
+  * aggregate — the "which keys are heavy" complement to the engine's
+  * count-min sketch (`q_cms_heavy_hitters` estimates counts for keys
+  * you already know; MG *finds* the frequent keys in one pass with a
+  * hard memory bound). This is the summary a 100 TB profiler keeps per
+  * partition and merges up the tree: capacity `m` counters, never
+  * more, whatever the key cardinality.
+  *
+  * Algorithm (Misra & Gries 1982; merge per Agarwal et al.,
+  * "Mergeable Summaries", PODS 2012): maintain ≤ m counters; an
+  * incoming key increments its counter, claims a free slot, or — when
+  * all m slots are full — decrements EVERY counter by 1 (dropping
+  * zeros), charging one occurrence of each tracked key to pay for the
+  * untracked one. Merge sums counters keywise, then subtracts the
+  * (m+1)-th largest combined count from every counter and drops
+  * non-positives — the paper's proof gives the summed error bound.
+  *
+  * Guarantees (spec-pinned, `MisraGriesSpec`):
+  *  - underestimate only: ĉ(k) ≤ c(k);
+  *  - bounded error: c(k) − ĉ(k) ≤ (N − M)/(m+1) where N is the total
+  *    stream weight and M the summary's retained weight — so any key
+  *    with c(k) > (N − M)/(m+1) is guaranteed retained;
+  *  - EXACT when distinct keys ≤ m (neither decrement nor merge-cut
+  *    ever fires): ĉ(k) = c(k) for every key. The catalog query runs
+  *    in this regime at the oracle SF (capacity above the key domain),
+  *    which is what makes it hash-checkable; the approximate regime is
+  *    spec-tested on skewed synthetic streams, where exact counter
+  *    values are merge-order-dependent but the guarantees above hold
+  *    under EVERY order (asserted across partitionings).
+  *
+  * Engine mechanics: Spark wraps an `Aggregator` as a
+  * `TypedImperativeAggregate` (ScalaAggregator), so the buffer lives
+  * as a JVM object across a partition's rows and is encoded (product
+  * encoder over parallel arrays — no kryo) only at
+  * partial-output/shuffle boundaries. The hot path (a tracked key)
+  * increments its counter IN PLACE after an O(m) linear probe — m is
+  * small by construction, that is the point of the sketch; array
+  * reallocation happens only on slot claims and the rare
+  * decrement/merge-cut compactions.
+  */
+object MisraGries {
+
+  /** Summary buffer: parallel key/count arrays (product-encodable). */
+  final case class Summary(keys: Array[String], counts: Array[Long])
+
+  /** One (key, retained-count) row of the final summary. */
+  final case class Entry(key: String, min_count: Long)
+
+  def aggregator(m: Int): Aggregator[String, Summary, Array[Entry]] = {
+    require(m >= 1, s"capacity must be >= 1: $m")
+    new Aggregator[String, Summary, Array[Entry]] {
+
+      def zero: Summary = Summary(Array.empty, Array.empty)
+
+      private def indexOf(keys: Array[String], key: String): Int = {
+        var i = 0
+        while (i < keys.length) {
+          if (keys(i) == key) return i
+          i += 1
+        }
+        -1
+      }
+
+      /** Subtract `cut` from every counter, dropping non-positive slots. */
+      private def subtractCompact(s: Summary, cut: Long): Summary = {
+        var keep = 0
+        var i = 0
+        while (i < s.counts.length) {
+          if (s.counts(i) > cut) keep += 1
+          i += 1
+        }
+        val ks = new Array[String](keep)
+        val cs = new Array[Long](keep)
+        var j = 0
+        i = 0
+        while (i < s.counts.length) {
+          if (s.counts(i) > cut) { ks(j) = s.keys(i); cs(j) = s.counts(i) - cut; j += 1 }
+          i += 1
+        }
+        Summary(ks, cs)
+      }
+
+      def reduce(b: Summary, key: String): Summary = {
+        val i = indexOf(b.keys, key)
+        if (i >= 0) { b.counts(i) += 1L; b }
+        else if (b.keys.length < m)
+          Summary(b.keys :+ key, b.counts :+ 1L)
+        else subtractCompact(b, 1L) // classic global decrement pays for `key`
+      }
+
+      def merge(a: Summary, b: Summary): Summary = {
+        if (a.keys.isEmpty) return b
+        if (b.keys.isEmpty) return a
+        var extra = 0
+        var i = 0
+        while (i < b.keys.length) {
+          if (indexOf(a.keys, b.keys(i)) < 0) extra += 1
+          i += 1
+        }
+        val ks = new Array[String](a.keys.length + extra)
+        val cs = new Array[Long](a.keys.length + extra)
+        System.arraycopy(a.keys, 0, ks, 0, a.keys.length)
+        System.arraycopy(a.counts, 0, cs, 0, a.counts.length)
+        var j = a.keys.length
+        i = 0
+        while (i < b.keys.length) {
+          val at = indexOf(a.keys, b.keys(i))
+          if (at >= 0) cs(at) += b.counts(i)
+          else { ks(j) = b.keys(i); cs(j) = b.counts(i); j += 1 }
+          i += 1
+        }
+        val merged = Summary(ks, cs)
+        if (ks.length <= m) merged
+        else {
+          // subtract the (m+1)-th largest combined count
+          val cut = cs.clone().sorted(Ordering[Long].reverse).apply(m)
+          subtractCompact(merged, cut)
+        }
+      }
+
+      def finish(r: Summary): Array[Entry] =
+        r.keys.zip(r.counts).map { case (k, c) => Entry(k, c) }
+          .sortBy(e => (-e.min_count, e.key))
+
+      def bufferEncoder: Encoder[Summary] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Summary]()
+      def outputEncoder: Encoder[Array[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Entry]]()
+    }
+  }
+}

@@ -149,5 +149,44 @@ ORDER BY user_id"""
     (spark, dir) => cmsOn(spark, graft.Tables.events(spark, dir)),
     Some(cmsSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters)
+  /** Misra–Gries heavy hitters over the event stream's users — the
+    * bounded-memory "find the keys" summary ([[graft.functions.MisraGries]]):
+    * each task keeps ≤ [[MgCap]] counters whatever the key cardinality
+    * and partials merge with the Mergeable-Summaries cut. At the
+    * oracle SF the user domain sits under the capacity, so the summary
+    * is provably EXACT (the hash gate compares it against plain
+    * `GROUP BY user_id` counts); above the capacity the output
+    * degrades to ≤ m guaranteed-underestimate rows whose error bound
+    * `MisraGriesSpec` pins on skewed synthetic streams across
+    * partitionings. Scale: one narrow scan, O(m) state per task, one
+    * m-bounded partial per partition into a single m-bounded merge —
+    * strictly cheaper than the exact groupBy it replaces once the key
+    * space outgrows memory, which is its entire reason to exist.
+    */
+  val MgCap = 256
+
+  private[graft] def mgOn(events: org.apache.spark.sql.DataFrame,
+      cap: Int = MgCap): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mg = graft.functions.MisraGries.aggregator(cap).toColumn
+    events.selectExpr("CAST(user_id AS STRING) AS k").as[String]
+      .select(mg.name("entries"))
+      .toDF("entries")
+      .select(org.apache.spark.sql.functions.explode($"entries").as("e"))
+      .selectExpr("CAST(e.key AS BIGINT) AS user_id",
+        "e.min_count AS mg_count")
+      .orderBy("user_id")
+  }
+
+  val qMgHeavyHitters = Q(
+    "q_mg_heavy_hitters",
+    (spark, dir) => mgOn(graft.Tables.events(spark, dir)),
+    Some("""
+SELECT user_id, CAST(count(*) AS BIGINT) AS mg_count
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters)
 }
