@@ -225,5 +225,105 @@ WHERE n_days - 1 >= $SeasonMinDays
 ORDER BY pfx, day_idx, h24""")
   )
 
-  val all: Seq[Q] = Seq(qEwmaAlerts, qEwmaBurstStream, qSeasonalAnomaly)
+  /** Time-series pattern search over the traffic matrix — the
+    * distributed subsequence-similarity primitive the streaming
+    * literature builds on (EDBT'19 streaming TS similarity, EDBT'20
+    * incremental top-k — PAPERS.md): for EVERY (prefix, hour) sliding
+    * window of length L, the EXACT integer squared Euclidean distance
+    * to a reference attack-onset ramp ([[Pattern]], an exponential
+    * doubling burst), global top-[[PatternTopK]] closest windows.
+    * "Which prefixes' recent traffic SHAPE looks like the known ramp"
+    * is the mitigation question volumetric thresholds can't answer —
+    * a slow doubling ramp never trips a rate cut until it's already
+    * large.
+    *
+    * Shape at scale: rides the SAME cached (pfx, h, cnt) reduction as
+    * the EWMA/seasonal family, densified on a calendar×prefix-bounded
+    * spine (absent hours are exact 0s, so distances are over the TRUE
+    * series, not the sparse one); each spine cell fans out to the ≤L
+    * windows containing it with its in-window index (the constant-L
+    * explode trick — no per-row ordered window, no cross join), and
+    * the distance is one map-side-combinable groupBy. Top-k is
+    * TakeOrdered over a total order (dist², pfx, start) — never a
+    * global sort materialization. Everything after the packet
+    * reduction is domain-bounded: prefixes × calendar hours × L.
+    *
+    * Determinism: counts, pattern, and distances are exact BIGINTs;
+    * the tie order is total. Windows are complete by construction
+    * (edge starts filtered), so both engines aggregate exactly L
+    * terms per window.
+    */
+  val Pattern: Seq[Long] = Seq(0L, 0L, 0L, 0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
+  val PatternTopK = 20
+
+  private[graft] def patternMatchOn(ph: DataFrame,
+      pattern: Seq[Long] = Pattern, topK: Int = PatternTopK): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    require(pattern.nonEmpty && topK > 0)
+    val L = pattern.length
+    val b = ph.agg(min($"h").as("hmin"), max($"h").as("hmax"))
+    val pfxs = ph.select($"pfx").distinct()
+    val spine = pfxs.crossJoin(broadcast(b))
+      .select($"pfx", $"hmin", $"hmax",
+        explode(sequence($"hmin", $"hmax")).as("sh"))
+    val dense = spine.join(
+        ph.select($"pfx".as("ppfx"), $"h", $"cnt"),
+        $"pfx" === $"ppfx" && $"sh" === $"h", "left")
+      .select($"pfx", $"sh", $"hmin", $"hmax",
+        coalesce($"cnt", lit(0L)).as("cnt"))
+    val pat = pattern.zipWithIndex.map { case (q, k) => (k, q) }.toDF("k", "q")
+    dense
+      .select($"pfx", $"sh", $"cnt", $"hmin", $"hmax",
+        explode(sequence(lit(0), lit(L - 1))).as("k"))
+      .withColumn("start", $"sh" - $"k")
+      .where($"start" >= $"hmin" && $"start" + lit(L - 1) <= $"hmax")
+      .join(broadcast(pat), "k")
+      .groupBy($"pfx", $"start")
+      .agg(sum(($"cnt" - $"q") * ($"cnt" - $"q")).cast("bigint").as("dist2"))
+      .orderBy($"dist2", $"pfx", $"start")
+      .limit(topK)
+      .selectExpr("pfx", "CAST(start AS BIGINT) AS window_start_hour", "dist2")
+  }
+
+  private def patternValues: String =
+    Pattern.zipWithIndex.map { case (q, k) => s"($k, $q)" }.mkString(", ")
+
+  val qTsPatternMatch = Q(
+    "q_ts_pattern_match",
+    (spark, dir) => patternMatchOn(
+      StageViews.ensureCached(spark, "pfx_hour_v", dir) {
+        prefixHourCounts(
+          BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir)))
+      }),
+    Some(s"""
+WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+ph AS (SELECT regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS pfx,
+              ts_us // $HourUs AS h, count(*) AS cnt
+       FROM packets GROUP BY 1, 2),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ph),
+pfxs AS (SELECT DISTINCT pfx FROM ph),
+spine AS (SELECT pfx, unnest(range(hmin, hmax + 1)) AS sh, hmin, hmax
+          FROM pfxs CROSS JOIN b),
+dense AS (SELECT s.pfx, s.sh, s.hmin, s.hmax, coalesce(ph.cnt, 0) AS cnt
+          FROM spine s LEFT JOIN ph ON s.pfx = ph.pfx AND s.sh = ph.h),
+pat(k, q) AS (VALUES $patternValues),
+contrib AS (SELECT pfx, sh, cnt, hmin, hmax,
+                   unnest(range(0, ${Pattern.length})) AS k
+            FROM dense),
+w AS (SELECT c.pfx, c.sh - c.k AS start,
+             CAST(c.cnt - p.q AS BIGINT) AS diff
+      FROM contrib c JOIN pat p ON c.k = p.k
+      WHERE c.sh - c.k >= c.hmin
+        AND c.sh - c.k + ${Pattern.length - 1} <= c.hmax)
+SELECT pfx, CAST(start AS BIGINT) AS window_start_hour,
+       CAST(sum(diff * diff) AS BIGINT) AS dist2
+FROM w GROUP BY 1, 2
+ORDER BY dist2, pfx, window_start_hour
+LIMIT $PatternTopK""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qEwmaAlerts, qEwmaBurstStream, qSeasonalAnomaly, qTsPatternMatch)
 }

@@ -68,6 +68,55 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == Seq(("1-URGENT", 3L, 1L, 3333L), ("2-HIGH", 1L, 0L, 0L)))
   }
 
+  private def ph(rows: (String, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("pfx", "h", "cnt")
+  }
+
+  test("pattern search: a planted exact ramp wins with distance zero") {
+    // bounds rows pin the spine to [0, 30]; the ramp's nonzero tail is
+    // planted at hours 14..21 so the window starting at 10 matches the
+    // L=12 pattern exactly (leading zeros = absent hours)
+    val planted = Ewma.Pattern.zipWithIndex.collect {
+      case (q, k) if q > 0 => ("10.0", 10L + k, q)
+    }
+    val got = Ewma.patternMatchOn(ph(
+      (("10.0", 0L, 1L) +: ("10.0", 30L, 1L) +: planted): _*)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == (("10.0", 10L, 0L)), s"ramp window must rank first: ${got.head}")
+    assert(got.count(_._3 == 0L) == 1, "exactly one zero-distance window")
+    // an all-quiet window's distance is exactly sum(q^2)
+    val sumSq = Ewma.Pattern.map(q => q * q).sum
+    assert(got.exists(_._3 == sumSq), "quiet windows sit at sum(q^2)")
+  }
+
+  test("pattern search: ties order by (dist2, pfx, start); edges are complete windows only") {
+    // two prefixes with identical series -> identical distances, pfx tiebreak
+    val rows = Seq("10.0", "10.1").flatMap(p =>
+      Seq((p, 0L, 3L), (p, 15L, 3L)))
+    val got = Ewma.patternMatchOn(ph(rows: _*), topK = 1000).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val l = Ewma.Pattern.length
+    // spine [0,15] per prefix -> starts 0..(15-L+1) = 0..4, both prefixes
+    assert(got.length == 2 * (15 - l + 2))
+    assert(got.forall { case (_, s, _) => s >= 0 && s <= 15 - l + 1 })
+    // global total order holds
+    val key = got.map { case (p, s, d) => (d, p, s) }
+    assert(key.sameElements(key.sorted))
+    // equal-distance pairs appear 10.0 before 10.1
+    got.groupBy(_._3).values.filter(_.length == 2).foreach { pair =>
+      assert(pair.map(_._1).toSeq == Seq("10.0", "10.1"))
+    }
+  }
+
+  test("pattern search: non-vacuous and sorted on the driver corpus") {
+    val got = Ewma.qTsPatternMatch.run(spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == Ewma.PatternTopK)
+    val d = got.map(_.getLong(2))
+    assert(d.sameElements(d.sorted))
+    StageViews.unpersistAll(spark)
+  }
+
   test("latency family: non-vacuous on the driver corpus; invariants hold") {
     val dir = "/root/testdata/sf0.001"
     val os = Fulfillment.orderShipOn(
