@@ -82,6 +82,12 @@ object Sf1Probe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "target/sf1"
+    // arg-order guard: `Sf1Probe <src> <out> [query...]` — passing a
+    // query name where OUT goes silently builds a 1.5 GB replica corpus
+    // into ./<query_name>/ (this exact misuse once committed one to git)
+    require(!SparkEntry.catalog.exists(_.name == out),
+      s"second arg '$out' is a catalog QUERY name but is the OUTPUT DIR " +
+        "slot — usage: Sf1Probe <srcDir> <outDir> [queryName...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
