@@ -271,6 +271,31 @@ object ScaleSmoke {
       require(rowRatio == inputRatio,
         s"attribution rows grew x$rowRatio for x$inputRatio input — journey windows leaked across replicas")
     }
+    // ---- pattern search (r13): the sliding-window relation must be
+    // DOMAIN-bounded — prefixes × (calendar hours − L + 1) — so
+    // replicating packet VOLUME ×m (same hours, same prefixes) must
+    // leave the window count EXACTLY constant while distances change.
+    // Window growth with volume means the packet reduction leaked past
+    // the (pfx, h) groupBy.
+    val patResults = multiples.map { m =>
+      val e = evB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("user_id", "ts", "event_id + rep * 100000000 AS event_id",
+          "event_type", "value")
+      val ph = operators.Ewma.prefixHourCounts(
+        flow.BatchFlowFeaturizer.packetsFromEvents(e))
+      val t0p = System.nanoTime()
+      val rows = operators.Ewma.patternMatchOn(ph, topK = Int.MaxValue).count()
+      val secP = (System.nanoTime() - t0p) / 1e9
+      println(f"[scale] tspat   x$m%-3d events=${baseRows * m}%9d windows=$rows%8d  $secP%7.2f s")
+      (m, secP, rows)
+    }
+    locally {
+      val counts = patResults.map(_._3).distinct
+      println(f"[scale] tspat windows: input x${patResults.last._1 / patResults.head._1} -> windows x${patResults.last._3.toDouble / patResults.head._3}%.2f (exact-constant bound)")
+      require(counts.size == 1,
+        s"window count changed with packet volume ($counts) — the packet reduction leaked")
+    }
+
     // ---- twap family (r13): the per-user step-integral must stay ONE
     // user-partitioned window + one combinable groupBy. Replicated
     // users are disjoint, so output rows (users with >= 2 events) grow
