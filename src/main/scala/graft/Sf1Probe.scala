@@ -182,25 +182,31 @@ object Sf1Probe {
     }
     // Persist the probe as a diffable per-round artifact (committed as
     // SF1_rN.json): the 100×-scale evidence should live in the repo,
-    // not in commit messages.
+    // not in commit marks. JSON numbers go through an explicit ROOT
+    // locale — the f-interpolator uses the DEFAULT locale, and a
+    // comma-decimal machine would render "sec":1,234 — invalid JSON
+    // (the exact r5 ADVICE bug class Bench already guards against).
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c => c.toString
     }
     val qjson = results.map { case (n, s, res) =>
       val body = res match {
-        case Right(rows) => f"""{"sec":$s%.3f,"rows":$rows}"""
-        case Left(e)     => f"""{"sec":$s%.3f,"error":"${esc(e)}"}"""
+        case Right(rows) => s"""{"sec":${num(s, 3)},"rows":$rows}"""
+        case Left(e)     => s"""{"sec":${num(s, 3)},"error":"${esc(e)}"}"""
       }
       s""""$n":$body"""
     }.mkString(",")
     val sjson = operators.StageViews.buildLog.map(b =>
-      f"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${b.sec}%.3f}""")
+      s"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${num(b.sec, 3)}}""")
       .mkString("[", ",", "]")
-    val ijson = isolated.map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
+    val ijson = isolated.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),
-      f"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":$total%.1f,"n_failed":${failed.size},"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
+      s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
   }
