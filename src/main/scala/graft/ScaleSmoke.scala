@@ -296,6 +296,28 @@ object ScaleSmoke {
         s"window count changed with packet volume ($counts) — the packet reduction leaked")
     }
 
+    // ---- Misra-Gries (r13): the summary's defining property is a
+    // HARD capacity bound — replicating USERS ×m grows the key
+    // cardinality ×m, but the emitted summary must never exceed MgCap
+    // rows, whatever the cardinality. Unbounded growth means the
+    // aggregate degenerated into an exact groupBy.
+    val mgResults = multiples.map { m =>
+      val e = evB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("user_id + rep * 1000000 AS user_id", "ts",
+          "event_id + rep * 100000000 AS event_id", "event_type", "value")
+      val t0g = System.nanoTime()
+      val rows = operators.Sketches.mgOn(e).count()
+      val secG = (System.nanoTime() - t0g) / 1e9
+      println(f"[scale] mgsumm  x$m%-3d events=${baseRows * m}%9d keys=${1500 * m}%7d rows=$rows%6d  $secG%7.2f s")
+      (m, secG, rows)
+    }
+    locally {
+      val cap = operators.Sketches.MgCap.toLong
+      println(s"[scale] mgsumm rows: keys x${mgResults.last._1 / mgResults.head._1} -> summary rows ${mgResults.map(_._3).mkString("/")} (hard cap $cap)")
+      require(mgResults.forall(_._3 <= cap),
+        s"MG summary exceeded its capacity bound: ${mgResults.map(_._3)}")
+    }
+
     // ---- twap family (r13): the per-user step-integral must stay ONE
     // user-partitioned window + one combinable groupBy. Replicated
     // users are disjoint, so output rows (users with >= 2 events) grow
