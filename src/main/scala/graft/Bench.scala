@@ -91,18 +91,31 @@ object Bench {
     var currentQuery = "warmup"
     operators.StageViews.enableBuildAttribution(() => currentQuery)
     val wall0 = System.nanoTime()
-    def timeOnce(s: SparkSession, name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      currentQuery = name
+    val failures = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Returns None on failure: a broken query must neither bench
+    // silently NOR report its time-to-failure as a cost — a query that
+    // throws in 0.2 s would otherwise look like a performance win and
+    // poison the phase-2 mover selection.
+    def timeOnce(s: SparkSession, name: String, label: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      currentQuery = label
       val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() } catch {
+      try {
+        fn(s, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
-          // a broken query must not bench silently
-          System.err.println(s"[bench] FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          -1L
+          System.err.println(s"[bench] FAIL $label: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failures += name
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
+    def minOfTwo(s: SparkSession, name: String, label: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      (timeOnce(s, name, label, fn), timeOnce(s, name, label, fn)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b) // one failed: keep the honest attempt, flag stays
+      }
     // Each query is timed TWICE and the min reported: a one-off stall
     // from machine contention (GC, a co-tenant process, page-cache miss)
     // hits one attempt, not both, so attribution noise collapses while
@@ -110,11 +123,11 @@ object Bench {
     // Per-query GC time (both attempts) goes to the file sink so
     // sustained-pressure inflation is attributable, not inferred.
     val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val g0 = gcMsNow()
-      val sec = math.min(timeOnce(spark, name, fn), timeOnce(spark, name, fn))
+      val sec = minOfTwo(spark, name, name, fn)
       gcMs(name) = gcMsNow() - g0
-      name -> sec
+      sec.map(name -> _)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val stageBuilds = operators.StageViews.buildLog
@@ -131,10 +144,8 @@ object Bench {
     val byName = SparkEntry.queries
     val movers = results.sortBy(-_._2).take(IsoTopN).map(_._1)
     val spark2 = newSession(cpus)
-    val isolated = movers.map { name =>
-      currentQuery = s"iso:$name"
-      val fn = byName(name)
-      name -> math.min(timeOnce(spark2, name, fn), timeOnce(spark2, name, fn))
+    val isolated = movers.flatMap { name =>
+      minOfTwo(spark2, name, s"iso:$name", byName(name)).map(name -> _)
     }
     operators.StageViews.unpersistAll(spark2)
     spark2.stop()
@@ -165,7 +176,8 @@ object Bench {
         .mkString("{", ",", "}")
       val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"iso":$isoJson,"sf":"$sfDir"}"""
+      val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"iso":$isoJson,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).

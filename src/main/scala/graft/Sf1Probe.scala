@@ -163,18 +163,28 @@ object Sf1Probe {
       val movers = results.sortBy(-_._2).take(6).map(_._1)
       val s2 = newSession()
       s2.range(1000000).selectExpr("sum(id)").collect()
-      val iso = movers.map { name =>
+      val iso = movers.flatMap { name =>
         currentQuery = s"iso:$name"
         val q = SparkEntry.catalog.find(_.name == name).get
-        def once(): Double = {
+        // a failed attempt must NOT record its time-to-failure: a
+        // 0.1 s crash next to a 40 s swept number would fake exactly
+        // the swept>>iso contention signature this map exists to prove
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try q.run(s2, out).count()
-          catch { case e: Throwable => println(s"[sf1] iso FAILED $name: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+          try { q.run(s2, out).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              println(s"[sf1] iso FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+          }
         }
-        val sec = math.min(once(), once())
-        println(f"[sf1] iso $name%-32s $sec%8.2f s (swept ${results.find(_._1 == name).get._2}%.2f)")
-        name -> sec
+        val sec = (once(), once()) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        sec.foreach(s => println(
+          f"[sf1] iso $name%-32s $s%8.2f s (swept ${results.find(_._1 == name).get._2}%.2f)"))
+        sec.map(name -> _)
       }
       operators.StageViews.unpersistAll(s2)
       s2.stop()

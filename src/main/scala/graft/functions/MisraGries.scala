@@ -125,7 +125,12 @@ object MisraGries {
 
       def finish(r: Summary): Array[Entry] =
         r.keys.zip(r.counts).map { case (k, c) => Entry(k, c) }
-          .sortBy(e => (-e.min_count, e.key))
+          // null keys are tracked like any other (a null-keyed input
+          // group is data, not an error — the '' bucket convention);
+          // the sort must therefore be null-safe: non-null first on
+          // count ties, Ordering[String] alone would NPE
+          .sortBy(e => (-e.min_count, e.key == null,
+            Option(e.key).getOrElse("")))
 
       def bufferEncoder: Encoder[Summary] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Summary]()

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * and `q_rate_anomaly`: for every /16 source prefix and hour, an
   * exponentially-weighted baseline of the PRIOR [[HistHours]] hourly
   * packet counts (weight halves per hour of age), and an alert when
-  * the current hour exceeds [[Theta]]× that baseline. This is the
+  * the current hour exceeds [[ThetaNum]]/[[ThetaDen]] × that
+  * baseline. This is the
   * per-entity decayed counter a rate limiter actually keeps — a burst
   * an hour ago dominates the baseline, last night's traffic barely
   * registers — restated in EXACT integers: every weight is a power of

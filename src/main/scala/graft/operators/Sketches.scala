@@ -158,7 +158,12 @@ ORDER BY user_id"""
     * `GROUP BY user_id` counts); above the capacity the output
     * degrades to ≤ m guaranteed-underestimate rows whose error bound
     * `MisraGriesSpec` pins on skewed synthetic streams across
-    * partitionings. Scale: one narrow scan, O(m) state per task, one
+    * partitionings. REGIME WARNING: the oracle is valid ONLY below
+    * capacity — the driver's hash gate runs at sf0.01 (150 users ≤
+    * 256, canary-pinned in `MisraGriesSpec`), while sf0.1 has 1500
+    * users and would hash-mismatch BY DESIGN if check.py were pointed
+    * there; that is the sketch being a sketch, not an engine bug.
+    * Scale: one narrow scan, O(m) state per task, one
     * m-bounded partial per partition into a single m-bounded merge —
     * strictly cheaper than the exact groupBy it replaces once the key
     * space outgrows memory, which is its entire reason to exist.

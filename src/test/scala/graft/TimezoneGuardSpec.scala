@@ -28,7 +28,7 @@ class TimezoneGuardSpec extends AnyFunSuite {
   private lazy val ntzDir: String = {
     val dir = Files.createTempDirectory("tz_guard").toString
     spark.sql(
-      """SELECT TIMESTAMP_NTZ '2024-03-10 07:30:00' AS ts,
+      """SELECT TIMESTAMP_NTZ '2024-03-10 02:30:00' AS ts,
         |       CAST(1 AS BIGINT) AS event_id""".stripMargin)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
@@ -39,13 +39,14 @@ class TimezoneGuardSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType)
     val ns = df.collect().head.getLong(df.columns.indexOf("ts"))
-    // 2024-03-10T07:30:00Z == 1710055800 epoch seconds
-    assert(ns == 1710055800L * 1000000000L)
+    // 2024-03-10T02:30:00Z == 1710037800 epoch seconds
+    assert(ns == 1710037800L * 1000000000L)
   }
 
   test("non-UTC session: the conversion refuses instead of shifting timestamps") {
-    // 2024-03-10 07:30 wall-clock in America/New_York is NOT the UTC
-    // instant (and sits inside the DST-gap morning for extra hostility)
+    // 2024-03-10 02:30 wall-clock does not EXIST in America/New_York
+    // (the spring-forward gap skips 02:00-03:00) — a silent conversion
+    // there would not merely shift the instant, it would fabricate one
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
       val e = intercept[IllegalArgumentException] {

@@ -86,6 +86,30 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys are tracked and the final sort is null-safe on count ties") {
+    val agg = MisraGries.aggregator(4)
+    var s = agg.zero
+    // null and "b" tie at 2; "a" leads with 3 — finish must not NPE
+    // and must place non-null before null within the tie
+    Seq("a", null, "b", "a", null, "b", "a").foreach(k => s = agg.reduce(s, k))
+    val out = agg.finish(s)
+    assert(out.map(e => Option(e.key)).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+    assert(out.map(_.min_count).toSeq == Seq(3L, 2L, 2L))
+  }
+
+  test("oracle-SF regime canary: distinct keys at sf0.01 sit under the capacity") {
+    // the q_mg_heavy_hitters oracle (plain GROUP BY) is valid ONLY
+    // below capacity; the driver's hash gate runs at sf0.01. If a
+    // testdata refresh ever pushes the user domain past MgCap, this
+    // canary fails BEFORE the driver reads a mysterious hash mismatch.
+    val users = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("user_id").distinct().count()
+    assert(users <= graft.operators.Sketches.MgCap,
+      s"sf0.01 has $users distinct users > MgCap=${graft.operators.Sketches.MgCap} — " +
+        "the MG oracle would mismatch by design; raise MgCap or re-key the query")
+  }
+
   test("catalog regime: q_mg_heavy_hitters is exact at the oracle scale") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
