@@ -31,6 +31,7 @@ object SparkEntry {
       operators.TimeSeries.all ++
       operators.StreamJoin.all ++
       operators.Sketches.all ++
+      operators.MgStream.all ++
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++

@@ -51,77 +51,93 @@ object MisraGries {
   /** One (key, retained-count) row of the final summary. */
   final case class Entry(key: String, min_count: Long)
 
+  private def indexOf(keys: Array[String], key: String): Int = {
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) == key) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Subtract `cut` from every counter, dropping non-positive slots. */
+  private def subtractCompact(s: Summary, cut: Long): Summary = {
+    var keep = 0
+    var i = 0
+    while (i < s.counts.length) {
+      if (s.counts(i) > cut) keep += 1
+      i += 1
+    }
+    val ks = new Array[String](keep)
+    val cs = new Array[Long](keep)
+    var j = 0
+    i = 0
+    while (i < s.counts.length) {
+      if (s.counts(i) > cut) { ks(j) = s.keys(i); cs(j) = s.counts(i) - cut; j += 1 }
+      i += 1
+    }
+    Summary(ks, cs)
+  }
+
+  /** One MG update step under capacity `m`. The tracked-key hot path
+    * increments IN PLACE and returns the same buffer; slot claims and
+    * the global decrement return a fresh one — shared verbatim by the
+    * batch [[aggregator]] and the streaming
+    * [[graft.operators.MgStream.TopTalkersProcessor]] state, so the
+    * two deployments cannot drift.
+    */
+  private[graft] def update(b: Summary, key: String, m: Int): Summary = {
+    val i = indexOf(b.keys, key)
+    if (i >= 0) { b.counts(i) += 1L; b }
+    else if (b.keys.length < m)
+      Summary(b.keys :+ key, b.counts :+ 1L)
+    else subtractCompact(b, 1L) // classic global decrement pays for `key`
+  }
+
+  /** PODS-2012 merge: keywise counter sums, then subtract the
+    * (m+1)-th largest combined count and drop non-positives.
+    */
+  private[graft] def mergeSummaries(a: Summary, b: Summary, m: Int): Summary = {
+    if (a.keys.isEmpty) return b
+    if (b.keys.isEmpty) return a
+    var extra = 0
+    var i = 0
+    while (i < b.keys.length) {
+      if (indexOf(a.keys, b.keys(i)) < 0) extra += 1
+      i += 1
+    }
+    val ks = new Array[String](a.keys.length + extra)
+    val cs = new Array[Long](a.keys.length + extra)
+    System.arraycopy(a.keys, 0, ks, 0, a.keys.length)
+    System.arraycopy(a.counts, 0, cs, 0, a.counts.length)
+    var j = a.keys.length
+    i = 0
+    while (i < b.keys.length) {
+      val at = indexOf(a.keys, b.keys(i))
+      if (at >= 0) cs(at) += b.counts(i)
+      else { ks(j) = b.keys(i); cs(j) = b.counts(i); j += 1 }
+      i += 1
+    }
+    val merged = Summary(ks, cs)
+    if (ks.length <= m) merged
+    else {
+      // subtract the (m+1)-th largest combined count
+      val cut = cs.clone().sorted(Ordering[Long].reverse).apply(m)
+      subtractCompact(merged, cut)
+    }
+  }
+
   def aggregator(m: Int): Aggregator[String, Summary, Array[Entry]] = {
     require(m >= 1, s"capacity must be >= 1: $m")
     new Aggregator[String, Summary, Array[Entry]] {
 
       def zero: Summary = Summary(Array.empty, Array.empty)
 
-      private def indexOf(keys: Array[String], key: String): Int = {
-        var i = 0
-        while (i < keys.length) {
-          if (keys(i) == key) return i
-          i += 1
-        }
-        -1
-      }
+      def reduce(b: Summary, key: String): Summary =
+        MisraGries.update(b, key, m)
 
-      /** Subtract `cut` from every counter, dropping non-positive slots. */
-      private def subtractCompact(s: Summary, cut: Long): Summary = {
-        var keep = 0
-        var i = 0
-        while (i < s.counts.length) {
-          if (s.counts(i) > cut) keep += 1
-          i += 1
-        }
-        val ks = new Array[String](keep)
-        val cs = new Array[Long](keep)
-        var j = 0
-        i = 0
-        while (i < s.counts.length) {
-          if (s.counts(i) > cut) { ks(j) = s.keys(i); cs(j) = s.counts(i) - cut; j += 1 }
-          i += 1
-        }
-        Summary(ks, cs)
-      }
-
-      def reduce(b: Summary, key: String): Summary = {
-        val i = indexOf(b.keys, key)
-        if (i >= 0) { b.counts(i) += 1L; b }
-        else if (b.keys.length < m)
-          Summary(b.keys :+ key, b.counts :+ 1L)
-        else subtractCompact(b, 1L) // classic global decrement pays for `key`
-      }
-
-      def merge(a: Summary, b: Summary): Summary = {
-        if (a.keys.isEmpty) return b
-        if (b.keys.isEmpty) return a
-        var extra = 0
-        var i = 0
-        while (i < b.keys.length) {
-          if (indexOf(a.keys, b.keys(i)) < 0) extra += 1
-          i += 1
-        }
-        val ks = new Array[String](a.keys.length + extra)
-        val cs = new Array[Long](a.keys.length + extra)
-        System.arraycopy(a.keys, 0, ks, 0, a.keys.length)
-        System.arraycopy(a.counts, 0, cs, 0, a.counts.length)
-        var j = a.keys.length
-        i = 0
-        while (i < b.keys.length) {
-          val at = indexOf(a.keys, b.keys(i))
-          if (at >= 0) cs(at) += b.counts(i)
-          else { ks(j) = b.keys(i); cs(j) = b.counts(i); j += 1 }
-          i += 1
-        }
-        val merged = Summary(ks, cs)
-        if (ks.length <= m) merged
-        else {
-          // subtract the (m+1)-th largest combined count
-          val cut = cs.clone().sorted(Ordering[Long].reverse).apply(m)
-          subtractCompact(merged, cut)
-        }
-      }
+      def merge(a: Summary, b: Summary): Summary =
+        MisraGries.mergeSummaries(a, b, m)
 
       def finish(r: Summary): Array[Entry] =
         r.keys.zip(r.counts).map { case (k, c) => Entry(k, c) }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.MisraGries
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** In-stream top talkers per window — the anti-DDoS screen the
+  * mitigation family lacked: entropy/EWMA detect that a DISTRIBUTION
+  * shifted, this NAMES the top-k sources driving each window, with
+  * bounded state, while the stream is still flowing.
+  *
+  * Deployment shape (the `q_src_entropy_stream` split): the STREAM owns
+  * a Misra–Gries summary per (window, salt) in `transformWithState`
+  * ValueState — ≤ [[MgStreamCap]] counters per group, whatever the
+  * source cardinality, updated by the exact
+  * [[graft.functions.MisraGries.update]] step the batch aggregator
+  * runs — and the top-k REPORT is a batch rollup over the maintained
+  * summaries ([[topTalkersReport]]): last emission per group wins
+  * (emissions carry a monotone rows-seen stamp), groups merge keywise
+  * (salting partitions the key space, so the union is disjoint — the
+  * degenerate, always-exact case of the PODS-2012 merge), then
+  * rank ≤ [[TopK]] per window on (count DESC, ip ASC).
+  *
+  * Regime: the packet generator's source domain is structurally ≤ 350
+  * addresses at ANY scale factor (src_ip is a function of user_id
+  * mod 300 / mod 50 — FlowFeatureSql.packetStage0), so with capacity
+  * 512 per salt group neither the decrement nor the merge cut ever
+  * fires and the summaries are provably EXACT — the oracle is the
+  * plain per-window GROUP BY top-k. The above-capacity behavior of the
+  * identical update/merge code is pinned by `MisraGriesSpec`/
+  * `MisraGriesPropertiesSpec` and driver-checked by `q_mg_est_error`.
+  *
+  * Scale: state is O(windows × salts × m) in RocksDB and the shuffle
+  * key is (window, salt), so one hot window fans across [[Salts]]
+  * tasks instead of one — raise Salts for a 1000-executor deployment
+  * and the report's merge is unchanged (that is what "mergeable"
+  * buys). Emission is O(m) rows per active group per micro-batch.
+  * Restart-from-checkpoint durability: `MgStreamDurabilitySpec`.
+  */
+object MgStream {
+
+  val WinUs: Long = 3600L * 1000000
+  val MgStreamCap = 512
+  val Salts = 2
+  val TopK = 5
+
+  case class MgRow(win: Long, salt: Int, k: String)
+  case class MgGroupState(keys: Array[String], counts: Array[Long], nSeen: Long)
+  case class MgEmit(win: Long, salt: Int, k: String, est: Long, n_seen: Long)
+
+  class TopTalkersProcessor(cap: Int)
+      extends StatefulProcessor[(Long, Int), MgRow, MgEmit] {
+    @transient private var state: ValueState[MgGroupState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MgGroupState](
+        "mg", Encoders.product[MgGroupState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Int), rows: Iterator[MgRow],
+        timerValues: TimerValues): Iterator[MgEmit] = {
+      val prior =
+        if (state.exists()) state.get()
+        else MgGroupState(Array.empty, Array.empty, 0L)
+      var summary = MisraGries.Summary(prior.keys, prior.counts)
+      var n = prior.nSeen
+      rows.foreach { r =>
+        summary = MisraGries.update(summary, r.k, cap)
+        n += 1
+      }
+      state.update(MgGroupState(summary.keys, summary.counts, n))
+      val (win, salt) = key
+      val out = new Array[MgEmit](summary.keys.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = MgEmit(win, salt, summary.keys(i), summary.counts(i), n)
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Batch top-k report over the stream's emitted summaries. Each
+    * micro-batch re-emits a group's full summary stamped with its
+    * monotone rows-seen count, so "the final summary" is exactly the
+    * rows carrying the group's max stamp — batch-split independent.
+    */
+  private[graft] def topTalkersReport(emitted: DataFrame,
+      topK: Int = TopK): DataFrame = {
+    val spark = emitted.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val last = emitted
+      .withColumn("mx", max($"n_seen").over(Window.partitionBy($"win", $"salt")))
+      .where($"n_seen" === $"mx")
+    last.groupBy($"win", $"k")
+      .agg(sum($"est").cast("bigint").as("mg_count")) // disjoint-key union
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"win").orderBy($"mg_count".desc, $"k")))
+      .where($"rk" <= topK)
+      .selectExpr(s"win * $WinUs AS window_start_us", "k AS src_ip",
+        "mg_count", "CAST(rk AS BIGINT) AS rk")
+      .orderBy("window_start_us", "rk")
+  }
+
+  val qMgHeavyHittersStream = Q(
+    "q_mg_heavy_hitters_stream",
+    (spark, dir) => {
+      import spark.implicits._
+      val sinkName = s"mghh_${System.nanoTime()}"
+      StatefulTotals.withRocksDb(spark) {
+        graft.GraftSession.withStreamingShuffle(spark) {
+          val q = graft.flow.BatchFlowFeaturizer
+            .packetsFromEvents(Tables.eventsStream(spark, dir))
+            .selectExpr(s"ts_us DIV $WinUs AS win",
+              s"CAST(pmod(xxhash64(src_ip), $Salts) AS INT) AS salt",
+              "src_ip AS k")
+            .as[MgRow]
+            .groupByKey(r => (r.win, r.salt))
+            .transformWithState(new TopTalkersProcessor(MgStreamCap),
+              TimeMode.None(), OutputMode.Update(), Encoders.product[MgEmit])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      topTalkersReport(spark.table(sinkName))
+    },
+    Some(s"""
+WITH p0 AS (SELECT ${graft.flow.FlowFeatureSql.packetStage0(graft.flow.FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${graft.flow.FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+per AS (SELECT ts_us // $WinUs AS win, src_ip, CAST(count(*) AS BIGINT) AS cnt
+        FROM packets GROUP BY 1, 2),
+r AS (SELECT win, src_ip, cnt,
+             row_number() OVER (PARTITION BY win ORDER BY cnt DESC, src_ip) AS rk
+      FROM per)
+SELECT win * $WinUs AS window_start_us, src_ip, cnt AS mg_count,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= $TopK
+ORDER BY window_start_us, rk"""))
+
+  val all: Seq[Q] = Seq(qMgHeavyHittersStream)
+}

@@ -193,5 +193,98 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters)
+  /** Misra–Gries in its ABOVE-capacity (approximate) regime, driver-
+    * visible: capacity [[MgErrCap]] counters over the documents
+    * corpus's `lang` column, whose 5-key domain is genuinely skewed
+    * (~44% `en` at every SF) and strictly larger than the capacity —
+    * the decrement/merge-cut paths fire on the real corpus, not just
+    * in specs. Above capacity the retained counter VALUES are
+    * merge-order-dependent (Spark's partial-merge order varies run to
+    * run), so the oracle cannot hash counter values; what IS
+    * deterministic is the algorithm's contract, and that is what the
+    * query emits: one row per GUARANTEED-heavy key (exact count
+    * c·(m+1) > N — a deterministic, oracle-computable set, non-empty
+    * at every probed SF) carrying the exact counts plus the bound
+    * verdicts computed from the ACTUAL summary —
+    *  - `retained`: the guaranteed-heavy key is present in the summary
+    *    (the theorem: any k with c(k) > (N−M)/(m+1) ≥ … survives);
+    *  - `underestimate_ok`: its ĉ ≤ c;
+    *  - `within_bound`: (m+1)·(c−ĉ) ≤ N−M, exact integer arithmetic —
+    *    the Mergeable-Summaries error bound with M read from the
+    *    summary's retained weight;
+    *  - `summary_le_cap`: the summary holds ≤ m counters (the hard
+    *    memory bound — the sketch's defining property);
+    *  - `all_underestimate`: EVERY retained key (not just heavy ones)
+    *    underestimates its exact count, and every retained key is a
+    *    real input key.
+    * The oracle states the theory side: the same heavy set from exact
+    * counts with every verdict TRUE. A broken sketch flips a boolean
+    * and the hash gate catches it — the same
+    * theorem-checked-end-to-end style as `q_bloom_semi_join`'s
+    * provably-zero false negatives and `q_minhash_est_error`.
+    *
+    * Scale: the MG pass is one narrow scan with O(m) state per task
+    * (see [[qMgHeavyHitters]]); the audit side's exact GROUP BY is over
+    * a 5-key domain — every post-scan relation here is ≤ |domain| rows.
+    */
+  val MgErrCap = 3
+
+  private[graft] def mgEstErrOn(docs: org.apache.spark.sql.DataFrame,
+      cap: Int = MgErrCap): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mg = graft.functions.MisraGries.aggregator(cap).toColumn
+    val est = docs.selectExpr("lang AS k").as[String]
+      .select(mg.name("entries"))
+      .toDF("entries")
+      .select(explode($"entries").as("e"))
+      .selectExpr("e.key AS k", "e.min_count AS est")
+    val exact = docs.groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("c_exact"))
+    val tot = exact.agg(
+      sum($"c_exact").cast("bigint").as("n_total"),
+      count(lit(1)).cast("bigint").as("n_distinct"))
+    // one-row summary-side invariants: retained weight M, counter count,
+    // and the min slack (c − ĉ) over ALL retained keys (LEFT join so a
+    // phantom key the corpus never contained surfaces as n_matched <
+    // n_retained → all_underestimate false → hash mismatch)
+    val sums = est.join(exact, $"k" === $"lang", "left")
+      .agg(count(lit(1)).as("n_retained"),
+        sum($"est").cast("bigint").as("m_retained"),
+        min($"c_exact" - $"est").as("min_slack"),
+        count($"c_exact").as("n_matched"))
+    exact.crossJoin(broadcast(tot))
+      .where($"c_exact" * (cap + 1) > $"n_total") // guaranteed-heavy set
+      .join(est, $"lang" === $"k", "left")
+      .crossJoin(broadcast(sums))
+      .select($"lang", $"c_exact", $"n_total", $"n_distinct",
+        $"est".isNotNull.as("retained"),
+        ($"est".isNotNull && $"est" <= $"c_exact").as("underestimate_ok"),
+        ($"est".isNotNull &&
+          lit(cap + 1L) * ($"c_exact" - $"est") <= $"n_total" - $"m_retained")
+          .as("within_bound"),
+        ($"n_retained" <= cap).as("summary_le_cap"),
+        ($"n_matched" === $"n_retained" && $"min_slack" >= 0)
+          .as("all_underestimate"))
+      .orderBy("lang")
+  }
+
+  val qMgEstError = Q(
+    "q_mg_est_error",
+    (spark, dir) => mgEstErrOn(graft.Tables.documents(spark, dir)),
+    Some(s"""
+WITH x AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_exact
+           FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(c_exact) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_distinct FROM x)
+SELECT lang, c_exact, n_total, n_distinct,
+       TRUE AS retained, TRUE AS underestimate_ok, TRUE AS within_bound,
+       TRUE AS summary_le_cap, TRUE AS all_underestimate
+FROM x CROSS JOIN t
+WHERE c_exact * ${MgErrCap + 1} > n_total
+ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters,
+    qMgEstError)
 }
