@@ -24,10 +24,44 @@ object GraftSession {
     * and restored after. State-partition count only affects layout,
     * not results (the suite is green at 4 and 32 cores).
     */
-  def withStreamingShuffle[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+  /** @param noDataBatch whether the terminating run keeps the final
+    *   watermark-only no-data micro-batch. Measured (StreamFloorProbe,
+    *   sf0.1): that batch costs 0.3–0.9 s of pure state-store
+    *   open/commit for ZERO rows. Pass `false` ONLY where emissions
+    *   cannot come from watermark or timer advancement — update- and
+    *   complete-mode sinks, transformWithState under TimeMode.None,
+    *   append-mode dedup (emits on first sight) and append-mode INNER
+    *   interval joins (match-time emission): for those the batch only
+    *   evicts state and the results are bit-identical without it.
+    *   KEEP it (default) for append-mode left joins (null emission =
+    *   state expiry), event-time timers (session close), append-mode
+    *   windowed aggregation (watermark-close emission), and
+    *   processing-time timeouts (the featurizer family). On a live
+    *   cluster the flag flips back on for liveness; it is a
+    *   terminating-run (AvailableNow) economy.
+    */
+  def withStreamingShuffle[A](spark: SparkSession, n: Int = 8,
+      noDataBatch: Boolean = true)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      if (noDataBatch) body
+      else withConf(spark,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")(body)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Scope one session conf to `body`, restoring the prior value —
+    * the generic shape of [[withStreamingShuffle]] for per-query
+    * streaming knobs.
+    */
+  def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
   def getOrCreate(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming fixed-floor diagnostics: runs the named catalog queries
+  * (default: the micro-batch-bound streaming family) with a
+  * StreamingQueryListener attached and itemizes EVERY micro-batch —
+  * batchId, input rows, and the durationMs breakdown
+  * (addBatch/getBatch/planning/walCommit/state commit) — so "the
+  * streaming queries cost ~2 s for tiny outputs" is attributable to
+  * named phases instead of guessed at. Wall time per run is printed
+  * alongside for the end-to-end floor (query start/stop overhead =
+  * wall − Σ batch time).
+  *
+  * Usage: runMain graft.StreamFloorProbe <sfDir> [query...]
+  */
+object StreamFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_stream_stream_join", "q_stream_stream_left_join",
+        "q_src_entropy_stream", "q_rate_window_stream")
+    val spark = GraftSession.getOrCreate()
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
+
+    case class Batch(batchId: Long, rows: Long, dur: Map[String, Long])
+    val batches = ArrayBuffer.empty[Batch]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        import scala.jdk.CollectionConverters._
+        batches.synchronized {
+          batches += Batch(e.progress.batchId, e.progress.numInputRows,
+            e.progress.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap)
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    for (n <- names; run <- 1 to 2) {
+      batches.synchronized(batches.clear())
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val bs = batches.synchronized(batches.toVector)
+      val total = bs.map(_.dur.getOrElse("triggerExecution", 0L)).sum
+      println(f"[floor] $n run$run wall=$wall%6.2f s batches=${bs.size} trigger_total=${total / 1000.0}%5.2f s startstop=${wall - total / 1000.0}%5.2f s")
+      for (b <- bs.sortBy(_.batchId)) {
+        val d = b.dur
+        println(s"[floor]   batch=${b.batchId} rows=${b.rows} " +
+          Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+            "walCommit", "commitOffsets", "triggerExecution")
+            .flatMap(k => d.get(k).map(v => s"$k=${v}ms")).mkString(" "))
+      }
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+}

@@ -1594,7 +1594,7 @@ ORDER BY n.vec_id""")
     */
   val qEmbedIncrStream = Q(
     "q_dedup_embedding_incr_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
       import spark.implicits._
@@ -1665,7 +1665,7 @@ WHERE f.nmem <= $EmbedBucketCap""")
     */
   val qDedupStreamExact = Q(
     "q_dedup_stream_exact",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import org.apache.spark.sql.functions.{count, lit}
       import org.apache.spark.sql.types._
       import spark.implicits._
@@ -1715,7 +1715,7 @@ FROM documents GROUP BY source ORDER BY source"""))
     */
   val qDedupStreamWindowed = Q(
     "q_dedup_stream_windowed",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import org.apache.spark.sql.functions.{count, lit}
       import spark.implicits._
       val events = graft.Tables.eventsStream(spark, dir)

@@ -192,7 +192,7 @@ ORDER BY window_start_us"""
 
   val qSrcEntropyStream = Q(
     "q_src_entropy_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val sinkName = s"entropy_stream_${System.nanoTime()}"
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))

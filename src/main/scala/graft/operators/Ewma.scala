@@ -139,7 +139,7 @@ ORDER BY pfx, hour_idx""")
     */
   val qEwmaBurstStream = Q(
     "q_ewma_burst_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val sinkName = s"ewma_stream_${System.nanoTime()}"
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
@@ -257,13 +257,29 @@ ORDER BY pfx, day_idx, h24""")
   val Pattern: Seq[Long] = Seq(0L, 0L, 0L, 0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
   val PatternTopK = 20
 
+  /** Span guard (r13 verdict): the dense spine is |pfx| × hour-span —
+    * domain-bounded on today's corpora (SCALE gate pins the window
+    * count exact-constant under ×10 volume) but the SPAN dimension
+    * grows with calendar time, and a multi-year 100 TB corpus would
+    * inflate it silently. An onset-pattern search is a RECENT-history
+    * question, so the spine is clamped to the trailing
+    * [[PatternHorizonHours]] (one year): hmin is raised to
+    * hmax − H + 1, bounding the spine at |pfx| · H forever. The clamp
+    * is mirrored verbatim in the oracle and exercised above the
+    * horizon by ScaleSmoke's time-extended replica probe.
+    */
+  val PatternHorizonHours: Long = 24L * 365
+
   private[graft] def patternMatchOn(ph: DataFrame,
-      pattern: Seq[Long] = Pattern, topK: Int = PatternTopK): DataFrame = {
+      pattern: Seq[Long] = Pattern, topK: Int = PatternTopK,
+      horizonHours: Long = PatternHorizonHours): DataFrame = {
     val spark = ph.sparkSession
     import spark.implicits._
-    require(pattern.nonEmpty && topK > 0)
+    require(pattern.nonEmpty && topK > 0 && horizonHours >= pattern.length)
     val L = pattern.length
-    val b = ph.agg(min($"h").as("hmin"), max($"h").as("hmax"))
+    val b = ph.agg(min($"h").as("hmin0"), max($"h").as("hmax"))
+      .select(greatest($"hmin0", $"hmax" - lit(horizonHours - 1)).as("hmin"),
+        $"hmax")
     val pfxs = ph.select($"pfx").distinct()
     val spine = pfxs.crossJoin(broadcast(b))
       .select($"pfx", $"hmin", $"hmax",
@@ -303,7 +319,8 @@ packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
 ph AS (SELECT regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS pfx,
               ts_us // $HourUs AS h, count(*) AS cnt
        FROM packets GROUP BY 1, 2),
-b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ph),
+b AS (SELECT greatest(min(h), max(h) - ${PatternHorizonHours - 1}) AS hmin,
+             max(h) AS hmax FROM ph),
 pfxs AS (SELECT DISTINCT pfx FROM ph),
 spine AS (SELECT pfx, unnest(range(hmin, hmax + 1)) AS sh, hmin, hmax
           FROM pfxs CROSS JOIN b),

@@ -110,7 +110,7 @@ object MgStream {
       import spark.implicits._
       val sinkName = s"mghh_${System.nanoTime()}"
       StatefulTotals.withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .selectExpr(s"ts_us DIV $WinUs AS win",

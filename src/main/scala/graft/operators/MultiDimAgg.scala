@@ -293,7 +293,7 @@ ORDER BY n_both""")
     */
   val qSessionWindowStream = Q(
     "q_session_window_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
       val sinkName = s"session_stream_${System.nanoTime()}"

@@ -80,7 +80,7 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowStream = Q(
     "q_rate_window_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
       val sinkName = s"rate_stream_${System.nanoTime()}"
@@ -207,7 +207,7 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowSlidingStream = Q(
     "q_rate_window_sliding_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
       val sinkName = s"slide_stream_${System.nanoTime()}"

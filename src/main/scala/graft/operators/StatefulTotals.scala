@@ -93,7 +93,7 @@ object StatefulTotals {
       import spark.implicits._
       val sinkName = s"tws_${System.nanoTime()}"
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "CAST(round(value * 100, 0) AS BIGINT) AS cents")
@@ -173,7 +173,7 @@ ORDER BY user_id"""))
       import spark.implicits._
       val sinkName = s"twsm_${System.nanoTime()}"
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .select($"user_id", $"event_type")
             .as[TypedEvent]
@@ -407,7 +407,7 @@ ORDER BY user_id, start_us"""))
       import spark.implicits._
       val sinkName = s"tws_chain_${System.nanoTime()}"
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "event_type",
               "CAST(ts DIV 1000 AS BIGINT) AS ts_us", "event_id")
@@ -525,7 +525,7 @@ ORDER BY event_type""")
       import spark.implicits._
       val sinkName = s"tws_bucket_${System.nanoTime()}"
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "event_id")

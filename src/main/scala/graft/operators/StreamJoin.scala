@@ -49,8 +49,19 @@ ORDER BY c.user_id, click_id, error_id""")
           .withWatermark(s"${prefix}_time", "10 minutes")
       val sinkName = s"ssj_${System.nanoTime()}"
       // stream-stream joins open FOUR state stores per partition (2
-      // sides × 2 store families) — see withStreamingShuffle
-      graft.GraftSession.withStreamingShuffle(spark) {
+      // sides × 2 store families) — see withStreamingShuffle. Floor
+      // tuning, measured (StreamFloorProbe, sf0.1, steady-state):
+      // the no-data watermark batch cost ~0.9 s of pure state-store
+      // commits for ZERO rows — and an INNER interval join's emissions
+      // are complete without it (it only evicts state), so it is
+      // skipped; the left join below keeps it (null emissions NEED the
+      // final watermark advance). 2 partitions, not 8: state here is a
+      // few thousand buffered rows and per-partition store open/commit
+      // is the cost driver at this size (8 partitions: 2.9 s total;
+      // 2: 1.9 s; 1 regresses to 2.3 s — the join loses parallelism).
+      // On a cluster with real volume both knobs flip back: partitions
+      // to the job default, no-data batches on for liveness.
+      graft.GraftSession.withStreamingShuffle(spark, 2, noDataBatch = false) {
         val q = side("click", "c")
           .join(side("error", "e"),
             expr(s"""c_user = e_user AND
@@ -122,7 +133,9 @@ ORDER BY c.user_id, click_id, error_id""")
             timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
           .withWatermark(s"${prefix}_time", "10 minutes")
       val sinkName = s"ssjl_${System.nanoTime()}"
-      graft.GraftSession.withStreamingShuffle(spark) {
+      // 2 partitions like the inner join; the no-data batch STAYS — the
+      // final watermark advance is what emits the expired-click nulls
+      graft.GraftSession.withStreamingShuffle(spark, 2) {
         val q = side("click", "c")
           .join(side("error", "e"),
             expr(s"""c_user = e_user AND
