@@ -295,6 +295,41 @@ object ScaleSmoke {
       require(counts.size == 1,
         s"window count changed with packet volume ($counts) — the packet reduction leaked")
     }
+    // ---- pattern-search spine SPAN guard (r14): the probe above pins
+    // the spine constant under VOLUME replication; this one replicates
+    // in TIME (each replica shifted past the corpus's end) so the
+    // hour-span grows ×m, and asserts the spine relation is EXACTLY
+    // |pfx| · (min(span, H) − L + 1): linear in the span below the
+    // trailing-horizon clamp, hard-capped at |pfx| · H above it. ×13
+    // pushes the sf0.1 span (~720 h) past the 8760 h horizon, so the
+    // clamp's engagement is measured, not assumed.
+    locally {
+      val tsB = evB.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val shiftNs = tsB.getLong(1) - tsB.getLong(0) + 3600L * 1000000000L
+      val patLen = operators.Ewma.Pattern.length
+      val horizon = operators.Ewma.PatternHorizonHours
+      val spanProbes = Seq(1, 3, 13).map { m =>
+        val e = evB.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("user_id", s"ts + rep * ${shiftNs}L AS ts",
+            "event_id + rep * 100000000 AS event_id", "event_type", "value")
+        val ph = operators.Ewma.prefixHourCounts(
+          flow.BatchFlowFeaturizer.packetsFromEvents(e)).cache()
+        val st = ph.agg(min(col("h")), max(col("h")), countDistinct(col("pfx"))).head()
+        val span = st.getLong(1) - st.getLong(0) + 1
+        val t0s = System.nanoTime()
+        val windows = operators.Ewma.patternMatchOn(ph, topK = Int.MaxValue).count()
+        val secS = (System.nanoTime() - t0s) / 1e9
+        val expected = st.getLong(2) * (math.min(span, horizon) - patLen + 1)
+        println(f"[scale] tspan   x$m%-3d span=$span%6d h windows=$windows%9d expected=$expected%9d clamped=${span > horizon}%-5s $secS%7.2f s")
+        require(windows == expected,
+          s"spine windows $windows != |pfx|*(min(span,H)-L+1) = $expected — span guard broken")
+        ph.unpersist()
+        (m, span)
+      }
+      require(spanProbes.exists(_._2 > horizon),
+        "no span probe crossed the horizon — raise the time multiple")
+      println(s"[scale] tspan spine: linear in span below H=$horizon h, hard-clamped above (exact-equality bound)")
+    }
 
     // ---- Misra-Gries (r13): the summary's defining property is a
     // HARD capacity bound — replicating USERS ×m grows the key
