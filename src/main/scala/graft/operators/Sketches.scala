@@ -242,22 +242,27 @@ ORDER BY user_id"""))
       .selectExpr("e.key AS k", "e.min_count AS est")
     val exact = docs.groupBy($"lang")
       .agg(count(lit(1)).cast("bigint").as("c_exact"))
-    val tot = exact.agg(
-      sum($"c_exact").cast("bigint").as("n_total"),
-      count(lit(1)).cast("bigint").as("n_distinct"))
-    // one-row summary-side invariants: retained weight M, counter count,
-    // and the min slack (c − ĉ) over ALL retained keys (LEFT join so a
-    // phantom key the corpus never contained surfaces as n_matched <
-    // n_retained → all_underestimate false → hash mismatch)
-    val sums = est.join(exact, $"k" === $"lang", "left")
-      .agg(count(lit(1)).as("n_retained"),
-        sum($"est").cast("bigint").as("m_retained"),
-        min($"c_exact" - $"est").as("min_slack"),
-        count($"c_exact").as("n_matched"))
-    exact.crossJoin(broadcast(tot))
+    // ONE pass per input: exact counts FULL-OUTER summary (a phantom
+    // summary key the corpus never contained lands as a null-c_exact
+    // row), then every global invariant — N, D, retained weight M,
+    // counter count, min slack, phantom count — as null-skipping
+    // window aggregates over the ≤(D+m)-row joined relation (a
+    // single-partition window over the DOMAIN-sized relation, the
+    // spend-deciles discipline — never over data volume). The first
+    // spelling re-derived the whole MG subtree for the audit
+    // constants; this plan aggregates each input exactly once.
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.partitionBy()
+    exact.join(est, $"lang" === $"k", "full_outer")
+      .select($"lang", $"c_exact", $"est",
+        sum($"c_exact").over(full).cast("bigint").as("n_total"),
+        count($"c_exact").over(full).as("n_distinct"),
+        sum($"est").over(full).cast("bigint").as("m_retained"),
+        count($"est").over(full).as("n_retained"),
+        min($"c_exact" - $"est").over(full).as("min_slack"),
+        sum(when($"c_exact".isNull, 1L).otherwise(0L)).over(full)
+          .as("n_phantom"))
       .where($"c_exact" * (cap + 1) > $"n_total") // guaranteed-heavy set
-      .join(est, $"lang" === $"k", "left")
-      .crossJoin(broadcast(sums))
       .select($"lang", $"c_exact", $"n_total", $"n_distinct",
         $"est".isNotNull.as("retained"),
         ($"est".isNotNull && $"est" <= $"c_exact").as("underestimate_ok"),
@@ -265,7 +270,7 @@ ORDER BY user_id"""))
           lit(cap + 1L) * ($"c_exact" - $"est") <= $"n_total" - $"m_retained")
           .as("within_bound"),
         ($"n_retained" <= cap).as("summary_le_cap"),
-        ($"n_matched" === $"n_retained" && $"min_slack" >= 0)
+        ($"n_phantom" === 0L && coalesce($"min_slack" >= 0, lit(false)))
           .as("all_underestimate"))
       .orderBy("lang")
   }
