@@ -353,6 +353,33 @@ object ScaleSmoke {
         s"MG summary exceeded its capacity bound: ${mgResults.map(_._3)}")
     }
 
+    // ---- q-digest (r14): same defining property for the quantile
+    // summary — replicating values ×m (shifted per replica so distinct
+    // values grow toward the universe) must keep the compressed digest
+    // within its 4k node bound, whatever the weight or cardinality,
+    // while total weight is conserved exactly. Node growth past the
+    // bound means compression degenerated into the exact histogram.
+    val qdK = operators.Sketches.QdErrK
+    val qdResults = multiples.map { m =>
+      val e = evB.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("user_id", "ts", "event_id + rep * 100000000 AS event_id",
+          "event_type", "value + CAST(rep AS DOUBLE) * 7.77 AS value")
+      val t0q = System.nanoTime()
+      val nodes = operators.Sketches.qdigestNodes(e, qdK)
+        .agg(count(lit(1)).as("n_nodes"), sum(col("cnt")).as("w")).head()
+      val secQ = (System.nanoTime() - t0q) / 1e9
+      println(f"[scale] qdigest x$m%-3d events=${baseRows * m}%9d nodes=${nodes.getLong(0)}%6d weight=${nodes.getLong(1)}%9d  $secQ%7.2f s")
+      (m, nodes.getLong(0), nodes.getLong(1))
+    }
+    locally {
+      val bound = functions.QDigest.sizeBound(qdK).toLong
+      println(s"[scale] qdigest nodes: weight x${qdResults.last._3 / qdResults.head._3} -> nodes ${qdResults.map(_._2).mkString("/")} (hard bound $bound)")
+      require(qdResults.forall(_._2 <= bound),
+        s"q-digest exceeded its size bound: ${qdResults.map(_._2)}")
+      require(qdResults.zip(multiples).forall { case ((_, _, w), m) => w == baseRows * m },
+        s"q-digest lost weight: ${qdResults.map(_._3)} vs ${multiples.map(_ * baseRows)}")
+    }
+
     // ---- twap family (r13): the per-user step-integral must stay ONE
     // user-partitioned window + one combinable groupBy. Replicated
     // users are disjoint, so output rows (users with >= 2 events) grow

@@ -290,6 +290,147 @@ FROM x CROSS JOIN t
 WHERE c_exact * ${MgErrCap + 1} > n_total
 ORDER BY lang"""))
 
+  // ================= q-digest mergeable quantile summary =================
+
+  /** The engine's own mergeable quantile sketch ([[graft.functions.QDigest]])
+    * over the event-value cents — the rank member of the sketch family
+    * (HLL distinct / CMS frequency / MG heavy keys / Bloom membership).
+    * Same two-query discipline as the Misra–Gries pair:
+    *
+    * `q_qdigest_quantiles` runs at capacity [[QdExactK]] — ABOVE the
+    * stream weight at the oracle SFs, so t = ⌊N/k⌋ = 0, nothing ever
+    * compresses, the digest is the exact value histogram and the
+    * post-order quantile rule degenerates to the textbook discrete
+    * quantile the oracle states (REGIME WARNING: at sf0.1+ the weight
+    * exceeds k, compression fires and the hash would mismatch BY
+    * DESIGN — the q_mg_heavy_hitters convention).
+    *
+    * `q_qdigest_est_error` runs at capacity [[QdErrK]] — compression
+    * fires at EVERY probed SF (t ≥ 15 at sf0.001) — and emits the
+    * sketch CONTRACT per probed quantile, computed against exact
+    * ranks: the answer never undershoots its rank target
+    * (`lower_ok`: count(≤ q̂) ≥ ⌈φN⌉) and overshoots by at most the
+    * O(t·log u) ancestor budget (`upper_ok`: count(< q̂) ≤ ⌈φN⌉ +
+    * [[graft.functions.QDigest.epsN]]), with the hard size bound
+    * (`size_le_bound`: nodes ≤ 4k). Deterministic columns (N, t, εN)
+    * are oracle-computed; the booleans are the theory side, TRUE under
+    * every merge order — a broken digest flips one and the hash gate
+    * catches it.
+    *
+    * Scale: the digest build is ONE narrow scan with O(k·log u) state
+    * per task and O(size) partials (map-side combined); everything
+    * after it is sketch-sized (≤ 4k nodes) or value-DOMAIN-sized (the
+    * exact-rank audit's cents histogram, ≤ 2^20 rows whatever N —
+    * the q_spend_deciles argument).
+    */
+  val QdExactK = 16384
+  val QdErrK = 64
+  val QdPhiBp: Seq[Long] = Seq(500L, 2500L, 5000L, 7500L, 9500L)
+
+  private val QdClampSql =
+    s"least(greatest(CAST(round(value * 100, 0) AS BIGINT), 0), ${graft.functions.QDigest.Universe - 1})"
+
+  /** Digest nodes (lo, hi, cnt) for the events value stream at
+    * capacity k — the one data-sized pass.
+    */
+  private[graft] def qdigestNodes(events: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val agg = graft.functions.QDigest.aggregator(k).toColumn
+    events.selectExpr(s"$QdClampSql AS c").as[Long]
+      .select(agg.name("nodes")).toDF("nodes")
+      .select(explode($"nodes").as("nd"))
+      .selectExpr("nd.lo AS lo", "nd.hi AS hi", "nd.cnt AS cnt")
+  }
+
+  /** Post-order rank selection: per φ the first node (ascending upper
+    * bound, descendants before ancestors) whose cumulative count
+    * reaches r = ⌈φN⌉; the answer is that node's max value. The
+    * windows run over the SKETCH-sized node relation.
+    */
+  private[graft] def qdQuantilesOn(events: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val nodes = qdigestNodes(events, k)
+    val cum = nodes
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"hi", $"hi" - $"lo")))
+      .crossJoin(broadcast(nodes.agg(sum($"cnt").cast("bigint").as("n_total"))))
+    val phis = QdPhiBp.toDF("phi_bp")
+    broadcast(phis).join(cum,
+        $"cum" >= expr("(phi_bp * n_total + 9999) DIV 10000"))
+      .groupBy($"phi_bp", $"n_total")
+      .agg((min($"hi") - 1L).as("qhat_cents"))
+      .orderBy("phi_bp")
+  }
+
+  val qQdigestQuantiles = Q(
+    "q_qdigest_quantiles",
+    (spark, dir) => qdQuantilesOn(graft.Tables.events(spark, dir), QdExactK),
+    Some(s"""
+WITH c AS (SELECT $QdClampSql AS v FROM events),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c),
+h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+r AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+p(phi_bp) AS (VALUES (500),(2500),(5000),(7500),(9500))
+SELECT CAST(phi_bp AS BIGINT) AS phi_bp, n_total,
+       (SELECT min(v) FROM r WHERE cum >= (phi_bp * n_total + 9999) // 10000)
+         AS qhat_cents
+FROM p CROSS JOIN t
+ORDER BY phi_bp"""))
+
+  /** The above-capacity bound audit: q̂ from the real sketch, ranks
+    * from the exact histogram, verdict booleans from the contract.
+    */
+  private[graft] def qdEstErrOn(events: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val qhat = qdQuantilesOn(events, k)
+      .select($"phi_bp", $"n_total", $"qhat_cents",
+        expr("(phi_bp * n_total + 9999) DIV 10000").as("r"))
+    val nNodes = qdigestNodes(events, k)
+      .agg(count(lit(1)).as("n_nodes"))
+    val hist = events.selectExpr(s"$QdClampSql AS v")
+      .groupBy($"v").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"v")))
+    val rankLe = broadcast(qhat).join(hist, $"v" <= $"qhat_cents", "left")
+      .groupBy($"phi_bp").agg(coalesce(max($"cum"), lit(0L)).as("rank_le"))
+    val rankLt = broadcast(qhat).join(hist, $"v" < $"qhat_cents", "left")
+      .groupBy($"phi_bp".as("pb2")).agg(coalesce(max($"cum"), lit(0L)).as("rank_lt"))
+    val epsExpr = s"2 * (n_total DIV $k) * ${graft.functions.QDigest.Bits + 1}"
+    qhat.join(rankLe, "phi_bp").join(rankLt, $"phi_bp" === $"pb2")
+      .crossJoin(broadcast(nNodes))
+      .select($"phi_bp", $"n_total",
+        expr(s"n_total DIV $k").as("t_thresh"),
+        expr(epsExpr).as("eps_n"),
+        ($"rank_le" >= $"r").as("lower_ok"),
+        ($"rank_lt" <= $"r" + expr(epsExpr)).as("upper_ok"),
+        ($"n_nodes" <= graft.functions.QDigest.sizeBound(k).toLong)
+          .as("size_le_bound"))
+      .orderBy("phi_bp")
+  }
+
+  val qQdigestEstError = Q(
+    "q_qdigest_est_error",
+    (spark, dir) => qdEstErrOn(graft.Tables.events(spark, dir), QdErrK),
+    Some(s"""
+WITH c AS (SELECT $QdClampSql AS v FROM events),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c),
+p(phi_bp) AS (VALUES (500),(2500),(5000),(7500),(9500))
+SELECT CAST(phi_bp AS BIGINT) AS phi_bp, n_total,
+       n_total // $QdErrK AS t_thresh,
+       2 * (n_total // $QdErrK) * ${graft.functions.QDigest.Bits + 1} AS eps_n,
+       TRUE AS lower_ok, TRUE AS upper_ok, TRUE AS size_le_bound
+FROM p CROSS JOIN t
+ORDER BY phi_bp"""))
+
   val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters,
-    qMgEstError)
+    qMgEstError, qQdigestQuantiles, qQdigestEstError)
 }

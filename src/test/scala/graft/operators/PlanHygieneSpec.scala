@@ -145,7 +145,24 @@ class PlanHygieneSpec extends AnyFunSuite {
       ("the unpartitioned window computes corpus-level shares over the output " +
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +
         "Language cardinality is a data-model constant (O(100) even for a " +
-        "100-TB multilingual corpus), not a function of corpus size.")
+        "100-TB multilingual corpus), not a function of corpus size.") ,
+    "q_mg_est_error" ->
+      ("the unpartitioned window reads the exact-counts FULL OUTER summary " +
+        "join — at most |lang domain| + m rows (the q_corpus_mix language " +
+        "argument plus the sketch's hard capacity), never corpus-sized; " +
+        "both inputs below it are map-side-combinable aggregates."),
+    "q_qdigest_quantiles" ->
+      ("the unpartitioned post-order cumsum reads the DIGEST NODE relation — " +
+        "≤ 4k nodes after compression (the sketch's hard size bound, " +
+        "property-tested), or ≤ distinct clamped cents ≤ 2^20 in the " +
+        "t = 0 exact regime — bounded by sketch capacity and value " +
+        "universe, never by event count."),
+    "q_qdigest_est_error" ->
+      ("two bounded unpartitioned windows: the digest post-order cumsum " +
+        "(≤ 4k sketch nodes, the q_qdigest_quantiles argument) and the " +
+        "exact-rank audit's cents-histogram cumsum — keyed by the clamped " +
+        "cent value, ≤ 2^20 rows whatever N, the q_spend_deciles " +
+        "price-domain argument.")
   )
 
   private def stripAqe(p: SparkPlan): SparkPlan = p match {
