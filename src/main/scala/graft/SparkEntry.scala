@@ -32,6 +32,7 @@ object SparkEntry {
       operators.StreamJoin.all ++
       operators.Sketches.all ++
       operators.MgStream.all ++
+      operators.QdStream.all ++
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++

@@ -62,6 +62,64 @@ class MgStreamDurabilitySpec extends AnyFunSuite {
         r.getAs[Long]("est")).toMap
   }
 
+  private def writeQdBatch(dir: String, name: String,
+      rows: Seq[(Long, Int, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("win", "salt", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    val d = new java.io.File(s"$dir/$name")
+    val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, new java.io.File(s"$dir/$name.parquet").toPath)
+    d.listFiles().foreach(_.delete()); d.delete()
+  }
+
+  private def runQdOnce(src: String, ckpt: String, outDir: String,
+      cap: Int): Unit = {
+    import graft.operators.QdStream.{QdEmit, QdRow, WindowQuantileProcessor}
+    import spark.implicits._
+    val q = spark.readStream
+      .schema("win BIGINT, salt INT, v BIGINT")
+      .parquet(src)
+      .as[QdRow]
+      .groupByKey(r => (r.win, r.salt))
+      .transformWithState(new WindowQuantileProcessor(cap),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[QdEmit])
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[QdEmit], id: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("q-digest ValueState resumes across a query restart from checkpoint") {
+    StatefulTotals.withRocksDb(spark) {
+      val src = Files.createTempDirectory("qd_src").toString
+      val ckpt = Files.createTempDirectory("qd_ckpt").toString
+      val out1 = Files.createTempDirectory("qd_out1").toString
+      val out2 = Files.createTempDirectory("qd_out2").toString
+      // run 1: window 1 sees 40×2 and 100×1 (exact regime, cap 64)
+      writeQdBatch(src, "q1", Seq((1L, 0, 40L), (1L, 0, 40L), (1L, 0, 100L)))
+      runQdOnce(src, ckpt, out1, cap = 64)
+      val r1 = spark.read.parquet(s"$out1/batch=0").collect()
+        .map(r => r.getAs[Long]("v") -> r.getAs[Long]("cnt")).toMap
+      assert(r1 == Map(40L -> 2L, 100L -> 1L))
+      // run 2, FRESH query, same checkpoint: two more 40s — the
+      // histogram must continue from run-1 state (40 -> 4), not restart
+      writeQdBatch(src, "q2", Seq((1L, 0, 40L), (1L, 0, 40L)))
+      runQdOnce(src, ckpt, out2, cap = 64)
+      val dirs2 = new java.io.File(out2).listFiles()
+      val r2 = spark.read.parquet(dirs2.map(_.getAbsolutePath).toIndexedSeq: _*)
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("cnt")).toMap
+      assert(r2 == Map(40L -> 4L, 100L -> 1L),
+        "restart must resume the run-1 histogram, not restart counts")
+    }
+  }
+
   test("MG ValueState resumes across a query restart from checkpoint") {
     StatefulTotals.withRocksDb(spark) {
       val src = Files.createTempDirectory("mg_src").toString

@@ -85,6 +85,42 @@ class Round14OpsSpec extends AnyFunSuite {
       (2 * MgStream.WinUs, "b", 1L), (2 * MgStream.WinUs, "c", 2L)))
   }
 
+  private def qdEmitted(rows: (Long, Int, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("win", "salt", "v", "cnt", "n_seen")
+  }
+
+  test("windowQuantileReport: last emission wins, salts merge, exact rank rule") {
+    // window 1 final histogram: 40×9 (5 from salt 0 + 4 from salt 1),
+    // 100×1 → N=10, r50=5 → 40, r99=10 → 100. Stale salt-0 emission
+    // (n_seen=3) must be ignored.
+    val got = QdStream.windowQuantileReport(qdEmitted(
+      (1L, 0, 40L, 2L, 3L),
+      (1L, 0, 40L, 5L, 8L),
+      (1L, 1, 40L, 4L, 5L), (1L, 1, 100L, 1L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((QdStream.WinUs, 10L, 40L, 100L)))
+  }
+
+  test("windowQuantileReport: single-point window collapses both quantiles") {
+    val got = QdStream.windowQuantileReport(qdEmitted(
+      (2L, 0, 77L, 6L, 6L)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((6L, 77L, 77L)))
+  }
+
+  test("qd stream regime canary: per-window weight sits far under the digest capacity") {
+    // exactness needs t = ⌊N_group/k⌋ = 0; the densest probed window
+    // must stay under QdStreamCap even BEFORE salting splits it
+    val maxWin = graft.flow.BatchFlowFeaturizer
+      .packetsFromEvents(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+      .selectExpr(s"ts_us DIV ${QdStream.WinUs} AS win")
+      .groupBy("win").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(maxWin < QdStream.QdStreamCap,
+      s"densest window $maxWin >= cap ${QdStream.QdStreamCap}")
+  }
+
   test("stream regime canary: the packet source domain sits under the per-salt capacity") {
     // src_ip is a function of user_id mod 300 / mod 50 (packetStage0),
     // so the WHOLE domain — before salting even splits it — must stay
