@@ -350,22 +350,35 @@ ORDER BY lang"""))
     * reaches r = ⌈φN⌉; the answer is that node's max value. The
     * windows run over the SKETCH-sized node relation.
     */
-  private[graft] def qdQuantilesOn(events: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def qdQuantilesFromNodes(
+      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = nodes.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val nodes = qdigestNodes(events, k)
+    // node totals as window aggregates over the SAME sketch-sized
+    // relation (not a second agg subtree — fresh Aggregator instances
+    // never canonicalize equal, so ReuseExchange cannot dedupe them
+    // and a crossJoin spelling would rebuild the whole digest)
     val cum = nodes
       .withColumn("cum", sum($"cnt").over(Window.orderBy($"hi", $"hi" - $"lo")))
-      .crossJoin(broadcast(nodes.agg(sum($"cnt").cast("bigint").as("n_total"))))
+      .withColumn("n_total", sum($"cnt").over(Window.partitionBy()))
+      .withColumn("n_nodes", count(lit(1)).over(Window.partitionBy()))
     val phis = QdPhiBp.toDF("phi_bp")
     broadcast(phis).join(cum,
         $"cum" >= expr("(phi_bp * n_total + 9999) DIV 10000"))
       .groupBy($"phi_bp", $"n_total")
-      .agg((min($"hi") - 1L).as("qhat_cents"))
+      .agg((min($"hi") - 1L).as("qhat_cents"),
+        max($"n_nodes").as("n_nodes"))
       .orderBy("phi_bp")
+  }
+
+  private[graft] def qdQuantilesOn(events: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    qdQuantilesFromNodes(qdigestNodes(events, k))
+      .select($"phi_bp", $"n_total", $"qhat_cents")
   }
 
   val qQdigestQuantiles = Q(
@@ -381,6 +394,7 @@ SELECT CAST(phi_bp AS BIGINT) AS phi_bp, n_total,
        (SELECT min(v) FROM r WHERE cum >= (phi_bp * n_total + 9999) // 10000)
          AS qhat_cents
 FROM p CROSS JOIN t
+WHERE n_total > 0
 ORDER BY phi_bp"""))
 
   /** The above-capacity bound audit: q̂ from the real sketch, ranks
@@ -392,11 +406,11 @@ ORDER BY phi_bp"""))
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val qhat = qdQuantilesOn(events, k)
-      .select($"phi_bp", $"n_total", $"qhat_cents",
+    // ONE digest build: quantiles AND the node count come off the same
+    // node relation (the mgEstErrOn single-pass discipline)
+    val qhat = qdQuantilesFromNodes(qdigestNodes(events, k))
+      .select($"phi_bp", $"n_total", $"qhat_cents", $"n_nodes",
         expr("(phi_bp * n_total + 9999) DIV 10000").as("r"))
-    val nNodes = qdigestNodes(events, k)
-      .agg(count(lit(1)).as("n_nodes"))
     val hist = events.selectExpr(s"$QdClampSql AS v")
       .groupBy($"v").agg(count(lit(1)).cast("bigint").as("cnt"))
       .withColumn("cum", sum($"cnt").over(Window.orderBy($"v")))
@@ -406,7 +420,6 @@ ORDER BY phi_bp"""))
       .groupBy($"phi_bp".as("pb2")).agg(coalesce(max($"cum"), lit(0L)).as("rank_lt"))
     val epsExpr = s"2 * (n_total DIV $k) * ${graft.functions.QDigest.Bits + 1}"
     qhat.join(rankLe, "phi_bp").join(rankLt, $"phi_bp" === $"pb2")
-      .crossJoin(broadcast(nNodes))
       .select($"phi_bp", $"n_total",
         expr(s"n_total DIV $k").as("t_thresh"),
         expr(epsExpr).as("eps_n"),
@@ -429,6 +442,7 @@ SELECT CAST(phi_bp AS BIGINT) AS phi_bp, n_total,
        2 * (n_total // $QdErrK) * ${graft.functions.QDigest.Bits + 1} AS eps_n,
        TRUE AS lower_ok, TRUE AS upper_ok, TRUE AS size_le_bound
 FROM p CROSS JOIN t
+WHERE n_total > 0
 ORDER BY phi_bp"""))
 
   val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters,
