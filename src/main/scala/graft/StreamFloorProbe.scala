@@ -24,26 +24,43 @@ object StreamFloorProbe {
     val spark = GraftSession.getOrCreate()
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
 
-    case class Batch(batchId: Long, rows: Long, dur: Map[String, Long])
+    // Progress events arrive asynchronously on the listener-bus thread
+    // and can land AFTER the driving count() returns, so batches are
+    // keyed by runId and a run's slice is read only once its terminated
+    // event (which the bus delivers after all of that run's progress
+    // events — the bus is FIFO per listener) has arrived.
+    case class Batch(runId: String, batchId: Long, rows: Long,
+        dur: Map[String, Long])
     val batches = ArrayBuffer.empty[Batch]
+    val terminated = scala.collection.mutable.Set.empty[String]
+    val lock = new Object
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         import scala.jdk.CollectionConverters._
-        batches.synchronized {
-          batches += Batch(e.progress.batchId, e.progress.numInputRows,
+        lock.synchronized {
+          batches += Batch(e.progress.runId.toString, e.progress.batchId,
+            e.progress.numInputRows,
             e.progress.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap)
         }
       }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        lock.synchronized { terminated += e.runId.toString; lock.notifyAll() }
     }
     spark.streams.addListener(listener)
     for (n <- names; run <- 1 to 2) {
-      batches.synchronized(batches.clear())
+      val before = lock.synchronized(terminated.toSet)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      val bs = batches.synchronized(batches.toVector)
+      // wait (bounded) for this run's terminated event to drain the bus
+      val deadline = System.nanoTime() + 5000000000L
+      val bs = lock.synchronized {
+        while (terminated.size == before.size && System.nanoTime() < deadline)
+          lock.wait(200)
+        val mine = terminated.diff(before)
+        batches.filter(b => mine.contains(b.runId)).toVector
+      }
       val total = bs.map(_.dur.getOrElse("triggerExecution", 0L)).sum
       println(f"[floor] $n run$run wall=$wall%6.2f s batches=${bs.size} trigger_total=${total / 1000.0}%5.2f s startstop=${wall - total / 1000.0}%5.2f s")
       for (b <- bs.sortBy(_.batchId)) {

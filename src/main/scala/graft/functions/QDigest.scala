@@ -40,10 +40,10 @@ import org.apache.spark.sql.expressions.Aggregator
   *    bound-audited-above discipline as the Misra–Gries pair.
   *
   * Engine mechanics: identical to [[MisraGries]] — the buffer is
-  * parallel id/count arrays (product-encodable, no kryo), the hot path
-  * is an in-place linear-probe increment, and compression amortizes
-  * (triggered when the buffer outgrows ~6k slots, always applied at
-  * partial-output and finish).
+  * parallel id/count arrays (product-encodable, no kryo), kept sorted
+  * by node id so the hot path is an in-place binary-search increment,
+  * and compression amortizes (triggered when the buffer outgrows ~6k
+  * slots, always applied at partial-output and finish).
   */
 object QDigest {
 
@@ -74,14 +74,6 @@ object QDigest {
   /** Hard size bound after compression (paper's 3k + small-N slop). */
   def sizeBound(k: Int): Int = 4 * k
 
-  private def indexOf(ids: Array[Long], id: Long): Int = {
-    var i = 0
-    while (i < ids.length) {
-      if (ids(i) == id) return i
-      i += 1
-    }
-    -1
-  }
 
   /** Bottom-up family compression under t = ⌊n/k⌋. Deterministic given
     * the node counts; a no-op while t = 0 (the exact regime).
@@ -119,17 +111,33 @@ object QDigest {
     Digest(ids, ids.map(m), d.n)
   }
 
-  /** One update step: clamp to the universe, increment the leaf
-    * in place when tracked, append otherwise, compress when the
-    * buffer outgrows its amortization window.
+  /** One update step: clamp to the universe, binary-search the leaf
+    * (ids are maintained SORTED — zero/compress/merge all emit sorted
+    * arrays, so the invariant holds across every construction path),
+    * increment in place on a hit, sorted-insert on a miss, compress
+    * when the buffer outgrows its amortization window. O(log s) per
+    * tracked value instead of the previous O(s) linear probe — the
+    * hit path dominates (misses ≤ distinct values), so updates stay
+    * cheap even at large capacities over wide value domains.
     */
   private[graft] def update(d: Digest, value: Long, k: Int): Digest = {
     val v = math.min(math.max(value, 0L), Universe - 1)
     val id = Universe + v
-    val i = indexOf(d.ids, id)
+    val i = java.util.Arrays.binarySearch(d.ids, id)
     val grown =
       if (i >= 0) { d.counts(i) += 1L; Digest(d.ids, d.counts, d.n + 1) }
-      else Digest(d.ids :+ id, d.counts :+ 1L, d.n + 1)
+      else {
+        val ins = -(i + 1)
+        val nids = new Array[Long](d.ids.length + 1)
+        val ncnt = new Array[Long](d.counts.length + 1)
+        System.arraycopy(d.ids, 0, nids, 0, ins)
+        System.arraycopy(d.counts, 0, ncnt, 0, ins)
+        nids(ins) = id
+        ncnt(ins) = 1L
+        System.arraycopy(d.ids, ins, nids, ins + 1, d.ids.length - ins)
+        System.arraycopy(d.counts, ins, ncnt, ins + 1, d.counts.length - ins)
+        Digest(nids, ncnt, d.n + 1)
+      }
     if (grown.ids.length > 6 * k + 64) compress(grown, k) else grown
   }
 

@@ -85,13 +85,23 @@ object MgStream {
     * micro-batch re-emits a group's full summary stamped with its
     * monotone rows-seen count, so "the final summary" is exactly the
     * rows carrying the group's max stamp — batch-split independent.
+    *
+    * Emission idempotence: the max-stamp filter relies on n_seen being
+    * STRICTLY monotone per (win, salt), which [[TopTalkersProcessor]]
+    * guarantees under TimeMode.None (handleInputRows only fires with
+    * data, and every input row bumps the stamp). Should a future
+    * timer-driven emission ever re-emit a summary at an unchanged
+    * stamp, those rows are bit-identical to the first emission (a
+    * summary's keys are unique, so one emission never carries
+    * duplicate rows) — the dropDuplicates below collapses them instead
+    * of letting the keywise sum double-count.
     */
   private[graft] def topTalkersReport(emitted: DataFrame,
       topK: Int = TopK): DataFrame = {
     val spark = emitted.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val last = emitted
+    val last = emitted.dropDuplicates("win", "salt", "k", "est", "n_seen")
       .withColumn("mx", max($"n_seen").over(Window.partitionBy($"win", $"salt")))
       .where($"n_seen" === $"mx")
     last.groupBy($"win", $"k")

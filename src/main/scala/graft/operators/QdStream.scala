@@ -15,8 +15,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * Deployment shape = the [[MgStream]] recipe exactly: the STREAM owns
   * one [[graft.functions.QDigest]] summary per (window, salt) in
-  * `transformWithState` ValueState — ≤ 4·[[QdStreamCap]] nodes per
-  * group whatever the window's packet count, updated by the same
+  * `transformWithState` ValueState — bounded at [[QDigest.update]]'s
+  * compress trigger of 6k+64 buffer slots per group whatever the
+  * window's packet count (once compression fires the summary shrinks
+  * to ≤ 4k nodes; in the exact t = 0 regime compress is a no-op and
+  * state is value-DOMAIN-sized, ~1.2k leaf ids here — far under the
+  * trigger either way), updated by the same
   * [[QDigest.update]] step the batch aggregator runs — and the
   * quantile REPORT is a batch rollup over the final summaries: last
   * emission per group wins (monotone rows-seen stamp), leaf histograms
@@ -89,12 +93,20 @@ object QdStream {
   /** Batch rollup over the stream's emitted summaries: final emission
     * per (window, salt) group, keywise histogram merge, per-window
     * rank rule at 50% and 99%.
+    *
+    * Emission idempotence (the [[MgStream.topTalkersReport]] note):
+    * n_seen is strictly monotone per (win, salt) under TimeMode.None —
+    * every emission follows at least one input row — so the max-stamp
+    * filter is sound; and because exact-regime summaries are leaf
+    * histograms (one row per distinct value), a hypothetical repeated
+    * emission at an unchanged stamp is bit-identical and collapsed by
+    * the dropDuplicates below rather than double-counted by the sum.
     */
   private[graft] def windowQuantileReport(emitted: DataFrame): DataFrame = {
     val spark = emitted.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val last = emitted
+    val last = emitted.dropDuplicates("win", "salt", "v", "cnt", "n_seen")
       .withColumn("mx", max($"n_seen").over(Window.partitionBy($"win", $"salt")))
       .where($"n_seen" === $"mx")
     val hist = last.groupBy($"win", $"v")
