@@ -112,6 +112,34 @@ object ScaleSmoke {
         s"substring-dup docs grew x$dupRatio for x$inputRatio input — window stats not linear")
     }
 
+    // ---- BPE trainer (r15): the corpus is touched once (word-freq
+    // aggregate); every training iteration is VOCABULARY-sized. On
+    // identically-replicated corpora (vocab constant by construction)
+    // the learned merge TABLE must be invariant and every pair count
+    // must scale EXACTLY ×m — any drift means an iteration leaked
+    // corpus-sized state or the argmax tie-break is not total.
+    val bpeResults = multiples.map { m =>
+      val corpus = docs.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
+      val t0b = System.nanoTime()
+      val merges = operators.Bpe.trainOn(spark, corpus).collect()
+      val sec = (System.nanoTime() - t0b) / 1e9
+      println(f"[scale] bpe     x$m%-3d docs=${nDocs * m}%8d merges=${merges.length}%2d  $sec%7.2f s")
+      (m, sec, merges.map(r => (r.getLong(0), r.getString(3))).toSeq,
+        merges.map(_.getLong(4)).toSeq)
+    }
+    locally {
+      val (m0b, _, table0, counts0) = bpeResults.head
+      for ((m, _, table, counts) <- bpeResults.tail) {
+        require(table == table0,
+          s"BPE merge table changed under replication: $table0 vs $table at x$m")
+        val expected = counts0.map(_ * m / m0b)
+        require(counts == expected,
+          s"BPE pair counts not exactly linear: $counts vs $expected at x$m")
+      }
+      println(s"[scale] bpe merges: table invariant, pair counts exactly linear across x${multiples.mkString("/x")}")
+    }
+
     // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
     // multi-probe at both levels, so probed candidate rows must grow
     // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)
@@ -192,6 +220,37 @@ object ScaleSmoke {
         s"LSH probed candidates grew x$candRatio for x$inputRatio input — log-probe shape not holding")
     }
 
+    // ---- triangle census (r15): the degree-oriented wedge join keeps
+    // the only super-linear intermediate bounded by |E|^(3/2) with no
+    // max-degree dependence. Node-shifted replicas are disjoint
+    // subgraphs, so the whole census — nodes, edges, triangles,
+    // wedges — must be EXACTLY ×m and the clustering coefficient
+    // invariant; census drift means the orientation dropped or
+    // double-counted a triangle class.
+    val triEdges = operators.MarketBasket.supportEdges(
+      operators.MarketBasket.pairsView(spark, sfDir)).cache()
+    triEdges.count()
+    val triResults = multiples.map { m =>
+      val rep = triEdges.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("u + rep * 100000000 AS u", "v + rep * 100000000 AS v")
+      val t0t = System.nanoTime()
+      val r = operators.Graph.triangleStats(rep).collect().head
+      val secT = (System.nanoTime() - t0t) / 1e9
+      println(f"[scale] triangl x$m%-3d edges=${r.getLong(1)}%8d tris=${r.getLong(2)}%8d wedges=${r.getLong(3)}%9d cc_bp=${r.getLong(4)}%5d  $secT%7.2f s")
+      (m, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    locally {
+      val (m0t, n0, e0, t0, w0, c0) = triResults.head
+      for ((m, n, e, t, w, c) <- triResults.tail) {
+        require(n * m0t == n0 * m && e * m0t == e0 * m &&
+            t * m0t == t0 * m && w * m0t == w0 * m,
+          s"triangle census not exactly linear at x$m: ($n,$e,$t,$w) vs base ($n0,$e0,$t0,$w0)")
+        require(c == c0, s"clustering coefficient drifted: $c vs $c0 at x$m")
+      }
+      println(s"[scale] triangl census: exactly linear, clustering invariant across x${multiples.mkString("/x")}")
+    }
+    triEdges.unpersist()
+
     // ---- sketches: bloom is broadcast-probe-only on the fact side and
     // CMS partial aggregates are capped at d·w rows per task, so both
     // must track input size linearly (dim AND fact replicated ×m)
@@ -211,9 +270,26 @@ object ScaleSmoke {
       operators.Sketches.bloomOn(spark, o, c).collect()
       val secB = (System.nanoTime() - t0k) / 1e9
       println(f"[scale] bloom   x$m%-3d orders=${nOrd * m}%9d  $secB%7.2f s")
-      (m, secB)
+      // join-size estimate (r15): the CMS inner product's overcount
+      // guarantee must hold at EVERY collision pressure — key
+      // cardinality grows ×m against the fixed 768-counter sketch, and
+      // `admissible` flipping false would be the theorem breaking.
+      val js = operators.Sketches.cmsJoinSizeOn(spark, o, c).collect().head
+      println(f"[scale] cmsjoin x$m%-3d keys x$m exact=${js.getLong(0)}%8d est=${js.getLong(1)}%9d admissible=${js.getBoolean(2)}")
+      require(js.getBoolean(2),
+        s"CMS join-size estimate ${js.getLong(1)} under exact ${js.getLong(0)} at x$m — overcount theorem broken")
+      (m, secB, js.getLong(0))
     }
     println(f"[scale] bloom growth: input x${sketchResults.last._1 / sketchResults.head._1} -> time x${sketchResults.last._2 / sketchResults.head._2}%.1f")
+    locally {
+      // disjoint per-replica key shifts → the exact join size must be
+      // EXACTLY ×m; drift means the replica key spaces overlapped and
+      // the probe was measuring the wrong thing
+      val (m0s, _, e0) = sketchResults.head
+      for ((m, _, e) <- sketchResults.tail)
+        require(e * m0s == e0 * m, s"exact join size $e not linear at x$m (base $e0 at x$m0s)")
+      println(s"[scale] cmsjoin: admissible at every multiple, exact side linear")
+    }
 
     // ---- fulfillment family (r13): the shared per-order stage is a
     // fact-fact equi-join with lineitem pre-aggregated to per-order

@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Bpe.all ++
       operators.Sampling.all ++
       operators.CorpusFilter.all ++
       operators.Multimodal.all ++

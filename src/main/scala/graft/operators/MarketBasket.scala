@@ -265,5 +265,54 @@ CROSS JOIN nb
 ORDER BY antecedent, consequent""")
   )
 
-  val all: Seq[Q] = Seq(qItemCooccurrence, qKcoreCopurchase, qBasketRules)
+  /** Triangle census of the co-purchase graph — the community-density
+    * complement to the k-core: the core says which parts SURVIVE
+    * peeling, the triangle count says how CLOSED the surviving
+    * neighborhoods are (a hub-and-spoke assortment has zero triangles
+    * at any core depth; bundles close their wedges). Same
+    * support-filtered edge set off the shared `mb_pairs_v` stage.
+    *
+    * The Spark side runs [[graft.operators.Graph.triangleStats]]'s
+    * degree-oriented wedge join (|E|^{3/2} bound, hub-safe); the
+    * oracle states the naive id-ordered 3-way self-join — identical
+    * census by the orientation-correctness law `Round15OpsSpec` pins.
+    *
+    * SF1-replica note: the ×10 pressure corpus replicates ORDERS over
+    * an unreplicated part catalog, so co-purchase density rises ~×10
+    * and the wedge relation (the |E|^{3/2} term) dominates the probe's
+    * cost there — an artifact of the replica, not the plan; a real
+    * ×10 scale-up grows the part domain with the fact (TPC-H scales
+    * both), keeping density and per-part degrees roughly constant.
+    * ScaleSmoke's probe replicates NODES (disjoint subgraphs), which
+    * is that realistic shape, and measures exact ×m census linearity.
+    */
+  val qTriangleCount = Q(
+    "q_triangle_count",
+    (spark, dir) =>
+      Graph.triangleStats(supportEdges(pairsView(spark, dir))),
+    Some(s"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM basket GROUP BY 1 HAVING count(*) <= $MaxBasket),
+b AS (SELECT basket.* FROM basket JOIN sized ON basket.l_orderkey = sized.l_orderkey),
+pairs AS (SELECT x.l_partkey AS u, y.l_partkey AS v
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= $CoreMinSupport),
+sym AS (SELECT u FROM pairs UNION ALL SELECT v AS u FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+      FROM deg),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0
+            ELSE (10000 * 3 * n_triangles) // n_wedges END AS clustering_bp
+FROM g CROSS JOIN e CROSS JOIN t
+ORDER BY n_nodes"""))
+
+  val all: Seq[Q] = Seq(qItemCooccurrence, qKcoreCopurchase, qBasketRules,
+    qTriangleCount)
 }

@@ -149,6 +149,69 @@ ORDER BY user_id"""
     (spark, dir) => cmsOn(spark, graft.Tables.events(spark, dir)),
     Some(cmsSql(DuckSql)))
 
+  /** Count-min JOIN-SIZE estimation — the planner-side use of the same
+    * d×w sketch (Cormode & Muthukrishnan 2005, §4.2: the CMS inner
+    * product): estimate |orders ⋈ customer_BUILDING| on custkey from
+    * two 768-counter summaries WITHOUT executing the join. Estimate =
+    * min over rows i of Σ_col a_i[col]·b_i[col]; every true key pair
+    * lands in matching counters and collisions only ADD non-negative
+    * mass, so the estimate is a guaranteed OVERcount (`admissible` —
+    * the same one-sided theorem-checked-end-to-end discipline as
+    * `q_bloom_semi_join`'s zero false negatives).
+    *
+    * Why it matters at 100 TB: join-size estimates drive
+    * broadcast-vs-shuffle and reorder decisions, and this is the
+    * sketch that answers them from two map-side-combinable narrow
+    * scans — each side's per-key aggregate never exceeds d·w counters
+    * per task, the dot product is sketch-sized (≤ d·w rows), and the
+    * two relations are never shuffled against each other. The exact
+    * side (for the audit) is the per-key count join, itself
+    * domain-sized after the two aggregates.
+    */
+  private def cmsJoinSizeSql(d: SqlDialect): String = {
+    val Seq(c1, c2, c3) = posExprs(d, W)
+    val colCase = "CASE WHEN i = 1 THEN c1 WHEN i = 2 THEN c2 ELSE c3 END"
+    def side(name: String, keyed: String): String =
+      s"""p$name AS (SELECT key, n, $c1 AS c1, $c2 AS c2, $c3 AS c3
+       FROM (SELECT key, n, md5(CAST(key AS STRING)) AS hx FROM $keyed)),
+cnt$name AS (SELECT i, $colCase AS col, CAST(sum(n) AS BIGINT) AS c
+        FROM (${d.series("key, n, c1, c2, c3", D.toString, "i", s"p$name")})
+        GROUP BY i, $colCase)"""
+    s"""
+WITH ka AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey),
+kb AS (SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS n
+       FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_custkey),
+${side("a", "ka")},
+${side("b", "kb")},
+ip AS (SELECT a.i, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       FROM cnta a JOIN cntb b ON a.i = b.i AND a.col = b.col
+       GROUP BY a.i),
+est AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS n_est FROM ip),
+exact AS (SELECT CAST(coalesce(sum(ka.n * kb.n), 0) AS BIGINT) AS n_exact
+          FROM ka JOIN kb ON ka.key = kb.key)
+SELECT e.n_exact, s.n_est,
+       s.n_est >= e.n_exact AS admissible,
+       CAST(s.n_est - e.n_exact AS BIGINT) AS overcount
+FROM exact e CROSS JOIN est s
+ORDER BY n_exact"""
+  }
+
+  /** Run the join-size estimate over explicit relations. */
+  def cmsJoinSizeOn(spark: org.apache.spark.sql.SparkSession,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    orders.createOrReplaceTempView("orders")
+    customer.createOrReplaceTempView("customer")
+    spark.sql(cmsJoinSizeSql(SparkSql))
+  }
+
+  val qCmsJoinSize = Q(
+    "q_cms_join_size",
+    (spark, dir) => cmsJoinSizeOn(spark,
+      graft.Tables.orders(spark, dir), graft.Tables.customer(spark, dir)),
+    Some(cmsJoinSizeSql(DuckSql)))
+
   /** Misra–Gries heavy hitters over the event stream's users — the
     * bounded-memory "find the keys" summary ([[graft.functions.MisraGries]]):
     * each task keeps ≤ [[MgCap]] counters whatever the key cardinality
@@ -445,6 +508,6 @@ FROM p CROSS JOIN t
 WHERE n_total > 0
 ORDER BY phi_bp"""))
 
-  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qMgHeavyHitters,
-    qMgEstError, qQdigestQuantiles, qQdigestEstError)
+  val all: Seq[Q] = Seq(qBloomSemiJoin, qCmsHeavyHitters, qCmsJoinSize,
+    qMgHeavyHitters, qMgEstError, qQdigestQuantiles, qQdigestEstError)
 }
