@@ -100,15 +100,19 @@ object QdStream {
     * filter is sound; and because exact-regime summaries are leaf
     * histograms (one row per distinct value), a hypothetical repeated
     * emission at an unchanged stamp is bit-identical and collapsed by
-    * the dropDuplicates below rather than double-counted by the sum.
+    * the post-filter max(cnt) per (win, salt, v) rather than
+    * double-counted by the sum. That collapse clusters on the stamp
+    * window's own (win, salt) partitioning — idempotence without an
+    * extra shuffle (the [[MgStream]] measurement).
     */
   private[graft] def windowQuantileReport(emitted: DataFrame): DataFrame = {
     val spark = emitted.sparkSession
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val last = emitted.dropDuplicates("win", "salt", "v", "cnt", "n_seen")
+    val last = emitted
       .withColumn("mx", max($"n_seen").over(Window.partitionBy($"win", $"salt")))
       .where($"n_seen" === $"mx")
+      .groupBy($"win", $"salt", $"v").agg(max($"cnt").as("cnt"))
     val hist = last.groupBy($"win", $"v")
       .agg(sum($"cnt").cast("bigint").as("cnt"))
     val cum = hist
