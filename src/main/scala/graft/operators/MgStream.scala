@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.MisraGries
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** In-stream top talkers per window — the anti-DDoS screen the
   * mitigation family lacked: entropy/EWMA detect that a DISTRIBUTION
@@ -32,12 +32,26 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * identical update/merge code is pinned by `MisraGriesSpec`/
   * `MisraGriesPropertiesSpec` and driver-checked by `q_mg_est_error`.
   *
-  * Scale: state is O(windows × salts × m) in RocksDB and the shuffle
-  * key is (window, salt), so one hot window fans across [[Salts]]
-  * tasks instead of one — raise Salts for a 1000-executor deployment
-  * and the report's merge is unchanged (that is what "mergeable"
-  * buys). Emission is O(m) rows per active group per micro-batch.
-  * Restart-from-checkpoint durability: `MgStreamDurabilitySpec`.
+  * Scale: state is O(OPEN windows × salts × m) in RocksDB and the
+  * shuffle key is (window, salt), so one hot window fans across
+  * [[Salts]] tasks instead of one — raise Salts for a 1000-executor
+  * deployment and the report's merge is unchanged (that is what
+  * "mergeable" buys). Emission is O(m) rows per active group per
+  * micro-batch. State LIFETIME is watermark-bounded: under
+  * `TimeMode.EventTime` the processor registers one event-time timer
+  * per group at window end; when the watermark passes it the group's
+  * state is cleared and later (late) rows for that window are ignored
+  * rather than resurrecting an empty summary — so a live multi-week
+  * stream holds state only for windows the watermark hasn't closed,
+  * not for every window ever seen. (The report is immune to the
+  * timer by construction: timers emit nothing, and the max-stamp +
+  * max(est) collapse already absorbs repeated emissions.) Under
+  * `TimeMode.None` (the catalog's terminating AvailableNow run and
+  * the durability harness) behavior is unchanged — no watermark
+  * exists to bound anything. GC + late-row drop pinned by
+  * `StreamStateGcSpec` (reads the state store to assert the closed
+  * window's key is GONE); restart-from-checkpoint durability:
+  * `MgStreamDurabilitySpec`.
   */
 object MgStream {
 
@@ -50,16 +64,33 @@ object MgStream {
   case class MgGroupState(keys: Array[String], counts: Array[Long], nSeen: Long)
   case class MgEmit(win: Long, salt: Int, k: String, est: Long, n_seen: Long)
 
-  class TopTalkersProcessor(cap: Int)
+  /** @param winMs window width in ms — the event-time close timer for
+    *   group (win, salt) is registered at `(win + 1) * winMs`, i.e.
+    *   window end on the watermark's ms grid.
+    */
+  class TopTalkersProcessor(cap: Int, winMs: Long = WinUs / 1000)
       extends StatefulProcessor[(Long, Int), MgRow, MgEmit] {
     @transient private var state: ValueState[MgGroupState] = _
+    @transient private var eventTime: Boolean = false
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[MgGroupState](
         "mg", Encoders.product[MgGroupState], TTLConfig.NONE)
+      eventTime = timeMode == TimeMode.EventTime()
+    }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[MgRow],
         timerValues: TimerValues): Iterator[MgEmit] = {
+      val (win, salt) = key
+      val closeMs = (win + 1) * winMs
+      if (eventTime && timerValues.getCurrentWatermarkInMs() >= closeMs) {
+        // watermark already closed this window (its timer fired and
+        // cleared state, or will this batch): a late row must not
+        // resurrect an empty summary that the stamp filter would
+        // ignore anyway — drop it, leave state absent
+        rows.foreach(_ => ())
+        return Iterator.empty
+      }
       val prior =
         if (state.exists()) state.get()
         else MgGroupState(Array.empty, Array.empty, 0L)
@@ -70,7 +101,9 @@ object MgStream {
         n += 1
       }
       state.update(MgGroupState(summary.keys, summary.counts, n))
-      val (win, salt) = key
+      // one close timer per group at window end; re-registering the
+      // same (key, expiry) on every batch is an idempotent overwrite
+      if (eventTime) getHandle.registerTimer(closeMs)
       val out = new Array[MgEmit](summary.keys.length)
       var i = 0
       while (i < out.length) {
@@ -78,6 +111,19 @@ object MgStream {
         i += 1
       }
       out.iterator
+    }
+
+    /** Window closed: free the group. Emits nothing — the last data
+      * batch already emitted the final summary (every input row is
+      * followed by an emission, and rows past the watermark never
+      * reach the summary), so the report's max-stamp pick is already
+      * final before the timer can fire.
+      */
+    override def handleExpiredTimer(key: (Long, Int),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[MgEmit] = {
+      state.clear()
+      Iterator.empty
     }
   }
 

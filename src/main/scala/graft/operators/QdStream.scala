@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.QDigest
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** In-stream packet-size quantiles per window — the distribution-shape
   * screen next to [[MgStream]]'s top talkers: amplification and
@@ -35,11 +35,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * quantile. Above capacity the identical update/merge code degrades
   * under the bound `q_qdigest_est_error` audits.
   *
-  * Scale: state is O(windows × salts × nodes) in RocksDB; the shuffle
-  * key is (window, salt) so hot windows fan across [[QdSalts]] tasks;
-  * the report is histogram-sized (windows × length domain), never
-  * packet-sized. Restart durability: `MgStreamDurabilitySpec` (same
-  * ValueState product-array shape, pinned there for the digest too).
+  * Scale: state is O(OPEN windows × salts × nodes) in RocksDB; the
+  * shuffle key is (window, salt) so hot windows fan across [[QdSalts]]
+  * tasks; the report is histogram-sized (windows × length domain),
+  * never packet-sized. State LIFETIME is watermark-bounded exactly as
+  * in [[MgStream.TopTalkersProcessor]]: under `TimeMode.EventTime` one
+  * close timer per group at window end clears the group once the
+  * watermark passes, and late rows for a closed window are dropped
+  * instead of resurrecting an empty digest — a live multi-week stream
+  * holds state only for open windows. Under `TimeMode.None` (the
+  * catalog's terminating AvailableNow run and the durability harness)
+  * behavior is unchanged. GC + late-row drop pinned by
+  * `StreamStateGcSpec` (reads the state store); restart durability:
+  * `MgStreamDurabilitySpec` (same ValueState product-array shape,
+  * pinned there for the digest too).
   */
 object QdStream {
 
@@ -52,16 +61,31 @@ object QdStream {
       nSeen: Long)
   case class QdEmit(win: Long, salt: Int, v: Long, cnt: Long, n_seen: Long)
 
-  class WindowQuantileProcessor(cap: Int)
+  /** @param winMs window width in ms — the event-time close timer for
+    *   group (win, salt) is registered at `(win + 1) * winMs`
+    *   (window end on the watermark's ms grid), mirroring
+    *   [[MgStream.TopTalkersProcessor]].
+    */
+  class WindowQuantileProcessor(cap: Int, winMs: Long = WinUs / 1000)
       extends StatefulProcessor[(Long, Int), QdRow, QdEmit] {
     @transient private var state: ValueState[QdGroupState] = _
+    @transient private var eventTime: Boolean = false
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[QdGroupState](
         "qd", Encoders.product[QdGroupState], TTLConfig.NONE)
+      eventTime = timeMode == TimeMode.EventTime()
+    }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[QdRow],
         timerValues: TimerValues): Iterator[QdEmit] = {
+      val closeMs = (key._1 + 1) * winMs
+      if (eventTime && timerValues.getCurrentWatermarkInMs() >= closeMs) {
+        // watermark already closed this window: drop the late rows,
+        // leave state absent (see the MgStream guard for the rationale)
+        rows.foreach(_ => ())
+        return Iterator.empty
+      }
       val prior =
         if (state.exists()) state.get()
         else QdGroupState(Array.empty, Array.empty, 0L, 0L)
@@ -72,6 +96,9 @@ object QdStream {
         n += 1
       }
       state.update(QdGroupState(digest.ids, digest.counts, digest.n, n))
+      // one close timer per group at window end; re-registering the
+      // same (key, expiry) every batch is an idempotent overwrite
+      if (eventTime) getHandle.registerTimer((key._1 + 1) * winMs)
       val (win, salt) = key
       // exact regime: ids are leaves (Universe + v); emit the value
       // back out of the leaf id — above capacity an internal node
@@ -87,6 +114,17 @@ object QdStream {
         i += 1
       }
       out.iterator
+    }
+
+    /** Window closed: free the group. Emits nothing — the last data
+      * batch already emitted the final histogram, so the report's
+      * max-stamp pick is final before the timer fires.
+      */
+    override def handleExpiredTimer(key: (Long, Int),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[QdEmit] = {
+      state.clear()
+      Iterator.empty
     }
   }
 
