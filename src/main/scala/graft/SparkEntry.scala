@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Sketches.all ++
       operators.MgStream.all ++
       operators.QdStream.all ++
+      operators.HllStream.all ++
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++

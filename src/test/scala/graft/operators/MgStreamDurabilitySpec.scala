@@ -120,6 +120,64 @@ class MgStreamDurabilitySpec extends AnyFunSuite {
     }
   }
 
+  private def runHllOnce(src: String, ckpt: String, outDir: String): Unit = {
+    import graft.operators.HllStream.{DistinctSourcesProcessor, HsEmit, HsRow}
+    import spark.implicits._
+    val q = spark.readStream
+      .schema("win BIGINT, salt INT, k STRING")
+      .parquet(src)
+      .as[HsRow]
+      .groupByKey(r => (r.win, r.salt))
+      .transformWithState(new DistinctSourcesProcessor(12),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[HsEmit])
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[HsEmit], id: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def hllEstimates(outDir: String): Map[(Long, Int), Long] = {
+    val dirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+    assert(dirs.nonEmpty, s"no batches written under $outDir")
+    spark.read.parquet(dirs.map(_.getAbsolutePath).toIndexedSeq: _*).collect()
+      .map { r =>
+        val est = org.apache.datasketches.hll.HllSketch
+          .heapify(r.getAs[Array[Byte]]("sk")).getEstimate.round
+        (r.getAs[Long]("win"), r.getAs[Int]("salt")) -> est
+      }.toMap
+  }
+
+  test("HLL ValueState resumes across a query restart from checkpoint") {
+    StatefulTotals.withRocksDb(spark) {
+      val src = Files.createTempDirectory("hs_src").toString
+      val ckpt = Files.createTempDirectory("hs_ckpt").toString
+      val out1 = Files.createTempDirectory("hs_out1").toString
+      val out2 = Files.createTempDirectory("hs_out2").toString
+      // run 1: window 1 sees {a, b, a} — 2 distinct; window 2 sees {c}
+      writeBatch(src, "h1", Seq(
+        (1L, 0, "a"), (1L, 0, "b"), (1L, 0, "a"), (2L, 0, "c")))
+      runHllOnce(src, ckpt, out1)
+      val r1 = hllEstimates(out1)
+      assert(r1((1L, 0)) == 2L && r1((2L, 0)) == 1L)
+      // run 2, FRESH query, same checkpoint: window 1 gets a (already
+      // seen — must NOT bump the count) and a new key d; window 2 quiet
+      writeBatch(src, "h2", Seq((1L, 0, "a"), (1L, 0, "d")))
+      runHllOnce(src, ckpt, out2)
+      val r2 = hllEstimates(out2)
+      assert(r2((1L, 0)) == 3L,
+        "restart must resume the run-1 sketch: {a,b}+{a,d} = 3 distinct, " +
+          "not 2 (restarted sketch would count only {a,d})")
+      assert(!r2.contains((2L, 0)),
+        "window 2 was quiet in run 2 and must not re-emit")
+    }
+  }
+
   test("MG ValueState resumes across a query restart from checkpoint") {
     StatefulTotals.withRocksDb(spark) {
       val src = Files.createTempDirectory("mg_src").toString

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.HllStream.{DistinctSourcesProcessor, HsEmit, HsRow}
 import graft.operators.MgStream.{MgEmit, MgRow, TopTalkersProcessor}
 import graft.operators.QdStream.{QdEmit, QdRow, WindowQuantileProcessor}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
@@ -154,6 +155,51 @@ class StreamStateGcSpec extends AnyFunSuite {
         "a late row for a closed window must emit nothing")
       assert(!stateWins(ckpt, "mg").contains(1L),
         "the late row must not re-create window 1 state")
+    }
+  }
+
+  private def runHllOnce(src: String, ckpt: String, outDir: String): Unit = {
+    import spark.implicits._
+    val q = spark.readStream
+      .schema("win BIGINT, salt INT, k STRING, ts TIMESTAMP")
+      .parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .select($"win", $"salt", $"k").as[HsRow]
+      .groupByKey(r => (r.win, r.salt))
+      .transformWithState(new DistinctSourcesProcessor(12, winMs = WinMs),
+        TimeMode.EventTime(), OutputMode.Update(), Encoders.product[HsEmit])
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[HsEmit], id: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("HLL: watermark closes a window, clears its state, drops late rows") {
+    StatefulTotals.withRocksDb(spark) {
+      val src = Files.createTempDirectory("gc_hs_src").toString
+      val ckpt = Files.createTempDirectory("gc_hs_ckpt").toString
+      val out1 = Files.createTempDirectory("gc_hs_out1").toString
+      val out2 = Files.createTempDirectory("gc_hs_out2").toString
+      writeMgBatch(src, "b1", Seq(
+        (1L, 0, "a", 1100L), (1L, 0, "b", 1200L), (1L, 0, "a", 1300L),
+        (9L, 0, "c", 9500L)))
+      runHllOnce(src, ckpt, out1)
+      assert(emittedWins(out1) == Set(1L, 9L))
+      val wins1 = stateWins(ckpt, "hs")
+      assert(!wins1.contains(1L),
+        s"closed window 1 must be cleared; state store holds $wins1")
+      assert(wins1.contains(9L), "open window 9 persists")
+      writeMgBatch(src, "b2", Seq((1L, 0, "d", 1400L)))
+      runHllOnce(src, ckpt, out2)
+      assert(emittedWins(out2) == Set.empty,
+        "a late row for a closed window must emit nothing")
+      assert(!stateWins(ckpt, "hs").contains(1L))
     }
   }
 
