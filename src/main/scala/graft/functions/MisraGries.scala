@@ -38,26 +38,45 @@ import org.apache.spark.sql.expressions.Aggregator
   * as a JVM object across a partition's rows and is encoded (product
   * encoder over parallel arrays — no kryo) only at
   * partial-output/shuffle boundaries. The hot path (a tracked key)
-  * increments its counter IN PLACE after an O(m) linear probe — m is
-  * small by construction, that is the point of the sketch; array
-  * reallocation happens only on slot claims and the rare
-  * decrement/merge-cut compactions.
+  * probes a TRANSIENT key→slot hash index carried on the buffer
+  * object (a class-body field the product encoder never sees — a
+  * decoded or compacted buffer starts index-less and rebuilds it
+  * lazily in one O(m) pass) and increments its counter IN PLACE:
+  * O(1) per row, not O(m). The miss-on-full global decrement still
+  * reallocates O(m), but it is amortized O(1) per input row — each
+  * decrement event does O(m) work while consuming m units of counted
+  * mass, and total counted mass never exceeds the stream length, so
+  * decrement events number ≤ N/m across any stream.
   */
 object MisraGries {
 
   /** Summary buffer: parallel key/count arrays (product-encodable). */
-  final case class Summary(keys: Array[String], counts: Array[Long])
+  final case class Summary(keys: Array[String], counts: Array[Long]) {
+    /** Transient key→slot index: a class-body field, so the product
+      * encoder neither serializes nor restores it — a buffer decoded
+      * at a shuffle boundary (or rebuilt by a compaction) arrives
+      * index-less and [[MisraGries.slotIndex]] rebuilds it lazily.
+      * HashMap (not an open-coded probe table) because keys are
+      * Strings and null is a legal tracked key.
+      */
+    @transient private[functions] var idx: java.util.HashMap[String, Integer] = _
+  }
 
   /** One (key, retained-count) row of the final summary. */
   final case class Entry(key: String, min_count: Long)
 
-  private def indexOf(keys: Array[String], key: String): Int = {
-    var i = 0
-    while (i < keys.length) {
-      if (keys(i) == key) return i
-      i += 1
+  /** Lazily (re)build the summary's transient slot index — one O(m)
+    * pass after a decode/compaction, then O(1) probes per row.
+    */
+  private def slotIndex(s: Summary): java.util.HashMap[String, Integer] = {
+    var m = s.idx
+    if (m == null) {
+      m = new java.util.HashMap[String, Integer](s.keys.length * 2 + 8)
+      var i = 0
+      while (i < s.keys.length) { m.put(s.keys(i), i); i += 1 }
+      s.idx = m
     }
-    -1
+    m
   }
 
   /** Subtract `cut` from every counter, dropping non-positive slots. */
@@ -87,11 +106,18 @@ object MisraGries {
     * two deployments cannot drift.
     */
   private[graft] def update(b: Summary, key: String, m: Int): Summary = {
-    val i = indexOf(b.keys, key)
-    if (i >= 0) { b.counts(i) += 1L; b }
-    else if (b.keys.length < m)
-      Summary(b.keys :+ key, b.counts :+ 1L)
-    else subtractCompact(b, 1L) // classic global decrement pays for `key`
+    val map = slotIndex(b)
+    val i = map.get(key)
+    if (i != null) { b.counts(i.intValue) += 1L; b }
+    else if (b.keys.length < m) {
+      // slot claim: existing positions are unchanged in the new
+      // arrays, so the index carries over with one put (`b` is dead
+      // after this call at every call site — reduce/state replace it)
+      val ns = Summary(b.keys :+ key, b.counts :+ 1L)
+      map.put(key, b.keys.length)
+      ns.idx = map
+      ns
+    } else subtractCompact(b, 1L) // classic global decrement pays for `key`
   }
 
   /** PODS-2012 merge: keywise counter sums, then subtract the
@@ -100,10 +126,11 @@ object MisraGries {
   private[graft] def mergeSummaries(a: Summary, b: Summary, m: Int): Summary = {
     if (a.keys.isEmpty) return b
     if (b.keys.isEmpty) return a
+    val amap = slotIndex(a)
     var extra = 0
     var i = 0
     while (i < b.keys.length) {
-      if (indexOf(a.keys, b.keys(i)) < 0) extra += 1
+      if (!amap.containsKey(b.keys(i))) extra += 1
       i += 1
     }
     val ks = new Array[String](a.keys.length + extra)
@@ -113,8 +140,8 @@ object MisraGries {
     var j = a.keys.length
     i = 0
     while (i < b.keys.length) {
-      val at = indexOf(a.keys, b.keys(i))
-      if (at >= 0) cs(at) += b.counts(i)
+      val at = amap.get(b.keys(i))
+      if (at != null) cs(at.intValue) += b.counts(i)
       else { ks(j) = b.keys(i); cs(j) = b.counts(i); j += 1 }
       i += 1
     }
