@@ -194,5 +194,16 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] WARN stdout line ${line.length} chars — trim headline")
     println(line)
+    // Hard coverage gate (r14 VERDICT task 3): the full record must
+    // itemize the ENTIRE catalog — r14 shipped q_qdigest_stream
+    // unbenched because it landed after the bench refresh and nothing
+    // tripped. A record with ANY query missing (i.e. failed to time)
+    // now exits non-zero, after both records are written so the
+    // diagnosis survives.
+    if (results.size != SparkEntry.queries.size) {
+      System.err.println(s"[bench] GATE FAIL: timed ${results.size} of " +
+        s"${SparkEntry.queries.size} catalog queries (failed: ${failures.mkString(", ")})")
+      sys.exit(2)
+    }
   }
 }

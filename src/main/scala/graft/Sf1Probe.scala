@@ -219,5 +219,15 @@ object Sf1Probe {
       s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
+    // Hard coverage gate (r14 VERDICT task 3), full runs only: the
+    // committed SF1_r{N}.json must itemize the ENTIRE catalog — a
+    // query that fails at sf1 (or a probe run against a stale subset)
+    // now exits non-zero instead of producing a quietly-short record.
+    if (only.isEmpty &&
+        (results.size != SparkEntry.catalog.size || failed.nonEmpty)) {
+      println(s"[sf1] GATE FAIL: ${results.size} of ${SparkEntry.catalog.size} " +
+        s"catalog queries itemized, ${failed.size} failed")
+      sys.exit(2)
+    }
   }
 }

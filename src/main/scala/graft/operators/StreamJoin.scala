@@ -118,6 +118,18 @@ ORDER BY c.user_id, click_id, error_id""")
     * cannot soundly emit. `noDataMicroBatches` (default on) runs the
     * final watermark-advancing batch under AvailableNow, so the run
     * terminates with state flushed to that horizon deterministically.
+    *
+    * Floor (measured, `artifacts/FLOOR_r15_left_join.txt`): that final
+    * batch costs ~0.85 s at sf0.1 — ~650-780 ms of addBatch for ZERO
+    * rows, i.e. the per-micro-batch state-store open/commit floor of
+    * 2 partitions × 4 join store families — and it is irreducible: a
+    * synthetic max-ts row per side would advance the watermark
+    * "in-band" but Spark only applies a batch's recomputed watermark
+    * (and emits these NULLs) in the NEXT batch, so the trick buys a
+    * 2-row data batch with the identical store-commit floor plus a
+    * second source's offset tracking. Left-outer null emission
+    * semantically requires a second batch; this query pays exactly
+    * one.
     */
   val qStreamStreamLeftJoin = Q(
     "q_stream_stream_left_join",
