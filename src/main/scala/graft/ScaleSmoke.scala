@@ -456,6 +456,47 @@ object ScaleSmoke {
         s"q-digest lost weight: ${qdResults.map(_._3)} vs ${multiples.map(_ * baseRows)}")
     }
 
+    // ---- HLL stream state (r15): the in-stream distinct-sources
+    // screen's defining property is a HARD state ceiling — remapping
+    // the ip space ×m grows per-(window, salt) source cardinality ×m
+    // (past the ~512-coupon sparse regime at ×10, into dense HLL
+    // territory the catalog corpus never reaches), but the bytes a
+    // group's ValueState holds (probed via the processor's own update
+    // calls) must never exceed the DataSketches published
+    // updatable-image maximum for lgK, and the estimate must stay
+    // inside the catalog's 10% oracle band even in the dense regime.
+    val hllResults = multiples.map { m =>
+      val multiplied = packets
+        .crossJoin(spark.range(m).toDF("rep"))
+        .withColumn("src_ip", concat(col("rep"), lit("."), col("src_ip")))
+      import spark.implicits._
+      val rows = multiplied.selectExpr(
+        s"ts_us DIV ${operators.HllStream.WinUs} AS win",
+        s"CAST(pmod(xxhash64(src_ip), ${operators.HllStream.Salts}) AS INT) AS salt",
+        "src_ip AS k").as[operators.HllStream.HsRow]
+      val t0h = System.nanoTime()
+      val st = operators.HllStream.stateProbe(rows)
+        .agg(
+          max(col("state_bytes")).as("max_bytes"),
+          max(abs(col("est") - col("n_exact")).cast("double") / col("n_exact"))
+            .as("max_rel_err"),
+          max(col("n_exact")).as("max_card"))
+        .head()
+      val secH = (System.nanoTime() - t0h) / 1e9
+      println(f"[scale] hllst   x$m%-3d group_card<=${st.getLong(2)}%6d state_bytes<=${st.getInt(0)}%6d rel_err<=${st.getDouble(1) * 100}%5.2f%% $secH%7.2f s")
+      (m, st.getInt(0), st.getDouble(1))
+    }
+    locally {
+      val ceiling = org.apache.datasketches.hll.HllSketch
+        .getMaxUpdatableSerializationBytes(operators.HllStream.LgK,
+          org.apache.datasketches.hll.TgtHllType.HLL_4)
+      println(s"[scale] hllst state: cardinality x${hllResults.last._1 / hllResults.head._1} -> max state bytes ${hllResults.map(_._2).mkString("/")} (hard ceiling $ceiling)")
+      require(hllResults.forall(_._2 <= ceiling),
+        s"HLL stream state exceeded the published ceiling $ceiling: ${hllResults.map(_._2)}")
+      require(hllResults.forall(_._3 <= 0.10),
+        s"HLL estimate left the 10% oracle band: ${hllResults.map(_._3)}")
+    }
+
     // ---- twap family (r13): the per-user step-integral must stay ONE
     // user-partitioned window + one combinable groupBy. Replicated
     // users are disjoint, so output rows (users with >= 2 events) grow

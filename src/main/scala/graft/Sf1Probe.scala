@@ -160,7 +160,10 @@ object Sf1Probe {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val movers = results.sortBy(-_._2).take(6).map(_._1)
+      // top-10 movers (r14 task 2: the r14 sweep inflated ~23 queries
+      // uniformly — a 6-deep iso channel could not cover enough of the
+      // tail to prove contention vs regression per-query)
+      val movers = results.sortBy(-_._2).take(10).map(_._1)
       val s2 = newSession()
       s2.range(1000000).selectExpr("sum(id)").collect()
       val iso = movers.flatMap { name =>

@@ -154,6 +154,30 @@ object HllStream {
       .orderBy("window_start_us")
   }
 
+  /** Per-group state image built with the exact calls
+    * [[DistinctSourcesProcessor.handleInputRows]] makes (fresh sketch,
+    * update per row, updatable byte array) — the ScaleSmoke gate sizes
+    * THIS, i.e. the bytes a (window, salt) group's ValueState would
+    * hold after a batch, against the DataSketches published hard
+    * ceiling, while cardinality is replicated ×m past the sparse
+    * regime.
+    */
+  private[graft] def stateProbe(rows: org.apache.spark.sql.Dataset[HsRow])
+      : DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(r => (r.win, r.salt))
+      .mapGroups { (key: (Long, Int), it: Iterator[HsRow]) =>
+        val sk = new HllSketch(LgK)
+        var n = 0L
+        val seen = new java.util.HashSet[String]()
+        it.foreach { r => sk.update(r.k); seen.add(r.k); n += 1 }
+        (key._1, key._2, sk.toUpdatableByteArray.length, sk.getEstimate.round,
+          seen.size.toLong, n)
+      }
+      .toDF("win", "salt", "state_bytes", "est", "n_exact", "n_rows")
+  }
+
   val qHllDistinctStream = Q(
     "q_hll_distinct_stream",
     (spark, dir) => {
