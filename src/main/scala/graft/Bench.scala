@@ -127,6 +127,11 @@ object Bench {
       val g0 = gcMsNow()
       val sec = minOfTwo(spark, name, name, fn)
       gcMs(name) = gcMsNow() - g0
+      // free this query's memory-sink tables before the next one runs:
+      // accumulated sink heap inflates every DOWNSTREAM query (the
+      // uniform sweep-vs-iso signature of SF1_r14), outside the timer
+      // so sweep numbers stay comparable across rounds
+      GraftSession.dropStreamSinks(spark)
       sec.map(name -> _)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
@@ -145,7 +150,9 @@ object Bench {
     val movers = results.sortBy(-_._2).take(IsoTopN).map(_._1)
     val spark2 = newSession(cpus)
     val isolated = movers.flatMap { name =>
-      minOfTwo(spark2, name, s"iso:$name", byName(name)).map(name -> _)
+      val s = minOfTwo(spark2, name, s"iso:$name", byName(name)).map(name -> _)
+      GraftSession.dropStreamSinks(spark2)
+      s
     }
     operators.StageViews.unpersistAll(spark2)
     spark2.stop()

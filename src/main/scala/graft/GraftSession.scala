@@ -63,6 +63,26 @@ object GraftSession {
       case None => spark.conf.unset(key)
     }
   }
+  /** Drop the uniquely-named memory-sink tables streaming catalog
+    * queries leave behind (`mghh_<nanos>`, `ssj_<nanos>`, …): each
+    * terminating run registers a temp view over a MemorySink whose
+    * rows live in DRIVER heap until the view is dropped, and no
+    * catalog query can drop its own — the returned DataFrame reads
+    * from it. A 198-query sweep otherwise accumulates every streaming
+    * query's full emission set (at sf1 the MG stream alone emits
+    * millions of rows) and the mounting heap pressure inflates every
+    * query that runs after it — the uniform sweep-vs-iso inflation
+    * SF1_r14 recorded. Harness loops (Bench, Sf1Probe, Verify) call
+    * this AFTER consuming a query's result; the trailing pure-digit
+    * suffix is the sink-name convention, which no shared stage view
+    * (`*_v`, `bkt_tables`, …) matches.
+    */
+  def dropStreamSinks(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect().foreach { t =>
+      if (t.isTemporary && t.name.matches(".*_\\d{10,}"))
+        spark.catalog.dropTempView(t.name)
+    }
+
   def getOrCreate(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -140,6 +140,10 @@ object Sf1Probe {
         case Right(n) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s  $n%10d rows")
         case Left(err) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s  FAILED: $err")
       }
+      // free this query's memory-sink tables: at sf1 the streaming
+      // emissions held in driver heap otherwise compound across the
+      // sweep (the uniform sweep-vs-iso inflation of SF1_r14)
+      GraftSession.dropStreamSinks(spark)
       (q.name, sec, res)
     }
     operators.StageViews.unpersistAll(spark)
@@ -187,6 +191,7 @@ object Sf1Probe {
         }
         sec.foreach(s => println(
           f"[sf1] iso $name%-32s $s%8.2f s (swept ${results.find(_._1 == name).get._2}%.2f)"))
+        GraftSession.dropStreamSinks(s2)
         sec.map(name -> _)
       }
       operators.StageViews.unpersistAll(s2)

@@ -41,6 +41,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the result is on disk — free the query's memory-sink table(s)
+      GraftSession.dropStreamSinks(spark)
     }
     operators.StageViews.unpersistAll(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
