@@ -35,6 +35,7 @@ object SparkEntry {
       operators.MgStream.all ++
       operators.QdStream.all ++
       operators.HllStream.all ++
+      operators.ThreatScreen.all ++
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++

@@ -162,7 +162,13 @@ class PlanHygieneSpec extends AnyFunSuite {
         "(≤ 4k sketch nodes, the q_qdigest_quantiles argument) and the " +
         "exact-rank audit's cents-histogram cumsum — keyed by the clamped " +
         "cent value, ≤ 2^20 rows whatever N, the q_spend_deciles " +
-        "price-domain argument.")
+        "price-domain argument."),
+    "q_window_threat_screen" ->
+      ("the unpartitioned trailing-baseline frame reads the per-WINDOW " +
+        "stats relation — one row per observed hour window (wall-clock " +
+        "bounded, the q_daily_coverage day-spine argument), after both " +
+        "data-sized aggregations have already collapsed packets to " +
+        "(window, src) and (window, length) counts; never packet-sized.")
   )
 
   private def stripAqe(p: SparkPlan): SparkPlan = p match {
