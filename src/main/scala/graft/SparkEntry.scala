@@ -36,6 +36,7 @@ object SparkEntry {
       operators.QdStream.all ++
       operators.HllStream.all ++
       operators.ThreatScreen.all ++
+      operators.ThreatScreenStream.all ++
       operators.Layout.all ++
       operators.Scd.all ++
       operators.StatefulTotals.all ++

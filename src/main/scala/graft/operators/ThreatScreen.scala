@@ -67,11 +67,28 @@ object ThreatScreen {
   private[graft] def screenOn(pk: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = pk.sparkSession
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    screenFromCounts(
       // shuffle 1: per-(window, source) counts — feeds exact distinct
       // sources, packet totals, and the dominance rank
-      val perSrc = pk.groupBy($"win", $"src_ip").agg(count(lit(1)).as("cnt"))
+      pk.groupBy($"win", $"src_ip").agg(count(lit(1)).as("cnt")),
+      // shuffle 2: per-(window, length) histogram — the QdStream
+      // discrete rank rule at 50% / 99%
+      pk.groupBy($"win", $"length").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The verdict logic over pre-aggregated per-(window, source) counts
+    * and a per-(window, length) histogram — shared VERBATIM by the
+    * batch screen (which folds raw packets into them) and
+    * [[ThreatScreenStream]] (whose timer-emitted sketch summaries ARE
+    * those counts in the exact regime), so the two deployments cannot
+    * drift.
+    */
+  private[graft] def screenFromCounts(perSrc: org.apache.spark.sql.DataFrame,
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = perSrc.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
       val winStats = perSrc.groupBy($"win").agg(
         count(lit(1)).as("n_src"),
         sum($"cnt").cast("bigint").as("n_pkts"))
@@ -80,9 +97,6 @@ object ThreatScreen {
           Window.partitionBy($"win").orderBy($"cnt".desc, $"src_ip")))
         .where($"rk" === 1)
         .select($"win", $"src_ip".as("top_src"), $"cnt".as("top_cnt"))
-      // shuffle 2: per-(window, length) histogram — the QdStream
-      // discrete rank rule at 50% / 99%
-      val hist = pk.groupBy($"win", $"length").agg(count(lit(1)).as("cnt"))
       val cum = hist
         .withColumn("cum", sum($"cnt").over(
           Window.partitionBy($"win").orderBy($"length")))

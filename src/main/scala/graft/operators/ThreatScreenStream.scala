@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{MisraGries, QDigest}
+import org.apache.datasketches.hll.HllSketch
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** The LIVE threat screen — [[ThreatScreen]]'s verdicts produced while
+  * the stream is flowing, with the full streaming lifecycle the triad
+  * queries demonstrate piecewise, composed into ONE operator:
+  *
+  *  - ONE `transformWithState` pass holds all three sketches per
+  *    (window, salt) group in a single ValueState — the Misra–Gries
+  *    talker summary, the q-digest length histogram, and the HLL
+  *    source sketch — so the stream is read once and the state store
+  *    is opened once, not three times;
+  *  - emission is FINAL-ON-CLOSE: data batches only update state; the
+  *    event-time close timer (window end + watermark) emits the
+  *    group's finished summary exactly once and clears the state —
+  *    the push model a paging/alerting consumer wants, in contrast to
+  *    the triad queries' emit-per-batch + last-wins report;
+  *  - the batch report runs [[ThreatScreen.screenFromCounts]] VERBATIM
+  *    over the emitted summaries (in the exact regime the MG entries
+  *    ARE the per-source counts and the q-digest leaves ARE the length
+  *    histogram), so the live screen provably computes the batch
+  *    screen's verdicts — same trailing baseline, same integer
+  *    arithmetic — plus an HLL-vs-exact tolerance boolean
+  *    (`hll_within`, the `q_approx_distinct_users` discipline; beyond
+  *    the exact regime HLL is what survives, MG keeps the top end).
+  *
+  * Oracle horizon (the `q_stream_stream_left_join` precedent): a
+  * window's verdict emits only when the final watermark
+  * (max event time − 10 min, on Spark's ms grid) passes its close —
+  * windows still open at end-of-stream are CORRECTLY absent, and the
+  * oracle states exactly that horizon. Because closed windows form a
+  * PREFIX of the window sequence, the trailing baseline over emitted
+  * windows equals the batch baseline restricted to the horizon —
+  * filter-then-window and window-then-filter agree.
+  *
+  * Scale: state is O(open windows × salts × (m + nodes + 2^lgK)) —
+  * each component individually hard-bounded (MG cap, q-digest
+  * compress trigger, the DataSketches image ceiling ScaleSmoke gates)
+  * and the lifetime watermark-bounded by the close timers. Emission
+  * is ONE summary row per group per WINDOW (not per batch). The
+  * report is window-sized. Raise [[Salts]] on a wide cluster; the
+  * merges (disjoint-key MG union, keywise leaf sum, HLL union) are
+  * lossless under salting by construction.
+  */
+object ThreatScreenStream {
+
+  val WinUs: Long = ThreatScreen.WinUs
+  val WmUs: Long = 600L * 1000000
+  val Salts = 2
+  val MgCap = 512
+  val QdCap = 4096
+  val LgK = 12
+
+  case class SRow(win: Long, salt: Int, src: String, len: Long)
+  case class ScreenState(
+      mgKeys: Array[String], mgCounts: Array[Long],
+      qdIds: Array[Long], qdCounts: Array[Long], qdW: Long,
+      hll: Array[Byte], nSeen: Long)
+  case class ScreenEmit(
+      win: Long, salt: Int,
+      srcs: Array[String], srcCnts: Array[Long],
+      lenVals: Array[Long], lenCnts: Array[Long],
+      hll: Array[Byte], n: Long)
+
+  /** @param winMs window width in ms — close timer at `(win+1)*winMs`,
+    *   the [[MgStream.TopTalkersProcessor]] grid. This processor is
+    *   EventTime-only by design: final-on-close emission has no
+    *   TimeMode.None spelling (nothing would ever emit).
+    */
+  class ScreenProcessor(mgCap: Int, qdCap: Int, lgK: Int,
+      winMs: Long = WinUs / 1000)
+      extends StatefulProcessor[(Long, Int), SRow, ScreenEmit] {
+    @transient private var state: ValueState[ScreenState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      require(timeMode == TimeMode.EventTime(),
+        "ScreenProcessor emits on close timers — EventTime only")
+      state = getHandle.getValueState[ScreenState](
+        "scr", Encoders.product[ScreenState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, Int), rows: Iterator[SRow],
+        timerValues: TimerValues): Iterator[ScreenEmit] = {
+      val closeMs = (key._1 + 1) * winMs
+      if (timerValues.getCurrentWatermarkInMs() >= closeMs) {
+        // late rows for a window whose final summary already emitted:
+        // a second (partial) emission would double-report the window —
+        // drop them, the triad processors' guard
+        rows.foreach(_ => ())
+        return Iterator.empty
+      }
+      val prior =
+        if (state.exists()) state.get()
+        else ScreenState(Array.empty, Array.empty, Array.empty, Array.empty,
+          0L, new HllSketch(lgK).toUpdatableByteArray, 0L)
+      var mg = MisraGries.Summary(prior.mgKeys, prior.mgCounts)
+      var qd = QDigest.Digest(prior.qdIds, prior.qdCounts, prior.qdW)
+      val hll = HllSketch.heapify(prior.hll)
+      var n = prior.nSeen
+      rows.foreach { r =>
+        mg = MisraGries.update(mg, r.src, mgCap)
+        qd = QDigest.update(qd, r.len, qdCap)
+        hll.update(r.src)
+        n += 1
+      }
+      state.update(ScreenState(mg.keys, mg.counts, qd.ids, qd.counts, qd.n,
+        hll.toUpdatableByteArray, n))
+      getHandle.registerTimer(closeMs)
+      Iterator.empty // final-on-close: data batches emit nothing
+    }
+
+    /** Window closed: emit the finished summary ONCE, free the group. */
+    override def handleExpiredTimer(key: (Long, Int),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ScreenEmit] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      state.clear()
+      // decode q-digest ids to length values (exact regime: leaves;
+      // above capacity an internal node reports its max value — the
+      // QdStream convention)
+      val vals = new Array[Long](s.qdIds.length)
+      var i = 0
+      while (i < vals.length) {
+        val id = s.qdIds(i)
+        val lvl = 63 - java.lang.Long.numberOfLeadingZeros(id)
+        val width = QDigest.Universe >> lvl
+        vals(i) = (id - (1L << lvl)) * width + width - 1
+        i += 1
+      }
+      Iterator.single(ScreenEmit(key._1, key._2, s.mgKeys, s.mgCounts,
+        vals, s.qdCounts, HllSketch.heapify(s.hll).toCompactByteArray, s.nSeen))
+    }
+  }
+
+  /** Batch verdict report over the timer-emitted summaries: salt-merge
+    * each component (disjoint-key MG union, keywise leaf sum), run the
+    * SHARED [[ThreatScreen.screenFromCounts]] verdict logic, and price
+    * the HLL estimate against the MG-exact source count as a 6σ
+    * boolean. Timer emission is exactly-once per group by construction
+    * (the emit clears the state it read), so no stamp filter is
+    * needed; a replayed batch re-emits bit-identical rows which the
+    * keywise sums would double — `dropDuplicates` on the group key
+    * guards the report against exactly that replay.
+    */
+  private[graft] def screenReport(emitted: DataFrame): DataFrame = {
+    val spark = emitted.sparkSession
+    import spark.implicits._
+    val uniq = emitted.dropDuplicates("win", "salt")
+    // every branch re-aliases `win` (fresh expression ids): all three
+    // descend from the same `uniq` lineage, and the joins inside
+    // screenFromCounts plus the est join below would otherwise see the
+    // SAME `win` attribute on both sides ("Conflicting attributes")
+    val perSrc = uniq
+      .select($"win", explode(arrays_zip($"srcs", $"srcCnts")).as("z"))
+      .select($"win".as("win"), $"z.srcs".as("src_ip"), $"z.srcCnts".as("cnt"))
+      .groupBy($"win", $"src_ip").agg(sum($"cnt").cast("bigint").as("cnt"))
+    val hist = uniq
+      .select($"win", explode(arrays_zip($"lenVals", $"lenCnts")).as("z"))
+      .select($"win".as("win"), $"z.lenVals".as("length"), $"z.lenCnts".as("cnt"))
+      .groupBy($"win", $"length").agg(sum($"cnt").cast("bigint").as("cnt"))
+    // fresh aliases (new expression ids) — est's lineage shares `win`
+    // with both screenFromCounts inputs, and the final join would
+    // otherwise carry the same attribute on both sides
+    val est = uniq.select($"win".as("est_win"), $"hll".as("est_hll"))
+      .groupBy($"est_win")
+      .agg(hll_sketch_estimate(hll_union_agg($"est_hll")).as("hll_est"))
+      .select(($"est_win" * lit(WinUs)).as("est_ws"), $"hll_est")
+    ThreatScreen.screenFromCounts(perSrc, hist)
+      .join(est, $"window_start_us" === $"est_ws")
+      .withColumn("hll_within",
+        abs($"hll_est" - $"n_src") <= lit(0.10) * $"n_src")
+      .drop("hll_est", "est_ws")
+      .orderBy("window_start_us")
+  }
+
+  val qThreatScreenStream = Q(
+    "q_threat_screen_stream",
+    (spark, dir) => {
+      import spark.implicits._
+      val sinkName = s"tscr_${System.nanoTime()}"
+      StatefulTotals.withRocksDb(spark) {
+        // the close timers fire in the terminating watermark batch —
+        // the no-data batch MUST stay (the left-join rule)
+        graft.GraftSession.withStreamingShuffle(spark, 2) {
+          val q = graft.flow.BatchFlowFeaturizer
+            .packetsFromEvents(Tables.eventsStream(spark, dir))
+            .withColumn("pt", timestamp_micros($"ts_us"))
+            .withWatermark("pt", "10 minutes")
+            .selectExpr(s"ts_us DIV $WinUs AS win",
+              s"CAST(pmod(xxhash64(src_ip), $Salts) AS INT) AS salt",
+              "src_ip AS src", "length AS len")
+            .as[SRow]
+            .groupByKey(r => (r.win, r.salt))
+            .transformWithState(new ScreenProcessor(MgCap, QdCap, LgK),
+              TimeMode.EventTime(), OutputMode.Update(),
+              Encoders.product[ScreenEmit])
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sinkName)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      screenReport(spark.table(sinkName))
+    },
+    Some(s"""
+WITH p0 AS (SELECT ${graft.flow.FlowFeatureSql.packetStage0(graft.flow.FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${graft.flow.FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+pk AS (SELECT ts_us // ${ThreatScreen.WinUs} AS win, src_ip, length FROM packets),
+wm AS (SELECT max(ts_us) // 1000 - ${WmUs / 1000} AS wm_ms FROM packets),
+per_src AS (SELECT win, src_ip, CAST(count(*) AS BIGINT) AS cnt
+            FROM pk GROUP BY win, src_ip),
+win_stats AS (SELECT win, CAST(count(*) AS BIGINT) AS n_src,
+                     CAST(sum(cnt) AS BIGINT) AS n_pkts
+              FROM per_src GROUP BY win),
+top AS (SELECT win, src_ip AS top_src, cnt AS top_cnt
+        FROM (SELECT win, src_ip, cnt,
+                     row_number() OVER (PARTITION BY win
+                       ORDER BY cnt DESC, src_ip) AS rk
+              FROM per_src) WHERE rk = 1),
+hist AS (SELECT win, length, CAST(count(*) AS BIGINT) AS cnt
+         FROM pk GROUP BY win, length),
+cum AS (SELECT win, length,
+               CAST(sum(cnt) OVER (PARTITION BY win ORDER BY length) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY win) AS BIGINT) AS n_w
+        FROM hist),
+quant AS (SELECT win,
+                 min(CASE WHEN cum >= (5000 * n_w + 9999) // 10000 THEN length END) AS p50_len,
+                 min(CASE WHEN cum >= (9900 * n_w + 9999) // 10000 THEN length END) AS p99_len
+          FROM cum GROUP BY win),
+scr AS (SELECT s.win, s.n_pkts, s.n_src, q.p50_len, q.p99_len,
+               t.top_src, t.top_cnt * 10000 // s.n_pkts AS top_share_bp,
+               CAST(count(*) OVER w AS BIGINT) AS trail_w,
+               CAST(coalesce(sum(s.n_src) OVER w, 0) AS BIGINT) AS trail_src_sum,
+               CAST(coalesce(sum(s.n_pkts) OVER w, 0) AS BIGINT) AS trail_pkt_sum
+        FROM win_stats s
+        JOIN top t ON t.win = s.win
+        JOIN quant q ON q.win = s.win
+        WINDOW w AS (ORDER BY s.win ROWS BETWEEN ${ThreatScreen.TrailW} PRECEDING AND 1 PRECEDING))
+SELECT win * ${ThreatScreen.WinUs} AS window_start_us, n_pkts, n_src,
+       p50_len, p99_len, top_src, top_share_bp,
+       trail_w, trail_src_sum, trail_pkt_sum,
+       (trail_w > 0 AND n_src * trail_w > ${ThreatScreen.Surge} * trail_src_sum) AS src_surge,
+       (trail_w > 0 AND n_pkts * trail_w > ${ThreatScreen.Surge} * trail_pkt_sum) AS vol_surge,
+       (p99_len = p50_len) AS len_collapse,
+       (top_share_bp >= ${ThreatScreen.DomBp}) AS talker_dom,
+       ((trail_w > 0 AND n_src * trail_w > ${ThreatScreen.Surge} * trail_src_sum) OR
+        ((trail_w > 0 AND n_pkts * trail_w > ${ThreatScreen.Surge} * trail_pkt_sum) AND
+         (p99_len = p50_len OR top_share_bp >= ${ThreatScreen.DomBp}))) AS threat,
+       true AS hll_within
+FROM scr
+WHERE (win + 1) * ${WinUs / 1000} <= (SELECT wm_ms FROM wm)
+ORDER BY window_start_us"""))
+
+  val all: Seq[Q] = Seq(qThreatScreenStream)
+}
