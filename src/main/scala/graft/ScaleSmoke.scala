@@ -407,6 +407,57 @@ object ScaleSmoke {
       println(s"[scale] tspan spine: linear in span below H=$horizon h, hard-clamped above (exact-equality bound)")
     }
 
+    // ---- CUSUM sparse-form guard (r15): the changepoint screen
+    // claims O(present hours) with NO dense spine — the gap-analytic
+    // candidates stand in for every absent calendar hour. Under ×13
+    // TIME replication (span ~9400 h, far past anything the spec
+    // walks, with replica-boundary gaps) the sparse trajectory must
+    // equal the textbook dense recursion
+    // S' = max(0, S' + den·H·x − num·T) walked hour-by-hour on the
+    // driver over the FULL span — exact equality at every present
+    // hour — and its cost must track present hours, not span.
+    locally {
+      val tsB = evB.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val shiftNs = tsB.getLong(1) - tsB.getLong(0) + 3600L * 1000000000L
+      val cuProbes = Seq(1, 13).map { m =>
+        val e = evB.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("user_id", s"ts + rep * ${shiftNs}L AS ts",
+            "event_id + rep * 100000000 AS event_id", "event_type", "value")
+        val ph = operators.Ewma.prefixHourCounts(
+          flow.BatchFlowFeaturizer.packetsFromEvents(e)).cache()
+        val present = ph.count()
+        val t0c = System.nanoTime()
+        val traj = operators.Cusum.trajectoryFromCounts(ph)
+          .select(col("pfx"), col("h"), col("cusum_scaled")).collect()
+        val secC = (System.nanoTime() - t0c) / 1e9
+        val sparse = traj.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val counts = ph.select(col("pfx"), col("h"), col("cnt")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val dense = counts.groupBy(_._1).flatMap { case (pfx, rs) =>
+          val byH = rs.map(r => r._2 -> r._3).toMap
+          val (hmin, hmax) = (byH.keys.min, byH.keys.max)
+          val span = hmax - hmin + 1
+          val total = byH.values.sum
+          var s = 0L
+          (hmin to hmax).flatMap { h =>
+            s = math.max(0L,
+              s + operators.Cusum.DriftDen * span * byH.getOrElse(h, 0L) -
+                operators.Cusum.DriftNum * total)
+            if (byH.contains(h)) Some((pfx, h) -> s) else None
+          }
+        }
+        require(sparse == dense,
+          s"x$m: sparse gap-analytic CUSUM diverged from the dense walk " +
+            s"(${sparse.size} vs ${dense.size} rows, " +
+            s"${sparse.count { case (k, v) => dense.get(k).contains(v) }} agree)")
+        val spanH = counts.map(_._2).max - counts.map(_._2).min + 1
+        println(f"[scale] cusum   x$m%-3d span=$spanH%6d h present=$present%7d rows=${traj.length}%7d  $secC%7.2f s")
+        ph.unpersist()
+        (m, present)
+      }
+      println(f"[scale] cusum trajectory: span x13 -> dense-walk equality at every present hour (exact bound), rows x${cuProbes.last._2.toDouble / cuProbes.head._2}%.2f")
+    }
+
     // ---- Misra-Gries (r13): the summary's defining property is a
     // HARD capacity bound — replicating USERS ×m grows the key
     // cardinality ×m, but the emitted summary must never exceed MgCap

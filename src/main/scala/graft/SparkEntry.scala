@@ -51,6 +51,7 @@ object SparkEntry {
       operators.MarketBasket.all ++
       operators.Profiling.all ++
       operators.Ewma.all ++
+      operators.Cusum.all ++
       operators.Deciles.all ++
       operators.Fulfillment.all ++
       ml.RfDetector.all ++

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CUSUM changepoint laws.
+  *
+  * The load-bearing test is the DENSE-EQUALITY law: the operator's
+  * sparse gap-analytic form (two candidates per present hour + one
+  * running min — never touching absent hours) must equal the textbook
+  * dense recursion `S' = max(0, S' + driftDen·H·x − driftNum·T)`
+  * walked hour by calendar hour, exactly, on gappy data. That law is
+  * what licenses the O(present hours) plan at 100 TB.
+  */
+class CusumSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** (pfx, hour, cnt) rows as the maintained counter relation. */
+  private def ph(rows: (String, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("pfx", "h", "cnt")
+  }
+
+  /** Textbook dense recursion, scaled exactly like the operator:
+    * S'_h = max(0, S'_{h-1} + driftDen·H·x_h − driftNum·T) over EVERY
+    * calendar hour of the prefix's span; returns S' at present hours.
+    */
+  private def denseRef(rows: Seq[(String, Long, Long)],
+      driftNum: Long, driftDen: Long): Map[(String, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (pfx, rs) =>
+      val byH = rs.map(r => r._2 -> r._3).toMap
+      val (hmin, hmax) = (byH.keys.min, byH.keys.max)
+      val span = hmax - hmin + 1
+      val total = byH.values.sum
+      var s = 0L
+      (hmin to hmax).flatMap { h =>
+        val x = byH.getOrElse(h, 0L)
+        s = math.max(0L, s + driftDen * span * x - driftNum * total)
+        if (byH.contains(h)) Some((pfx, h) -> s) else None
+      }
+    }
+
+  private def trajectory(rows: (String, Long, Long)*): Map[(String, Long), Long] =
+    Cusum.trajectoryFromCounts(ph(rows: _*)).collect()
+      .map(r => (r.getAs[String]("pfx"), r.getAs[Long]("h")) ->
+        r.getAs[Long]("cusum_scaled")).toMap
+
+  private def alerts(rows: (String, Long, Long)*): Seq[(String, Long, Long)] =
+    Cusum.cusumFromCounts(ph(rows: _*)).collect()
+      .map(r => (r.getAs[String]("pfx"), r.getAs[Long]("hour_idx"),
+        r.getAs[Long]("cusum_scaled"))).toSeq
+
+  test("cusum: sparse gap-analytic form equals the dense recursion on gappy series") {
+    // seeded gappy series: several prefixes, hour gaps of 0-9, counts
+    // with occasional spikes — every present hour's S' must match the
+    // dense walk bit for bit (the gap floor + lag-0 start candidates
+    // must reproduce max(0,·) clamping INSIDE gaps, not just at rows)
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      pfx <- Seq("10.0", "10.1", "172.16", "192.168")
+      _ <- 0 until 1 // one series per prefix
+      hs = Iterator.iterate(rnd.nextInt(5).toLong)(h => h + 1 + rnd.nextInt(9)).take(40).toSeq
+      h <- hs
+    } yield (pfx, h, (1 + rnd.nextInt(20) + (if (rnd.nextInt(10) == 0) 200 else 0)).toLong)
+    assert(trajectory(rows: _*) == denseRef(rows, Cusum.DriftNum, Cusum.DriftDen))
+    // and at a different drift rate, so the law isn't constant-specific
+    val gotLoose = Cusum.trajectoryFromCounts(ph(rows: _*), 9, 8).collect()
+      .map(r => (r.getAs[String]("pfx"), r.getAs[Long]("h")) ->
+        r.getAs[Long]("cusum_scaled")).toMap
+    assert(gotLoose == denseRef(rows, 9, 8))
+  }
+
+  test("cusum: hand case — a one-hour burst alerts at the exact integer cut") {
+    // 4 in-control hours of 8, then a burst x at hour 4: T = 32 + x,
+    // H = 5, denH = 100; quiet steps add 800 − 21T = 128 − 21x < 0 for
+    // x ≥ 7 (S' pins at 0), the burst lands S' = 100x − 21T = 79x − 672,
+    // cut = 1·20·T = 640 + 20x → alert iff 59x ≥ 1312 ⟺ x ≥ 22.2:
+    // x = 23 alerts (S' = 1145 ≥ 1100), x = 22 does not (1066 < 1080).
+    val quiet = Seq(("10.0", 0L, 8L), ("10.0", 1L, 8L), ("10.0", 2L, 8L), ("10.0", 3L, 8L))
+    assert(alerts(quiet :+ (("10.0", 4L, 23L)): _*) == Seq(("10.0", 4L, 1145L)))
+    assert(alerts(quiet :+ (("10.0", 4L, 22L)): _*).isEmpty)
+  }
+
+  test("cusum: accumulation — a sustained 3× flood alerts on persistence, not peak") {
+    // 10 hours of 10, then 4 hours of 30: T = 220, H = 14, denH = 280;
+    // quiet steps add 2800 − 4620 < 0, flood steps add 8400 − 4620 =
+    // 3780 each, cut = 20·220 = 4400 — the FIRST flood hour (3780)
+    // stays silent, hours 11/12/13 accumulate past the cut
+    // (7560, 11340, 15120). The accumulated excess fires, not the peak.
+    val rows = (0L to 9L).map(h => ("10.0", h, 10L)) ++
+      (10L to 13L).map(h => ("10.0", h, 30L))
+    assert(alerts(rows: _*) ==
+      Seq(("10.0", 11L, 7560L), ("10.0", 12L, 11340L), ("10.0", 13L, 15120L)))
+  }
+
+  test("cusum: zero-traffic gaps drain the statistic at exactly k per hour") {
+    // burst to S' > 0, then a gap: with T = 120, H = 12, denH = 240,
+    // each dense hour (absent included) drains driftNum·T = 2520.
+    // Quiet hours add 2400 − 2520 = −120 (pinned 0), the hour-3 burst
+    // adds 240·60 − 2520 = 11880; a 5-hour silent gap drains
+    // 5·2520 = 12600 > 11880 → S' pins at 0 inside the gap, and h=9's
+    // own 10 packets land −120 → S' = 0, not 11880 − 15120.
+    val rows = Seq(("10.0", 0L, 10L), ("10.0", 1L, 10L), ("10.0", 2L, 10L),
+      ("10.0", 3L, 60L), ("10.0", 9L, 10L), ("10.0", 10L, 10L), ("10.0", 11L, 10L))
+    val t = trajectory(rows: _*)
+    assert(t(("10.0", 3L)) == 11880L)
+    assert(t(("10.0", 9L)) == 0L, "the gap must clamp at 0, not go negative")
+    // shorter gap (hours 4-5 absent): drain 2·2520 = 5040 < 11880 →
+    // S' carries 6840 into hour 6, whose own step adds −120 → 6720;
+    // pinned against the dense walk
+    val rows2 = Seq(("10.0", 0L, 10L), ("10.0", 1L, 10L), ("10.0", 2L, 10L),
+      ("10.0", 3L, 60L), ("10.0", 6L, 10L), ("10.0", 10L, 10L), ("10.0", 11L, 10L))
+    val t2 = trajectory(rows2: _*)
+    assert(t2(("10.0", 6L)) == 6720L)
+    assert(t2 == denseRef(rows2, Cusum.DriftNum, Cusum.DriftDen))
+  }
+
+  test("cusum: warmup — fewer than MinHist prior present hours never alerts") {
+    // an immediate huge burst with only 2 prior present hours: pos ≤ 3
+    val got = alerts(("10.0", 0L, 1L), ("10.0", 1L, 1L), ("10.0", 2L, 500L))
+    assert(got.isEmpty)
+  }
+
+  test("cusum: alerts are antitone in threshold and in drift (monotonicity laws)") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val counts = Ewma.prefixHourCounts(
+      graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)).cache()
+    def keys(dn: Long, dd: Long, tn: Long, td: Long): Set[(String, Long)] =
+      Cusum.cusumFromCounts(counts, dn, dd, tn, td).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    // threshold chain at the catalog drift: 1/2 ⊇ catalog 1/1 ⊇ 2/1
+    val Seq(looseT, catalogT, tightT) =
+      Seq((1L, 2L), (Cusum.ThrNum, Cusum.ThrDen), (2L, 1L))
+        .map { case (tn, td) => keys(Cusum.DriftNum, Cusum.DriftDen, tn, td) }
+    assert(tightT.subsetOf(catalogT) && catalogT.subsetOf(looseT))
+    // drift chain at the catalog threshold: 41/40 ⊇ catalog 21/20 ⊇ 9/8
+    // (smaller drift drains less, so S and the alert set only grow)
+    val Seq(looseD, catalogD, tightD) =
+      Seq((41L, 40L), (Cusum.DriftNum, Cusum.DriftDen), (9L, 8L))
+        .map { case (dn, dd) => keys(dn, dd, Cusum.ThrNum, Cusum.ThrDen) }
+    assert(tightD.subsetOf(catalogD) && catalogD.subsetOf(looseD))
+    assert(catalogT.nonEmpty, "catalog constants must be non-vacuous at sf0.001")
+    counts.unpersist()
+  }
+}
