@@ -335,7 +335,17 @@ object Graph {
   def triangleStats(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("u"), col("v"))
+    // The census reads `edges` five ways (degrees, two orientation
+    // sides, closure, edge count) and `dir` twice (both wedge sides);
+    // left lazy, every consumer re-runs the upstream support filter
+    // and the broadcast-degree join as its own chain of stages — pure
+    // plan overhead that at sf0.1 cost more than the data (2.7 s for
+    // a 3.6k-edge graph). A LAZY local checkpoint materializes each
+    // |E|-bounded relation once on first use and lets every later
+    // branch read the persisted blocks, while keeping plan BUILDING
+    // execution-free (eager checkpointing here would break the
+    // explain-only consumers — the StageViews lazy-registration rule).
+    val edges = pairs.select(col("u"), col("v")).localCheckpoint(eager = false)
     val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val globals = deg.agg(
@@ -351,6 +361,7 @@ object Graph {
         struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(eager = false)
     // out-neighbor pairs in id order (each unordered pair once), closed
     // against the id-canonical edge set
     val wedges = dir.as("w1").join(dir.as("w2"),
