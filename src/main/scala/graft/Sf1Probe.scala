@@ -228,9 +228,15 @@ object Sf1Probe {
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
     // Hard coverage gate (r14 VERDICT task 3), full runs only: the
-    // committed SF1_r{N}.json must itemize the ENTIRE catalog — a
-    // query that fails at sf1 (or a probe run against a stale subset)
-    // now exits non-zero instead of producing a quietly-short record.
+    // committed SF1_r{N}.json must itemize the ENTIRE catalog. Note
+    // the mechanism: a failing query stays IN `results` (as an
+    // "error" entry), so on a full run results.size always equals the
+    // catalog size and the LIVE gate is `failed.nonEmpty`; the size
+    // disjunct is a structural invariant (it can only fire if the
+    // itemization machinery itself drops entries), not the failure
+    // path. Stale-subset protection comes from the driver comparing
+    // n_queries against the catalog it sees — this probe always runs
+    // its own binary's catalog.
     if (only.isEmpty &&
         (results.size != SparkEntry.catalog.size || failed.nonEmpty)) {
       println(s"[sf1] GATE FAIL: ${results.size} of ${SparkEntry.catalog.size} " +

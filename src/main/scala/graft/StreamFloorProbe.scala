@@ -25,17 +25,26 @@ object StreamFloorProbe {
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
 
     // Progress events arrive asynchronously on the listener-bus thread
-    // and can land AFTER the driving count() returns, so batches are
-    // keyed by runId and a run's slice is read only once its terminated
-    // event (which the bus delivers after all of that run's progress
-    // events — the bus is FIFO per listener) has arrived.
+    // and can land AFTER the driving count() returns. A run's slice is
+    // therefore keyed by the runIds whose STARTED event landed during
+    // this run's window (not by a terminated-set diff — a straggling
+    // terminated event from the previous run would land in the diff
+    // and misattribute its batches), and the wait holds until EVERY
+    // started runId has terminated (a query may drive several
+    // streaming queries; the bus is FIFO per listener, so a runId's
+    // terminated event follows all its progress events). A name that
+    // starts no streaming query skips the wait and is reported as
+    // such instead of stalling to the deadline and printing batches=0
+    // as if measured.
     case class Batch(runId: String, batchId: Long, rows: Long,
         dur: Map[String, Long])
     val batches = ArrayBuffer.empty[Batch]
+    val started = scala.collection.mutable.Set.empty[String]
     val terminated = scala.collection.mutable.Set.empty[String]
     val lock = new Object
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        lock.synchronized { started += e.runId.toString }
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         import scala.jdk.CollectionConverters._
         lock.synchronized {
@@ -49,16 +58,23 @@ object StreamFloorProbe {
     }
     spark.streams.addListener(listener)
     for (n <- names; run <- 1 to 2) {
-      val before = lock.synchronized(terminated.toSet)
+      val startedBefore = lock.synchronized(started.toSet)
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // wait (bounded) for this run's terminated event to drain the bus
+      // wait (bounded) for every started runId's terminated event
       val deadline = System.nanoTime() + 5000000000L
       val bs = lock.synchronized {
-        while (terminated.size == before.size && System.nanoTime() < deadline)
+        var mine = started.diff(startedBefore)
+        while (!mine.subsetOf(terminated) && System.nanoTime() < deadline) {
           lock.wait(200)
-        val mine = terminated.diff(before)
+          mine = started.diff(startedBefore)
+        }
+        if (mine.isEmpty)
+          println(s"[floor] $n started NO streaming query -- batch-only, nothing to itemize")
+        else if (!mine.subsetOf(terminated))
+          println(s"[floor] $n WARNING: ${mine.diff(terminated).size} of ${mine.size} " +
+            "streaming runs never delivered a terminated event within 5 s -- slice incomplete")
         batches.filter(b => mine.contains(b.runId)).toVector
       }
       val total = bs.map(_.dur.getOrElse("triggerExecution", 0L)).sum

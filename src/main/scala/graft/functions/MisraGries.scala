@@ -111,10 +111,14 @@ object MisraGries {
     if (i != null) { b.counts(i.intValue) += 1L; b }
     else if (b.keys.length < m) {
       // slot claim: existing positions are unchanged in the new
-      // arrays, so the index carries over with one put (`b` is dead
-      // after this call at every call site — reduce/state replace it)
+      // arrays, so the index carries over with one put. The map is
+      // STOLEN from `b` (whose idx is nulled below): the new entry is
+      // out of bounds for b's arrays, and although every current call
+      // site replaces `b` with the result, a future probe of a stale
+      // `b` must rebuild its own index rather than hit the stolen one.
       val ns = Summary(b.keys :+ key, b.counts :+ 1L)
       map.put(key, b.keys.length)
+      b.idx = null
       ns.idx = map
       ns
     } else subtractCompact(b, 1L) // classic global decrement pays for `key`

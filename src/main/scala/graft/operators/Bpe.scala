@@ -68,15 +68,22 @@ object Bpe {
     */
   val MergeSteps = 6
 
-  private def explodeWords(d: SqlDialect): String = d match {
-    case SparkSql => "SELECT lang, explode(split(text, ' ')) AS word FROM documents"
-    case DuckSql => "SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents"
+  private def explodeWords(d: SqlDialect, table: String): String = d match {
+    case SparkSql => s"SELECT lang, explode(split(text, ' ')) AS word FROM $table"
+    case DuckSql => s"SELECT lang, unnest(string_split(text, ' ')) AS word FROM $table"
   }
 
-  /** word → `"c1  c2 … "` (chars double-spaced, trailing run trimmed). */
+  /** word → `"c1  c2 … "` (chars double-spaced, trailing run trimmed).
+    * `(?s)` in both dialects: the default `.` excludes line terminators
+    * in Java regex AND RE2, so a word carrying an embedded `\n` would
+    * otherwise enter the base segmentation as a fused multi-char
+    * symbol — violating the per-character start BPE is defined from.
+    * Both engines erred identically, so only a spec (not the oracle
+    * hash) can pin this.
+    */
   private def spaced(d: SqlDialect, col: String): String = d match {
-    case SparkSql => "regexp_replace(" + col + ", '(.)', '$1  ')"
-    case DuckSql => "regexp_replace(" + col + ", '(.)', '\\1  ', 'g')"
+    case SparkSql => "regexp_replace(" + col + ", '(?s)(.)', '$1  ')"
+    case DuckSql => "regexp_replace(" + col + ", '(?s)(.)', '\\1  ', 'g')"
   }
 
   /** The `"  "`-delimited segmentation string back to a token array. */
@@ -88,10 +95,10 @@ object Bpe {
   /** The word-frequency + char-segmentation stage (the ONE
     * corpus-sized aggregate), shared verbatim by engine and oracle.
     */
-  private def seg0Sql(d: SqlDialect): String =
+  private def seg0Sql(d: SqlDialect, table: String): String =
     s"""SELECT word, cnt, ' ' || rtrim(${spaced(d, "word")}) || ' ' AS seg
 FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
-      FROM (${explodeWords(d)}) GROUP BY word) w0"""
+      FROM (${explodeWords(d, table)}) GROUP BY word) w0"""
 
   // ---------------- engine side: the iterative loop ----------------
 
@@ -121,11 +128,10 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
     * and the final segmentation relation (word, cnt, seg).
     */
   private def trainLoop(spark: SparkSession,
-      documents: DataFrame): (Seq[Merge], DataFrame) = {
-    documents.createOrReplaceTempView("documents")
+      docsView: String): (Seq[Merge], DataFrame) = {
     // the corpus-sized stage is materialized ONCE; every iteration
     // after it reads this vocabulary-sized relation
-    var seg = spark.sql(seg0Sql(SparkSql)).localCheckpoint()
+    var seg = spark.sql(seg0Sql(SparkSql, docsView)).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -146,17 +152,34 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
     (merges.result(), seg)
   }
 
+  /** Register `documents` under a QUERY-UNIQUE temp view for the
+    * SQL-fragment stages, dropping it when done. A fixed name here
+    * once clobbered the harness-wide `documents` StageViews
+    * registration (whose registry-key dedup never re-registers), so
+    * every later `FROM documents` query in the session silently read
+    * the raw one-split parquet instead of the widened view. The drop
+    * is safe immediately: `spark.sql` resolves the view at analysis
+    * time and trainLoop's outputs are checkpointed.
+    */
+  private def withDocsView[A](spark: SparkSession, documents: DataFrame)
+      (f: String => A): A = {
+    val view = s"bpe_docs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    documents.createOrReplaceTempView(view)
+    try f(view) finally spark.catalog.dropTempView(view)
+  }
+
   def trainOn(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val (merges, _) = trainLoop(spark, documents)
+    val (merges, _) = withDocsView(spark, documents)(trainLoop(spark, _))
     spark.createDataset(merges).toDF().orderBy("step")
   }
 
-  def segmentOn(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val (_, seg) = trainLoop(spark, documents)
+  def segmentOn(spark: SparkSession, documents: DataFrame): DataFrame =
+    withDocsView(spark, documents) { docsView =>
+    val (_, seg) = trainLoop(spark, docsView)
     val wl = spark.sql(
       s"""SELECT lang, word, CAST(count(*) AS BIGINT) AS wcnt
-FROM (${explodeWords(SparkSql)}) GROUP BY lang, word""")
+FROM (${explodeWords(SparkSql, docsView)}) GROUP BY lang, word""")
     val tk = seg.selectExpr("word",
       s"CAST(${SparkSql.len(toks(SparkSql, "seg"))} AS BIGINT) AS ntok")
     wl.join(tk, "word")
@@ -191,7 +214,7 @@ seg$i AS (SELECT s.word, s.cnt,
                                    ' ' || replace(t.pair, ' ', '') || ' ') END AS seg
           FROM $prev s LEFT JOIN top$i t ON TRUE)"""
     }
-    s"""WITH seg0 AS (${seg0Sql(d)}),
+    s"""WITH seg0 AS (${seg0Sql(d, "documents")}),
 ${steps.mkString(",\n")}"""
   }
 
@@ -211,7 +234,7 @@ ORDER BY step"""
   private def segmentSql(d: SqlDialect): String =
     s"""${chain(d)},
 wl AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS wcnt
-       FROM (${explodeWords(d)}) GROUP BY lang, word),
+       FROM (${explodeWords(d, "documents")}) GROUP BY lang, word),
 tk AS (SELECT word, CAST(${d.len(toks(d, "seg"))} AS BIGINT) AS ntok
        FROM seg$MergeSteps)
 SELECT lang,

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import org.apache.datasketches.hll.HllSketch
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** In-stream distinct sources per window — the third classic DDoS
   * screen next to [[MgStream]]'s top talkers and [[QdStream]]'s length
@@ -71,23 +71,21 @@ object HllStream {
     *   [[MgStream.TopTalkersProcessor]].
     */
   class DistinctSourcesProcessor(lgK: Int, winMs: Long = WinUs / 1000)
-      extends StatefulProcessor[(Long, Int), HsRow, HsEmit] {
+      extends WindowedProcessor[HsRow, HsEmit](winMs) {
     @transient private var state: ValueState[HsState] = _
-    @transient private var eventTime: Boolean = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[HsState](
         "hs", Encoders.product[HsState], TTLConfig.NONE)
-      eventTime = timeMode == TimeMode.EventTime()
+      trackTimeMode(timeMode)
     }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[HsRow],
         timerValues: TimerValues): Iterator[HsEmit] = {
       val (win, salt) = key
-      val closeMs = (win + 1) * winMs
-      if (eventTime && timerValues.getCurrentWatermarkInMs() >= closeMs) {
+      if (windowClosed(key, timerValues)) {
         // watermark already closed this window: drop the late rows,
-        // leave state absent (see the MgStream guard for the rationale)
+        // leave state absent (see the WindowedProcessor rationale)
         rows.foreach(_ => ())
         return Iterator.empty
       }
@@ -99,9 +97,7 @@ object HllStream {
       var n = n0
       rows.foreach { r => sketch.update(r.k); n += 1 }
       state.update(HsState(sketch.toUpdatableByteArray, n))
-      // one close timer per group at window end; re-registering the
-      // same (key, expiry) every batch is an idempotent overwrite
-      if (eventTime) getHandle.registerTimer(closeMs)
+      armCloseTimer(key)
       // compact image out: read-only downstream (union/estimate), and
       // it is the canonical interchange form Spark's hll_* wrap
       Iterator.single(HsEmit(win, salt, sketch.toCompactByteArray, n))

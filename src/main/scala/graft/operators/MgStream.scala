@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.MisraGries
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** In-stream top talkers per window — the anti-DDoS screen the
   * mitigation family lacked: entropy/EWMA detect that a DISTRIBUTION
@@ -69,21 +69,19 @@ object MgStream {
     *   window end on the watermark's ms grid.
     */
   class TopTalkersProcessor(cap: Int, winMs: Long = WinUs / 1000)
-      extends StatefulProcessor[(Long, Int), MgRow, MgEmit] {
+      extends WindowedProcessor[MgRow, MgEmit](winMs) {
     @transient private var state: ValueState[MgGroupState] = _
-    @transient private var eventTime: Boolean = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[MgGroupState](
         "mg", Encoders.product[MgGroupState], TTLConfig.NONE)
-      eventTime = timeMode == TimeMode.EventTime()
+      trackTimeMode(timeMode)
     }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[MgRow],
         timerValues: TimerValues): Iterator[MgEmit] = {
       val (win, salt) = key
-      val closeMs = (win + 1) * winMs
-      if (eventTime && timerValues.getCurrentWatermarkInMs() >= closeMs) {
+      if (windowClosed(key, timerValues)) {
         // watermark already closed this window (its timer fired and
         // cleared state, or will this batch): a late row must not
         // resurrect an empty summary that the stamp filter would
@@ -101,9 +99,7 @@ object MgStream {
         n += 1
       }
       state.update(MgGroupState(summary.keys, summary.counts, n))
-      // one close timer per group at window end; re-registering the
-      // same (key, expiry) on every batch is an idempotent overwrite
-      if (eventTime) getHandle.registerTimer(closeMs)
+      armCloseTimer(key)
       val out = new Array[MgEmit](summary.keys.length)
       var i = 0
       while (i < out.length) {

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.QDigest
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** In-stream packet-size quantiles per window — the distribution-shape
   * screen next to [[MgStream]]'s top talkers: amplification and
@@ -67,22 +67,20 @@ object QdStream {
     *   [[MgStream.TopTalkersProcessor]].
     */
   class WindowQuantileProcessor(cap: Int, winMs: Long = WinUs / 1000)
-      extends StatefulProcessor[(Long, Int), QdRow, QdEmit] {
+      extends WindowedProcessor[QdRow, QdEmit](winMs) {
     @transient private var state: ValueState[QdGroupState] = _
-    @transient private var eventTime: Boolean = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[QdGroupState](
         "qd", Encoders.product[QdGroupState], TTLConfig.NONE)
-      eventTime = timeMode == TimeMode.EventTime()
+      trackTimeMode(timeMode)
     }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[QdRow],
         timerValues: TimerValues): Iterator[QdEmit] = {
-      val closeMs = (key._1 + 1) * winMs
-      if (eventTime && timerValues.getCurrentWatermarkInMs() >= closeMs) {
+      if (windowClosed(key, timerValues)) {
         // watermark already closed this window: drop the late rows,
-        // leave state absent (see the MgStream guard for the rationale)
+        // leave state absent (see the WindowedProcessor rationale)
         rows.foreach(_ => ())
         return Iterator.empty
       }
@@ -96,9 +94,7 @@ object QdStream {
         n += 1
       }
       state.update(QdGroupState(digest.ids, digest.counts, digest.n, n))
-      // one close timer per group at window end; re-registering the
-      // same (key, expiry) every batch is an idempotent overwrite
-      if (eventTime) getHandle.registerTimer((key._1 + 1) * winMs)
+      armCloseTimer(key)
       val (win, salt) = key
       // exact regime: ids are leaves (Universe + v); emit the value
       // back out of the leaf id — above capacity an internal node

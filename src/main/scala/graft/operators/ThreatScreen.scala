@@ -132,16 +132,19 @@ object ThreatScreen {
         .orderBy("window_start_us")
   }
 
-  val qWindowThreatScreen = Q(
-    "q_window_threat_screen",
-    (spark, dir) => screenOn(
-      graft.flow.BatchFlowFeaturizer
-        .packetsFromEvents(Tables.events(spark, dir))
-        .selectExpr(s"ts_us DIV $WinUs AS win", "src_ip", "length")),
-    Some(s"""
-WITH p0 AS (SELECT ${graft.flow.FlowFeatureSql.packetStage0(graft.flow.FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
-packets AS (SELECT ${graft.flow.FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
-pk AS (SELECT ts_us // $WinUs AS win, src_ip, length FROM packets),
+  /** The oracle's verdict CTE chain + final SELECT, continuing a WITH
+    * clause that has already defined `pk(win, src_ip, length)` — the
+    * SQL-side counterpart of sharing [[screenFromCounts]] verbatim:
+    * the live screen's oracle ([[ThreatScreenStream]]) appends only
+    * its horizon predicate and extra columns, so an edit to the
+    * Surge/DomBp framing or the quantile rank rule cannot silently
+    * diverge the two oracles.
+    *
+    * @param extraCols appended after the `threat` column (lead with a
+    *   comma); @param where optional final WHERE clause text.
+    */
+  private[operators] def verdictSql(extraCols: String = "",
+      where: String = ""): String = s"""
 per_src AS (SELECT win, src_ip, CAST(count(*) AS BIGINT) AS cnt
             FROM pk GROUP BY win, src_ip),
 win_stats AS (SELECT win, CAST(count(*) AS BIGINT) AS n_src,
@@ -179,9 +182,21 @@ SELECT win * $WinUs AS window_start_us, n_pkts, n_src, p50_len, p99_len,
        (top_share_bp >= $DomBp) AS talker_dom,
        ((trail_w > 0 AND n_src * trail_w > $Surge * trail_src_sum) OR
         ((trail_w > 0 AND n_pkts * trail_w > $Surge * trail_pkt_sum) AND
-         (p99_len = p50_len OR top_share_bp >= $DomBp))) AS threat
+         (p99_len = p50_len OR top_share_bp >= $DomBp))) AS threat$extraCols
 FROM scr
-ORDER BY window_start_us"""))
+$where
+ORDER BY window_start_us"""
+
+  val qWindowThreatScreen = Q(
+    "q_window_threat_screen",
+    (spark, dir) => screenOn(
+      graft.flow.BatchFlowFeaturizer
+        .packetsFromEvents(Tables.events(spark, dir))
+        .selectExpr(s"ts_us DIV $WinUs AS win", "src_ip", "length")),
+    Some(s"""
+WITH p0 AS (SELECT ${graft.flow.FlowFeatureSql.packetStage0(graft.flow.FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${graft.flow.FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+pk AS (SELECT ts_us // $WinUs AS win, src_ip, length FROM packets),${verdictSql()}"""))
 
   val all: Seq[Q] = Seq(qWindowThreatScreen)
 }

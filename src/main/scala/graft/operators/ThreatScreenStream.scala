@@ -5,7 +5,7 @@ import graft.functions.{MisraGries, QDigest}
 import org.apache.datasketches.hll.HllSketch
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** The LIVE threat screen — [[ThreatScreen]]'s verdicts produced while
   * the stream is flowing, with the full streaming lifecycle the triad
@@ -75,7 +75,7 @@ object ThreatScreenStream {
     */
   class ScreenProcessor(mgCap: Int, qdCap: Int, lgK: Int,
       winMs: Long = WinUs / 1000)
-      extends StatefulProcessor[(Long, Int), SRow, ScreenEmit] {
+      extends WindowedProcessor[SRow, ScreenEmit](winMs) {
     @transient private var state: ValueState[ScreenState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -83,12 +83,12 @@ object ThreatScreenStream {
         "ScreenProcessor emits on close timers — EventTime only")
       state = getHandle.getValueState[ScreenState](
         "scr", Encoders.product[ScreenState], TTLConfig.NONE)
+      trackTimeMode(timeMode)
     }
 
     override def handleInputRows(key: (Long, Int), rows: Iterator[SRow],
         timerValues: TimerValues): Iterator[ScreenEmit] = {
-      val closeMs = (key._1 + 1) * winMs
-      if (timerValues.getCurrentWatermarkInMs() >= closeMs) {
+      if (windowClosed(key, timerValues)) {
         // late rows for a window whose final summary already emitted:
         // a second (partial) emission would double-report the window —
         // drop them, the triad processors' guard
@@ -111,7 +111,7 @@ object ThreatScreenStream {
       }
       state.update(ScreenState(mg.keys, mg.counts, qd.ids, qd.counts, qd.n,
         hll.toUpdatableByteArray, n))
-      getHandle.registerTimer(closeMs)
+      armCloseTimer(key)
       Iterator.empty // final-on-close: data batches emit nothing
     }
 
@@ -210,54 +210,17 @@ object ThreatScreenStream {
       }
       screenReport(spark.table(sinkName))
     },
+    // the verdict chain is ThreatScreen.verdictSql VERBATIM (the SQL
+    // counterpart of sharing screenFromCounts) — this oracle adds only
+    // the watermark horizon and the degenerate hll_within column
     Some(s"""
 WITH p0 AS (SELECT ${graft.flow.FlowFeatureSql.packetStage0(graft.flow.FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
 packets AS (SELECT ${graft.flow.FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
 pk AS (SELECT ts_us // ${ThreatScreen.WinUs} AS win, src_ip, length FROM packets),
-wm AS (SELECT max(ts_us) // 1000 - ${WmUs / 1000} AS wm_ms FROM packets),
-per_src AS (SELECT win, src_ip, CAST(count(*) AS BIGINT) AS cnt
-            FROM pk GROUP BY win, src_ip),
-win_stats AS (SELECT win, CAST(count(*) AS BIGINT) AS n_src,
-                     CAST(sum(cnt) AS BIGINT) AS n_pkts
-              FROM per_src GROUP BY win),
-top AS (SELECT win, src_ip AS top_src, cnt AS top_cnt
-        FROM (SELECT win, src_ip, cnt,
-                     row_number() OVER (PARTITION BY win
-                       ORDER BY cnt DESC, src_ip) AS rk
-              FROM per_src) WHERE rk = 1),
-hist AS (SELECT win, length, CAST(count(*) AS BIGINT) AS cnt
-         FROM pk GROUP BY win, length),
-cum AS (SELECT win, length,
-               CAST(sum(cnt) OVER (PARTITION BY win ORDER BY length) AS BIGINT) AS cum,
-               CAST(sum(cnt) OVER (PARTITION BY win) AS BIGINT) AS n_w
-        FROM hist),
-quant AS (SELECT win,
-                 min(CASE WHEN cum >= (5000 * n_w + 9999) // 10000 THEN length END) AS p50_len,
-                 min(CASE WHEN cum >= (9900 * n_w + 9999) // 10000 THEN length END) AS p99_len
-          FROM cum GROUP BY win),
-scr AS (SELECT s.win, s.n_pkts, s.n_src, q.p50_len, q.p99_len,
-               t.top_src, t.top_cnt * 10000 // s.n_pkts AS top_share_bp,
-               CAST(count(*) OVER w AS BIGINT) AS trail_w,
-               CAST(coalesce(sum(s.n_src) OVER w, 0) AS BIGINT) AS trail_src_sum,
-               CAST(coalesce(sum(s.n_pkts) OVER w, 0) AS BIGINT) AS trail_pkt_sum
-        FROM win_stats s
-        JOIN top t ON t.win = s.win
-        JOIN quant q ON q.win = s.win
-        WINDOW w AS (ORDER BY s.win ROWS BETWEEN ${ThreatScreen.TrailW} PRECEDING AND 1 PRECEDING))
-SELECT win * ${ThreatScreen.WinUs} AS window_start_us, n_pkts, n_src,
-       p50_len, p99_len, top_src, top_share_bp,
-       trail_w, trail_src_sum, trail_pkt_sum,
-       (trail_w > 0 AND n_src * trail_w > ${ThreatScreen.Surge} * trail_src_sum) AS src_surge,
-       (trail_w > 0 AND n_pkts * trail_w > ${ThreatScreen.Surge} * trail_pkt_sum) AS vol_surge,
-       (p99_len = p50_len) AS len_collapse,
-       (top_share_bp >= ${ThreatScreen.DomBp}) AS talker_dom,
-       ((trail_w > 0 AND n_src * trail_w > ${ThreatScreen.Surge} * trail_src_sum) OR
-        ((trail_w > 0 AND n_pkts * trail_w > ${ThreatScreen.Surge} * trail_pkt_sum) AND
-         (p99_len = p50_len OR top_share_bp >= ${ThreatScreen.DomBp}))) AS threat,
-       true AS hll_within
-FROM scr
-WHERE (win + 1) * ${WinUs / 1000} <= (SELECT wm_ms FROM wm)
-ORDER BY window_start_us"""))
+wm AS (SELECT max(ts_us) // 1000 - ${WmUs / 1000} AS wm_ms FROM packets),${
+      ThreatScreen.verdictSql(
+        extraCols = ",\n       true AS hll_within",
+        where = s"WHERE (win + 1) * ${WinUs / 1000} <= (SELECT wm_ms FROM wm)")}"""))
 
   val all: Seq[Q] = Seq(qThreatScreenStream)
 }

@@ -74,9 +74,28 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("en", 1L, 2L, 20000L), ("fr", 2L, 2L, 10000L)))
   }
 
-  private def kv(name: String, rows: (Long, String)*) = {
+  test("bpe: embedded line terminators stay single-char base symbols") {
+    // the (?s)-less '.' skipped \n in BOTH engines, fusing "\nb" into a
+    // 2-char base symbol; true BPE starts from per-character symbols.
+    // Corpus "a\nb" ×3: base [a, \n, b]; pair ties break ascending, so
+    // step 1 merges ("\n","b") (the \n-led pair sorts first), step 2
+    // merges ("a","\nb") — a fused base would have skipped step 1.
+    val got = train(("a\nb a\nb a\nb", "en"))
+    assert(got.map(m => (m._1, m._2, m._3, m._4)).take(2) ==
+      Seq((1L, "\n", "b", "\nb"), (2L, "a", "\nb", "a\nb")))
+  }
+
+  test("bpe: a harness-registered 'documents' view survives a training run") {
+    // trainLoop once registered its input AS 'documents', silently
+    // replacing the session-wide StageViews registration for every
+    // later catalog query; the view must be untouched afterwards
     import spark.implicits._
-    rows.toDF(name, "c_mktsegment")
+    Seq(1L, 2L, 3L).toDF("marker").createOrReplaceTempView("documents")
+    try {
+      Bpe.trainOn(spark, docs(("x y x y", "en"))).collect()
+      assert(spark.table("documents").columns.toSeq == Seq("marker"),
+        "bpe training must not clobber the shared 'documents' view")
+    } finally spark.catalog.dropTempView("documents")
   }
 
   test("cms join size: estimate is an admissible overcount of the exact join size") {
