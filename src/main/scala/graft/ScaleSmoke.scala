@@ -450,8 +450,35 @@ object ScaleSmoke {
           s"x$m: sparse gap-analytic CUSUM diverged from the dense walk " +
             s"(${sparse.size} vs ${dense.size} rows, " +
             s"${sparse.count { case (k, v) => dense.get(k).contains(v) }} agree)")
+        // the causally-calibrated twin, same exact-equality bound: its
+        // post-warmup sparse trajectory must match the dense walk with
+        // warmup-derived constants across the replica-boundary gaps
+        val w = operators.Cusum.WarmupHours
+        val calSparse = operators.Cusum.calibratedTrajectory(ph)
+          .select(col("pfx"), col("h"), col("cusum_scaled")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val calDense = counts.groupBy(_._1).flatMap { case (pfx, rs) =>
+          val sorted = rs.sortBy(_._2)
+          if (sorted.length <= w) Map.empty[(String, Long), Long]
+          else {
+            val warmRows = sorted.take(w)
+            val tw = warmRows.map(_._3).sum
+            val hwSpan = warmRows.last._2 - warmRows.head._2 + 1
+            val byH = sorted.drop(w).map(r => r._2 -> r._3).toMap
+            var s = 0L
+            ((warmRows.last._2 + 1) to sorted.last._2).flatMap { h =>
+              s = math.max(0L,
+                s + operators.Cusum.DriftDen * hwSpan * byH.getOrElse(h, 0L) -
+                  operators.Cusum.DriftNum * tw)
+              if (byH.contains(h)) Some((pfx, h) -> s) else None
+            }
+          }
+        }
+        require(calSparse == calDense,
+          s"x$m: calibrated CUSUM diverged from its dense post-warmup walk " +
+            s"(${calSparse.size} vs ${calDense.size} rows)")
         val spanH = counts.map(_._2).max - counts.map(_._2).min + 1
-        println(f"[scale] cusum   x$m%-3d span=$spanH%6d h present=$present%7d rows=${traj.length}%7d  $secC%7.2f s")
+        println(f"[scale] cusum   x$m%-3d span=$spanH%6d h present=$present%7d rows=${traj.length}%7d cal_rows=${calSparse.size}%7d  $secC%7.2f s")
         ph.unpersist()
         (m, present)
       }

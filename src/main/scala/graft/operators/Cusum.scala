@@ -176,6 +176,161 @@ ORDER BY pfx, hour_idx"""
     * the maintained table. Gated by the SAME oracle: stream == batch,
     * bit for bit.
     */
+  // ---------------- causally-calibrated variant ----------------
+
+  /** Warmup length for [[qCusumCalibrated]]: the drift is learned from
+    * each prefix's first [[WarmupHours]] PRESENT hours (one week of
+    * active traffic), the deployable "train on week one, monitor
+    * after" protocol. Prefixes that never complete the warmup are
+    * never screened.
+    */
+  val WarmupHours: Int = 168
+
+  /** The CAUSAL twin of [[cusumFromCounts]]: [[qCusumChangepoint]]
+    * estimates its drift from the prefix's FULL span (retrospective —
+    * a batch screen judging history, like `q_seasonal_anomaly`), so a
+    * verdict at hour h can change when LATER data arrives. This
+    * variant calibrates `k = (driftNum/driftDen) · Tw/Hw` from the
+    * warmup window alone and screens only post-warmup hours, so every
+    * verdict is a pure function of the prefix's past — append future
+    * rows and no earlier verdict moves (the causality law
+    * `CusumSpec` pins, with a contrast test showing the retrospective
+    * variant genuinely fails it).
+    *
+    * Emission is FIRST-CROSSING (Page's alarm semantics): a detection
+    * row fires where S crosses the threshold upward (`S ≥ cut` and the
+    * previous present hour was below), not at every hot hour — on
+    * drifting data an un-reset CUSUM saturates (measured: at sf0.001
+    * three prefixes alert at EVERY post-warmup hour under any
+    * threshold), so the hot-hour relation is noise while the crossing
+    * relation is the alarm log a responder actually wants. Crossings
+    * are `lag`-expressible, keeping the whole screen inside the same
+    * single-shuffle window algebra — a true reset-on-alarm (restart S
+    * at 0 after each alarm) is NOT prefix-sum decomposable and would
+    * need a sequential pass; first-crossing gives the episode
+    * boundaries without it. Same sparse gap-analytic closed form, now
+    * anchored at the warmup end: `P(h) = den·Hw·Cpost(h) −
+    * num·Tw·(h − hw)` over post-warmup cumulative counts, gap floors
+    * from `lag(cum)`, one running min (whose j = hw start candidate
+    * `P(hw) = 0` is dominated by the first gap floor, which is ≤ 0 by
+    * construction). Constants grid-probed like the retrospective
+    * screen: 21/20 drift, 1-warmup-mean-hour cut → detections
+    * 3 / 97 / 54 / 24 at sf0.001/0.01/0.1/sf1-replica — non-vacuous at
+    * every SF.
+    */
+  /** The full post-warmup trajectory (every present hour with its S',
+    * calibration stats attached) — the spec gates this against the
+    * dense walk and the causality law; [[calibratedDetections]] is the
+    * first-crossing filter over it.
+    */
+  private[graft] def calibratedTrajectory(ph: DataFrame,
+      driftNum: Long = DriftNum, driftDen: Long = DriftDen,
+      warmup: Int = WarmupHours): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    require(driftNum > 0 && driftDen > 0 && warmup > 0,
+      s"drift/warmup must be positive: $driftNum/$driftDen $warmup")
+    val wo = Window.partitionBy($"pfx").orderBy($"h")
+    val wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rn = ph
+      .select($"pfx", $"h", $"cnt".cast("bigint").as("cnt"))
+      .withColumn("rn", row_number().over(wo))
+    val warm = rn.where($"rn" <= warmup)
+      .groupBy($"pfx")
+      .agg(sum($"cnt").cast("bigint").as("warmup_cnt"),
+        (max($"h") - min($"h") + 1L).as("warmup_span"),
+        max($"h").as("hw"), count(lit(1)).as("nw"))
+      .where($"nw" === warmup) // incomplete warmup: never screened
+      .drop("nw")
+    rn.where($"rn" > warmup)
+      .join(broadcast(warm), "pfx") // prefix-count-sized calibration
+      .withColumn("cum", sum($"cnt").over(wcum))
+      .withColumn("p_now",
+        lit(driftDen) * $"warmup_span" * $"cum" -
+          lit(driftNum) * $"warmup_cnt" * ($"h" - $"hw"))
+      .withColumn("p_gap",
+        lit(driftDen) * $"warmup_span" * lag($"cum", 1, 0L).over(wo) -
+          lit(driftNum) * $"warmup_cnt" * ($"h" - 1L - $"hw"))
+      .withColumn("runmin", min(least($"p_now", $"p_gap")).over(wcum))
+      .withColumn("cusum_scaled", $"p_now" - $"runmin")
+  }
+
+  private[graft] def calibratedDetections(ph: DataFrame,
+      driftNum: Long = DriftNum, driftDen: Long = DriftDen,
+      thrNum: Long = ThrNum, thrDen: Long = ThrDen,
+      warmup: Int = WarmupHours): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    require(thrNum > 0 && thrDen > 0, s"threshold must be positive: $thrNum/$thrDen")
+    val wo = Window.partitionBy($"pfx").orderBy($"h")
+    // A crossing compares against S at the previous DENSE hour, not the
+    // previous present one: an excursion can end INSIDE a silent gap
+    // (S drains by k per absent hour), and a flood after such a gap is
+    // a genuinely new alarm. S(h−1) falls out of quantities already on
+    // the row: P(h−1) is the gap floor `p_gap`, and
+    // min_{j ≤ h−1} P = min(runmin at the previous present row, p_gap)
+    // (P decreases over the gap), with the lag default 0 standing in
+    // for the warmup-end anchor P(hw) = 0 on each prefix's first row.
+    calibratedTrajectory(ph, driftNum, driftDen, warmup)
+      .withColumn("prev_s",
+        $"p_gap" - least(coalesce(lag($"runmin", 1).over(wo), lit(0L)), $"p_gap"))
+      .withColumn("hot",
+        $"cusum_scaled" * lit(thrDen) >= lit(thrNum) * lit(driftDen) * $"warmup_cnt")
+      .withColumn("prev_hot",
+        $"prev_s" * lit(thrDen) >= lit(thrNum) * lit(driftDen) * $"warmup_cnt")
+      .where($"hot" && !$"prev_hot")
+      .select($"pfx", $"h".as("hour_idx"), $"cnt", $"cusum_scaled",
+        $"warmup_cnt", $"warmup_span")
+      .orderBy("pfx", "hour_idx")
+  }
+
+  val qCusumCalibrated = Q(
+    "q_cusum_calibrated",
+    (spark, dir) => calibratedDetections(
+      StageViews.ensureCached(spark, "pfx_hour_v", dir) {
+        Ewma.prefixHourCounts(
+          BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir)))
+      }),
+    Some(s"""
+WITH p0 AS (SELECT ${FlowFeatureSql.packetStage0(FlowFeatureSql.DuckDialect).mkString(", ")} FROM events),
+packets AS (SELECT ${FlowFeatureSql.packetStage1.mkString(", ")} FROM p0),
+ph AS (SELECT regexp_extract(src_ip, '${Detection.Prefix16Re}', 1) AS pfx,
+              ts_us // ${Ewma.HourUs} AS h, CAST(count(*) AS BIGINT) AS cnt
+       FROM packets GROUP BY 1, 2),
+rn AS (SELECT pfx, h, cnt, row_number() OVER (PARTITION BY pfx ORDER BY h) AS rn
+       FROM ph),
+warm AS (SELECT pfx, CAST(sum(cnt) AS BIGINT) AS warmup_cnt,
+                max(h) - min(h) + 1 AS warmup_span, max(h) AS hw
+         FROM rn WHERE rn <= $WarmupHours GROUP BY pfx
+         HAVING count(*) = $WarmupHours),
+post AS (SELECT r.pfx, r.h, r.cnt, w.warmup_cnt, w.warmup_span, w.hw,
+                CAST(sum(r.cnt) OVER (PARTITION BY r.pfx ORDER BY r.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM rn r JOIN warm w ON r.pfx = w.pfx WHERE r.rn > $WarmupHours),
+traj AS (SELECT pfx, h, cnt, warmup_cnt, warmup_span,
+                $DriftDen * warmup_span * cum
+                  - $DriftNum * warmup_cnt * (h - hw) AS p_now,
+                $DriftDen * warmup_span * coalesce(lag(cum) OVER (PARTITION BY pfx ORDER BY h), 0)
+                  - $DriftNum * warmup_cnt * (h - 1 - hw) AS p_gap
+         FROM post),
+s AS (SELECT pfx, h, cnt, warmup_cnt, warmup_span, p_gap,
+             min(least(p_now, p_gap)) OVER (PARTITION BY pfx ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin,
+             p_now - min(least(p_now, p_gap)) OVER (PARTITION BY pfx ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+      FROM traj),
+alarms AS (SELECT pfx, h, cnt, cusum_scaled, warmup_cnt, warmup_span,
+                  cusum_scaled * $ThrDen >= $ThrNum * $DriftDen * warmup_cnt AS hot,
+                  (p_gap - least(coalesce(lag(runmin) OVER (PARTITION BY pfx ORDER BY h), 0), p_gap))
+                    * $ThrDen >= $ThrNum * $DriftDen * warmup_cnt AS prev_hot
+           FROM s)
+SELECT pfx, CAST(h AS BIGINT) AS hour_idx, cnt, cusum_scaled,
+       warmup_cnt, CAST(warmup_span AS BIGINT) AS warmup_span
+FROM alarms
+WHERE hot AND NOT prev_hot
+ORDER BY pfx, hour_idx""")
+  )
+
   val qCusumStream = Q(
     "q_cusum_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
@@ -198,5 +353,5 @@ ORDER BY pfx, hour_idx"""
     },
     qCusumChangepoint.oracle) // stream == batch: the SAME oracle gates both
 
-  val all: Seq[Q] = Seq(qCusumChangepoint, qCusumStream)
+  val all: Seq[Q] = Seq(qCusumChangepoint, qCusumCalibrated, qCusumStream)
 }

@@ -127,6 +127,107 @@ class CusumSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  // ---------------- causally-calibrated variant ----------------
+
+  /** Dense post-warmup walk with warmup-derived constants: k scaled by
+    * driftDen·Hw, S' = max(0, S' + driftDen·Hw·x − driftNum·Tw) from
+    * the warmup-end hour onward.
+    */
+  private def calDenseRef(rows: Seq[(String, Long, Long)],
+      driftNum: Long, driftDen: Long, warmup: Int): Map[(String, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (pfx, rs) =>
+      val sorted = rs.sortBy(_._2)
+      if (sorted.length <= warmup) Map.empty[(String, Long), Long]
+      else {
+        val warm = sorted.take(warmup)
+        val tw = warm.map(_._3).sum
+        val hwSpan = warm.last._2 - warm.head._2 + 1
+        val hw = warm.last._2
+        val byH = sorted.drop(warmup).map(r => r._2 -> r._3).toMap
+        var s = 0L
+        ((hw + 1) to sorted.last._2).flatMap { h =>
+          s = math.max(0L, s + driftDen * hwSpan * byH.getOrElse(h, 0L) - driftNum * tw)
+          if (byH.contains(h)) Some((pfx, h) -> s) else None
+        }
+      }
+    }
+
+  private def calTrajectory(warmup: Int, rows: (String, Long, Long)*): Map[(String, Long), Long] =
+    Cusum.calibratedTrajectory(ph(rows: _*), Cusum.DriftNum, Cusum.DriftDen, warmup)
+      .collect()
+      .map(r => (r.getAs[String]("pfx"), r.getAs[Long]("h")) ->
+        r.getAs[Long]("cusum_scaled")).toMap
+
+  test("calibrated cusum: sparse form equals the dense post-warmup walk on gappy series") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      pfx <- Seq("10.0", "10.1", "172.16")
+      hs = Iterator.iterate(rnd.nextInt(4).toLong)(h => h + 1 + rnd.nextInt(7)).take(30).toSeq
+      h <- hs
+    } yield (pfx, h, (1 + rnd.nextInt(15) + (if (rnd.nextInt(8) == 0) 120 else 0)).toLong)
+    val w = 8
+    assert(calTrajectory(w, rows: _*) ==
+      calDenseRef(rows, Cusum.DriftNum, Cusum.DriftDen, w))
+  }
+
+  test("calibrated cusum: verdicts are CAUSAL — future rows never move an earlier one") {
+    // the retrospective screen fails this law by construction (its
+    // drift is the FULL-span mean); the calibrated screen must pass it
+    val base = (0L to 11L).map(h => ("10.0", h, 10L)) :+ (("10.0", 12L, 80L))
+    val future = Seq(("10.0", 20L, 500L), ("10.0", 21L, 500L))
+    val w = 4
+    def calAt12(rows: Seq[(String, Long, Long)]) =
+      calTrajectory(w, rows: _*).get(("10.0", 12L))
+    assert(calAt12(base) == calAt12(base ++ future),
+      "appending future hours must not move the hour-12 calibrated verdict")
+    // contrast: the retrospective trajectory at hour 12 DOES move
+    // (its span-mean drift absorbs the future flood)
+    assert(trajectory(base: _*).get(("10.0", 12L)) !=
+      trajectory(base ++ future: _*).get(("10.0", 12L)),
+      "the retrospective screen is expected to be non-causal here")
+  }
+
+  test("calibrated cusum: first-crossing emits once per excursion, at the exact cut") {
+    // warmup 4 hours of 10 (hw_span=4, tw=40): post steps add
+    // 80x − 840; x=10 → −40 (drains), x=30 → 1560. Cut = 1·20·40=800.
+    // Flood hours 4,5: S' = 1560, 3120 — both hot, only hour 4 is a
+    // crossing. After a 1-hour dip (−40 → 3080? no: x=10 adds −40 →
+    // 3080, still hot — stays suppressed), a LONG gap drains to 0
+    // (840/dense-hour), and a fresh flood crosses AGAIN.
+    val warm = (0L to 3L).map(h => ("10.0", h, 10L))
+    val rows = warm ++ Seq(("10.0", 4L, 30L), ("10.0", 5L, 30L),
+      ("10.0", 6L, 10L), ("10.0", 15L, 30L))
+    val got = Cusum.calibratedDetections(ph(rows: _*), warmup = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // hour 4 crosses (1560 ≥ 800); hours 5-6 stay hot/suppressed
+    // (3120, 3080); the gap 7..14 drains 8·840 = 6720 > 3080 → S'
+    // pins at 0; hour 15 lands 1560 again — a second crossing
+    assert(got == Seq(("10.0", 4L, 1560L), ("10.0", 15L, 1560L)))
+  }
+
+  test("calibrated cusum: a prefix that never completes warmup is never screened") {
+    val rows = (0L to 5L).map(h => ("10.0", h, 500L)) // 6 < 168 present hours
+    assert(Cusum.calibratedDetections(ph(rows: _*)).collect().isEmpty)
+    // and at an explicit small warmup, exactly-warmup-many hours still
+    // yields no post-warmup rows to screen
+    assert(Cusum.calibratedDetections(ph(rows: _*), warmup = 6).collect().isEmpty)
+  }
+
+  test("calibrated cusum: the HOT SET is antitone in the threshold (crossings need not be)") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val counts = Ewma.prefixHourCounts(
+      graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)).cache()
+    def hotSet(tn: Long, td: Long): Set[(String, Long)] =
+      Cusum.calibratedTrajectory(counts)
+        .where(s"cusum_scaled * $td >= $tn * ${Cusum.DriftDen} * warmup_cnt")
+        .select("pfx", "h").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val Seq(loose, catalog, tight) = Seq((1L, 2L), (1L, 1L), (2L, 1L))
+      .map { case (tn, td) => hotSet(tn, td) }
+    assert(tight.subsetOf(catalog) && catalog.subsetOf(loose))
+    assert(catalog.nonEmpty, "catalog constants must be non-vacuous at sf0.001")
+    counts.unpersist()
+  }
+
   test("cusum: alerts are antitone in threshold and in drift (monotonicity laws)") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val counts = Ewma.prefixHourCounts(
