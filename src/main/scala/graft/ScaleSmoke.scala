@@ -433,19 +433,8 @@ object ScaleSmoke {
         val sparse = traj.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
         val counts = ph.select(col("pfx"), col("h"), col("cnt")).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-        val dense = counts.groupBy(_._1).flatMap { case (pfx, rs) =>
-          val byH = rs.map(r => r._2 -> r._3).toMap
-          val (hmin, hmax) = (byH.keys.min, byH.keys.max)
-          val span = hmax - hmin + 1
-          val total = byH.values.sum
-          var s = 0L
-          (hmin to hmax).flatMap { h =>
-            s = math.max(0L,
-              s + operators.Cusum.DriftDen * span * byH.getOrElse(h, 0L) -
-                operators.Cusum.DriftNum * total)
-            if (byH.contains(h)) Some((pfx, h) -> s) else None
-          }
-        }
+        val dense = operators.Cusum.denseReferenceWalk(counts,
+          operators.Cusum.DriftNum, operators.Cusum.DriftDen)
         require(sparse == dense,
           s"x$m: sparse gap-analytic CUSUM diverged from the dense walk " +
             s"(${sparse.size} vs ${dense.size} rows, " +
@@ -453,27 +442,12 @@ object ScaleSmoke {
         // the causally-calibrated twin, same exact-equality bound: its
         // post-warmup sparse trajectory must match the dense walk with
         // warmup-derived constants across the replica-boundary gaps
-        val w = operators.Cusum.WarmupHours
         val calSparse = operators.Cusum.calibratedTrajectory(ph)
           .select(col("pfx"), col("h"), col("cusum_scaled")).collect()
           .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-        val calDense = counts.groupBy(_._1).flatMap { case (pfx, rs) =>
-          val sorted = rs.sortBy(_._2)
-          if (sorted.length <= w) Map.empty[(String, Long), Long]
-          else {
-            val warmRows = sorted.take(w)
-            val tw = warmRows.map(_._3).sum
-            val hwSpan = warmRows.last._2 - warmRows.head._2 + 1
-            val byH = sorted.drop(w).map(r => r._2 -> r._3).toMap
-            var s = 0L
-            ((warmRows.last._2 + 1) to sorted.last._2).flatMap { h =>
-              s = math.max(0L,
-                s + operators.Cusum.DriftDen * hwSpan * byH.getOrElse(h, 0L) -
-                  operators.Cusum.DriftNum * tw)
-              if (byH.contains(h)) Some((pfx, h) -> s) else None
-            }
-          }
-        }
+        val calDense = operators.Cusum.denseReferenceWalk(counts,
+          operators.Cusum.DriftNum, operators.Cusum.DriftDen,
+          operators.Cusum.WarmupHours)
         require(calSparse == calDense,
           s"x$m: calibrated CUSUM diverged from its dense post-warmup walk " +
             s"(${calSparse.size} vs ${calDense.size} rows)")

@@ -169,13 +169,6 @@ ORDER BY pfx, hour_idx"""
     Some(oracleSql)
   )
 
-  /** The same screen fed by Structured Streaming: the stream maintains
-    * per-(prefix, hour) counts (one watermarked event-time aggregation,
-    * state bounded to open hours — identical to `q_ewma_burst_stream`'s
-    * counter stage) and the CUSUM pass runs as the batch screen over
-    * the maintained table. Gated by the SAME oracle: stream == batch,
-    * bit for bit.
-    */
   // ---------------- causally-calibrated variant ----------------
 
   /** Warmup length for [[qCusumCalibrated]]: the drift is learned from
@@ -186,38 +179,6 @@ ORDER BY pfx, hour_idx"""
     */
   val WarmupHours: Int = 168
 
-  /** The CAUSAL twin of [[cusumFromCounts]]: [[qCusumChangepoint]]
-    * estimates its drift from the prefix's FULL span (retrospective —
-    * a batch screen judging history, like `q_seasonal_anomaly`), so a
-    * verdict at hour h can change when LATER data arrives. This
-    * variant calibrates `k = (driftNum/driftDen) · Tw/Hw` from the
-    * warmup window alone and screens only post-warmup hours, so every
-    * verdict is a pure function of the prefix's past — append future
-    * rows and no earlier verdict moves (the causality law
-    * `CusumSpec` pins, with a contrast test showing the retrospective
-    * variant genuinely fails it).
-    *
-    * Emission is FIRST-CROSSING (Page's alarm semantics): a detection
-    * row fires where S crosses the threshold upward (`S ≥ cut` and the
-    * previous present hour was below), not at every hot hour — on
-    * drifting data an un-reset CUSUM saturates (measured: at sf0.001
-    * three prefixes alert at EVERY post-warmup hour under any
-    * threshold), so the hot-hour relation is noise while the crossing
-    * relation is the alarm log a responder actually wants. Crossings
-    * are `lag`-expressible, keeping the whole screen inside the same
-    * single-shuffle window algebra — a true reset-on-alarm (restart S
-    * at 0 after each alarm) is NOT prefix-sum decomposable and would
-    * need a sequential pass; first-crossing gives the episode
-    * boundaries without it. Same sparse gap-analytic closed form, now
-    * anchored at the warmup end: `P(h) = den·Hw·Cpost(h) −
-    * num·Tw·(h − hw)` over post-warmup cumulative counts, gap floors
-    * from `lag(cum)`, one running min (whose j = hw start candidate
-    * `P(hw) = 0` is dominated by the first gap floor, which is ≤ 0 by
-    * construction). Constants grid-probed like the retrospective
-    * screen: 21/20 drift, 1-warmup-mean-hour cut → detections
-    * 3 / 97 / 54 / 24 at sf0.001/0.01/0.1/sf1-replica — non-vacuous at
-    * every SF.
-    */
   /** The full post-warmup trajectory (every present hour with its S',
     * calibration stats attached) — the spec gates this against the
     * dense walk and the causality law; [[calibratedDetections]] is the
@@ -284,6 +245,38 @@ ORDER BY pfx, hour_idx"""
       .orderBy("pfx", "hour_idx")
   }
 
+  /** The CAUSAL twin of [[qCusumChangepoint]], which estimates its
+    * drift from the prefix's FULL span (retrospective — a batch screen
+    * judging history, like `q_seasonal_anomaly`), so a verdict at hour
+    * h can change when LATER data arrives. This variant calibrates
+    * `k = (driftNum/driftDen) · Tw/Hw` from the warmup window alone
+    * and screens only post-warmup hours, so every verdict is a pure
+    * function of the prefix's past — append future rows and no earlier
+    * verdict moves (the causality law `CusumSpec` pins, with a
+    * contrast test showing the retrospective variant genuinely fails
+    * it).
+    *
+    * Emission is FIRST-CROSSING (Page's alarm semantics): a detection
+    * row fires where S crosses the threshold upward (`S ≥ cut` and the
+    * previous dense hour was below), not at every hot hour — on
+    * drifting data an un-reset CUSUM saturates (measured: at sf0.001
+    * three prefixes alert at EVERY post-warmup hour under any
+    * threshold), so the hot-hour relation is noise while the crossing
+    * relation is the alarm log a responder actually wants. Crossings
+    * are `lag`-expressible, keeping the whole screen inside the same
+    * single-shuffle window algebra — a true reset-on-alarm (restart S
+    * at 0 after each alarm) is NOT prefix-sum decomposable and would
+    * need a sequential pass; first-crossing gives the episode
+    * boundaries without it. Same sparse gap-analytic closed form, now
+    * anchored at the warmup end: `P(h) = den·Hw·Cpost(h) −
+    * num·Tw·(h − hw)` over post-warmup cumulative counts, gap floors
+    * from `lag(cum)`, one running min (whose j = hw start candidate
+    * `P(hw) = 0` is dominated by the first gap floor, which is ≤ 0 by
+    * construction). Constants grid-probed like the retrospective
+    * screen: 21/20 drift, 1-warmup-mean-hour cut → detections
+    * 3 / 97 / 54 / 24 at sf0.001/0.01/0.1/sf1-replica — non-vacuous at
+    * every SF.
+    */
   val qCusumCalibrated = Q(
     "q_cusum_calibrated",
     (spark, dir) => calibratedDetections(
@@ -331,6 +324,13 @@ WHERE hot AND NOT prev_hot
 ORDER BY pfx, hour_idx""")
   )
 
+  /** The same screen fed by Structured Streaming: the stream maintains
+    * per-(prefix, hour) counts (one watermarked event-time aggregation,
+    * state bounded to open hours — identical to `q_ewma_burst_stream`'s
+    * counter stage) and the CUSUM pass runs as the batch screen over
+    * the maintained table. Gated by the SAME oracle: stream == batch,
+    * bit for bit.
+    */
   val qCusumStream = Q(
     "q_cusum_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
@@ -352,6 +352,39 @@ ORDER BY pfx, hour_idx""")
       cusumFromCounts(spark.table(sinkName).select($"pfx", $"h", $"cnt"))
     },
     qCusumChangepoint.oracle) // stream == batch: the SAME oracle gates both
+
+  /** Textbook dense recursion `S' = max(0, S' + den·H·x − num·T)`
+    * walked hour by CALENDAR hour on collected (pfx, h, cnt) rows —
+    * the INDEPENDENT reference both `CusumSpec` and the ScaleSmoke
+    * cusum gate compare the sparse window algebra against (one
+    * definition, so the gate and the spec can never silently check
+    * different references). Deliberately shares no code with the
+    * DataFrame paths: it is a driver-side loop over the dense span.
+    * `warmup = 0` is the retrospective screen (T/H from the full
+    * span, walk starts at the first present hour); `warmup > 0`
+    * calibrates T/H from the first `warmup` present rows and walks
+    * from the warmup-end hour (prefixes with ≤ warmup present hours
+    * are absent, mirroring the incomplete-warmup guard).
+    */
+  private[graft] def denseReferenceWalk(counts: Seq[(String, Long, Long)],
+      driftNum: Long, driftDen: Long, warmup: Int = 0): Map[(String, Long), Long] =
+    counts.groupBy(_._1).flatMap { case (pfx, rs) =>
+      val sorted = rs.sortBy(_._2)
+      if (warmup > 0 && sorted.length <= warmup) Map.empty[(String, Long), Long]
+      else {
+        val calib = if (warmup > 0) sorted.take(warmup) else sorted
+        val total = calib.map(_._3).sum
+        val span = calib.last._2 - calib.head._2 + 1
+        val anchor = if (warmup > 0) calib.last._2 else sorted.head._2 - 1
+        val byH = (if (warmup > 0) sorted.drop(warmup) else sorted)
+          .map(r => r._2 -> r._3).toMap
+        var s = 0L
+        ((anchor + 1) to sorted.last._2).flatMap { h =>
+          s = math.max(0L, s + driftDen * span * byH.getOrElse(h, 0L) - driftNum * total)
+          if (byH.contains(h)) Some((pfx, h) -> s) else None
+        }
+      }
+    }
 
   val all: Seq[Q] = Seq(qCusumChangepoint, qCusumCalibrated, qCusumStream)
 }

@@ -27,24 +27,15 @@ class CusumSpec extends AnyFunSuite {
     rows.toDF("pfx", "h", "cnt")
   }
 
-  /** Textbook dense recursion, scaled exactly like the operator:
-    * S'_h = max(0, S'_{h-1} + driftDen·H·x_h − driftNum·T) over EVERY
-    * calendar hour of the prefix's span; returns S' at present hours.
+  /** Textbook dense recursion — the ONE shared reference walk
+    * ([[Cusum.denseReferenceWalk]], also the ScaleSmoke gate's
+    * comparator, so spec and gate can never check different
+    * references). Independence from the window algebra is preserved by
+    * the hand-computed cases below, whose expected values are literal.
     */
   private def denseRef(rows: Seq[(String, Long, Long)],
       driftNum: Long, driftDen: Long): Map[(String, Long), Long] =
-    rows.groupBy(_._1).flatMap { case (pfx, rs) =>
-      val byH = rs.map(r => r._2 -> r._3).toMap
-      val (hmin, hmax) = (byH.keys.min, byH.keys.max)
-      val span = hmax - hmin + 1
-      val total = byH.values.sum
-      var s = 0L
-      (hmin to hmax).flatMap { h =>
-        val x = byH.getOrElse(h, 0L)
-        s = math.max(0L, s + driftDen * span * x - driftNum * total)
-        if (byH.contains(h)) Some((pfx, h) -> s) else None
-      }
-    }
+    Cusum.denseReferenceWalk(rows, driftNum, driftDen)
 
   private def trajectory(rows: (String, Long, Long)*): Map[(String, Long), Long] =
     Cusum.trajectoryFromCounts(ph(rows: _*)).collect()
@@ -129,28 +120,12 @@ class CusumSpec extends AnyFunSuite {
 
   // ---------------- causally-calibrated variant ----------------
 
-  /** Dense post-warmup walk with warmup-derived constants: k scaled by
-    * driftDen·Hw, S' = max(0, S' + driftDen·Hw·x − driftNum·Tw) from
-    * the warmup-end hour onward.
+  /** Dense post-warmup walk with warmup-derived constants — the same
+    * shared reference, warmup-anchored.
     */
   private def calDenseRef(rows: Seq[(String, Long, Long)],
       driftNum: Long, driftDen: Long, warmup: Int): Map[(String, Long), Long] =
-    rows.groupBy(_._1).flatMap { case (pfx, rs) =>
-      val sorted = rs.sortBy(_._2)
-      if (sorted.length <= warmup) Map.empty[(String, Long), Long]
-      else {
-        val warm = sorted.take(warmup)
-        val tw = warm.map(_._3).sum
-        val hwSpan = warm.last._2 - warm.head._2 + 1
-        val hw = warm.last._2
-        val byH = sorted.drop(warmup).map(r => r._2 -> r._3).toMap
-        var s = 0L
-        ((hw + 1) to sorted.last._2).flatMap { h =>
-          s = math.max(0L, s + driftDen * hwSpan * byH.getOrElse(h, 0L) - driftNum * tw)
-          if (byH.contains(h)) Some((pfx, h) -> s) else None
-        }
-      }
-    }
+    Cusum.denseReferenceWalk(rows, driftNum, driftDen, warmup)
 
   private def calTrajectory(warmup: Int, rows: (String, Long, Long)*): Map[(String, Long), Long] =
     Cusum.calibratedTrajectory(ph(rows: _*), Cusum.DriftNum, Cusum.DriftDen, warmup)
