@@ -180,6 +180,44 @@ class CusumSpec extends AnyFunSuite {
     assert(got == Seq(("10.0", 4L, 1560L), ("10.0", 15L, 1560L)))
   }
 
+  test("calibrated cusum: crossings match a full dense walk on random gappy series") {
+    // the first-crossing filter reconstructs S at the previous DENSE
+    // hour from (p_gap, lagged runmin); this law re-derives every
+    // alarm from an independent hour-by-hour walk that tracks S
+    // through gaps and takes (below→at-or-above) transitions. S only
+    // decreases inside a gap, so crossings can only land on present
+    // hours — the walk checks them all.
+    val rnd = new scala.util.Random(19)
+    val w = 6
+    val rows = for {
+      pfx <- Seq("10.0", "10.1", "172.16", "192.168")
+      hs = Iterator.iterate(rnd.nextInt(3).toLong)(h => h + 1 + rnd.nextInt(6)).take(40).toSeq
+      h <- hs
+    } yield (pfx, h, (1 + rnd.nextInt(12) + (if (rnd.nextInt(6) == 0) 150 else 0)).toLong)
+    // .toSeq before flatMap: flatMapping a Map with tuple results
+    // re-collects INTO a Map keyed by pfx, silently collapsing every
+    // prefix's crossings down to its last one
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (pfx, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val warm = sorted.take(w)
+      val tw = warm.map(_._3).sum
+      val hwSpan = warm.last._2 - warm.head._2 + 1
+      val byH = sorted.drop(w).map(r => r._2 -> r._3).toMap
+      val cut = Cusum.ThrNum * Cusum.DriftDen * tw // thrDen = 1
+      var s = 0L
+      ((warm.last._2 + 1) to sorted.last._2).flatMap { h =>
+        val prev = s
+        s = math.max(0L,
+          s + Cusum.DriftDen * hwSpan * byH.getOrElse(h, 0L) - Cusum.DriftNum * tw)
+        if (byH.contains(h) && s >= cut && prev < cut) Some((pfx, h)) else None
+      }
+    }.toSet
+    val got = Cusum.calibratedDetections(ph(rows: _*), warmup = w).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "the random corpus must exercise the alarm path")
+  }
+
   test("calibrated cusum: a prefix that never completes warmup is never screened") {
     val rows = (0L to 5L).map(h => ("10.0", h, 500L)) // 6 < 168 present hours
     assert(Cusum.calibratedDetections(ph(rows: _*)).collect().isEmpty)
