@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   * the cached-stage cost, same basis as the sweep numbers. Both
   * numbers are reported: `queries` is the honest in-sweep cost,
   * `iso` the contention-free cost of the movers.
+  *
+  * Phase 0 (r15 VERDICT task 1) runs the fixed [[canary]] basket
+  * min-of-3 before anything else and records it in every artifact:
+  * cross-round drift that shows up in the canary is the MACHINE;
+  * drift that doesn't is the plans.
   */
 object Bench {
 
@@ -46,9 +51,30 @@ object Bench {
     "q_tws_running_totals", "q_item_cooccurrence", "q_mg_heavy_hitters")
 
   /** How many of the slowest swept queries get a fresh-session
-    * isolated re-run (phase 2).
+    * isolated re-run (phase 2). 6 → 10 (r15 VERDICT task 1): the r15
+    * sweep drifted +23.6% across ~dozens of queries and a 6-deep iso
+    * channel could not separate host pressure from plan regression
+    * per-family; 10 matches Sf1Probe's channel depth.
     */
-  val IsoTopN = 6
+  val IsoTopN = 10
+
+  /** Machine-health canary (r15 VERDICT task 1): a FIXED reference
+    * basket — one scan-agg, one broadcast join, one window, one
+    * streaming — run min-of-3 at the very START of the run, in the
+    * fresh warmed session, before any sweep pressure exists. The
+    * per-query canary seconds ride in every bench artifact, so a
+    * cross-round comparison can NORMALIZE by the canary: if r(N+1)'s
+    * canary runs 20% above rN's, a uniform +20% across the sweep is
+    * the machine, not the plans — measured from the artifacts alone
+    * instead of argued from iso re-runs after the fact. The basket is
+    * frozen; changing a canary query breaks cross-round comparability
+    * and must be called out in MEASUREMENT notes.
+    */
+  val canary: Seq[String] = Seq(
+    "q1_pricing_summary",   // scan-heavy lineitem aggregate
+    "q_top_customers",      // multi-way broadcast join
+    "q_sessionize",         // window functions over events
+    "q_rate_window_stream") // streaming fixed floor (state store, micro-batches)
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
@@ -116,6 +142,21 @@ object Bench {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case (a, b) => a.orElse(b) // one failed: keep the honest attempt, flag stays
       }
+    // Phase 0: the machine-health canary — min-of-3 in the fresh warmed
+    // session before the sweep. Attempt 1 pays any shared-stage build
+    // (attributed below as canary:<name>); the min is the cached-stage
+    // cost, the same basis as the sweep numbers. Streaming sinks are
+    // dropped between attempts so the canary itself leaves no pressure.
+    val canarySec = canary.flatMap { name =>
+      val attempts = (1 to 3).flatMap { _ =>
+        val s = timeOnce(spark, name, s"canary:$name", SparkEntry.queries(name))
+        GraftSession.dropStreamSinks(spark)
+        s
+      }
+      failures -= name // a canary crash must not pre-poison the sweep's flag
+      if (attempts.isEmpty) None else Some(name -> attempts.min)
+    }
+
     // Each query is timed TWICE and the min reported: a one-off stall
     // from machine contention (GC, a co-tenant process, page-cache miss)
     // hits one attempt, not both, so attribution noise collapses while
@@ -178,13 +219,15 @@ object Bench {
     val isoJson = isolated.map { case (n, s) =>
       s"""["$n",${fmt2(sweptByName(n))},${fmt2(s)}]""" }.mkString("[", ",", "]")
     val gcJson = gcMs.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
+    val canaryJson = canarySec.map { case (n, s) => s""""$n":${fmt2(s)}""" }
+      .mkString("{", ",", "}")
     def jsonLine(entries: Seq[(String, Double)], full: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + (if (full) fmt(v) else fmt2(v)) }
         .mkString("{", ",", "}")
       val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"iso":$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"canary":$canaryJson,"iso":$isoJson,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).

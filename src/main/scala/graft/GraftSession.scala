@@ -63,25 +63,53 @@ object GraftSession {
       case None => spark.conf.unset(key)
     }
   }
-  /** Drop the uniquely-named memory-sink tables streaming catalog
-    * queries leave behind (`mghh_<nanos>`, `ssj_<nanos>`, …): each
-    * terminating run registers a temp view over a MemorySink whose
-    * rows live in DRIVER heap until the view is dropped, and no
-    * catalog query can drop its own — the returned DataFrame reads
-    * from it. A 198-query sweep otherwise accumulates every streaming
-    * query's full emission set (at sf1 the MG stream alone emits
-    * millions of rows) and the mounting heap pressure inflates every
-    * query that runs after it — the uniform sweep-vs-iso inflation
-    * SF1_r14 recorded. Harness loops (Bench, Sf1Probe, Verify) call
-    * this AFTER consuming a query's result; the trailing pure-digit
-    * suffix is the sink-name convention, which no shared stage view
-    * (`*_v`, `bkt_tables`, …) matches.
+  // Per-session registry of memory-sink view names handed out by
+  // [[newSinkName]] — weak keys so a stopped session can never alias a
+  // later one (the StageViews lifecycle).
+  private val sinkNames =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+
+  /** Unique memory-sink view name for a streaming catalog query, and
+    * the ONLY way the engine mints one: the name is registered against
+    * `spark` so [[dropStreamSinks]] drains exactly the sinks this
+    * session created. (r15 ADVICE: cleanup previously pattern-matched
+    * catalog names against `.*_\d{10,}` — a future fixed-name temp
+    * view ending in 10+ digits would have been silently dropped
+    * mid-session, and a sink deviating from the `<prefix>_<nanoTime>`
+    * spelling silently leaked, with nothing tying the convention to
+    * the regex. An explicit registry has neither failure mode.)
     */
-  def dropStreamSinks(spark: SparkSession): Unit =
-    spark.catalog.listTables().collect().foreach { t =>
-      if (t.isTemporary && t.name.matches(".*_\\d{10,}"))
-        spark.catalog.dropTempView(t.name)
+  def newSinkName(spark: SparkSession, prefix: String): String = {
+    val n = s"${prefix}_${System.nanoTime()}"
+    sinkNames.synchronized {
+      var s = sinkNames.get(spark)
+      if (s == null) { s = scala.collection.mutable.Set.empty; sinkNames.put(spark, s) }
+      s += n
     }
+    n
+  }
+
+  /** Drop the memory-sink tables streaming catalog queries leave
+    * behind: each terminating run registers a temp view over a
+    * MemorySink whose rows live in DRIVER heap until the view is
+    * dropped, and no catalog query can drop its own — the returned
+    * DataFrame reads from it. A 198-query sweep otherwise accumulates
+    * every streaming query's full emission set (at sf1 the MG stream
+    * alone emits millions of rows) and the mounting heap pressure
+    * inflates every query that runs after it — the uniform
+    * sweep-vs-iso inflation SF1_r14 recorded. Harness loops (Bench,
+    * Sf1Probe, Verify) call this AFTER consuming a query's result; it
+    * drops exactly the names [[newSinkName]] registered for this
+    * session (a name whose view was already dropped is a no-op).
+    */
+  def dropStreamSinks(spark: SparkSession): Unit = {
+    val mine = sinkNames.synchronized {
+      val s = sinkNames.get(spark)
+      if (s == null) Seq.empty[String]
+      else { val out = s.toSeq; s.clear(); out }
+    }
+    mine.foreach(spark.catalog.dropTempView(_))
+  }
 
   def getOrCreate(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession

@@ -549,6 +549,64 @@ object ScaleSmoke {
         s"HLL estimate left the 10% oracle band: ${hllResults.map(_._3)}")
     }
 
+    // ---- q-digest stream state (r16, VERDICT task 6): the persisted
+    // ValueState image must honor QDigest.sizeBound(k) = 4k nodes —
+    // the pre-persist compress makes that a HARD bound, not update()'s
+    // larger 6k+64 amortization buffer. Two regimes, both ×1/×4/×10:
+    //  - stress cap 64 with per-replica length offsets (disjoint value
+    //    domains, so distinct values AND weight grow ×m, t = n/k ≥ 1
+    //    from ×1 on): compression is ACTIVE and nodes must stay ≤ 256
+    //    however far weight outruns the cap;
+    //  - deployed cap 4096 at the top multiple: this corpus stays in
+    //    the exact t = 0 regime there, where the bound holds because
+    //    nodes ≤ distinct values and the no-op compress must not
+    //    corrupt the histogram (weight conservation is the witness).
+    val qdstCap = 64
+    val qdstResults = multiples.map { m =>
+      import spark.implicits._
+      val rows = packets
+        .crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          s"ts_us DIV ${operators.QdStream.WinUs} AS win",
+          s"CAST(pmod(xxhash64(src_ip), ${operators.QdStream.QdSalts}) AS INT) AS salt",
+          "length + rep * 4096 AS v")
+        .as[operators.QdStream.QdRow]
+      val t0q = System.nanoTime()
+      val st = operators.QdStream.stateProbe(rows, qdstCap)
+        .agg(
+          max(col("state_nodes")).as("max_nodes"),
+          sum(col("weight")).as("w"),
+          max(col("weight")).as("max_group_w"))
+        .head()
+      val secQ = (System.nanoTime() - t0q) / 1e9
+      println(f"[scale] qdst    x$m%-3d rows=${baseRows * m}%9d group_w<=${st.getLong(2)}%7d state_nodes<=${st.getInt(0)}%5d $secQ%7.2f s")
+      (m, st.getInt(0), st.getLong(1))
+    }
+    locally {
+      val bound = functions.QDigest.sizeBound(qdstCap).toLong
+      println(s"[scale] qdst state: weight x${multiples.last / multiples.head} -> max persisted nodes ${qdstResults.map(_._2).mkString("/")} (hard bound $bound)")
+      require(qdstResults.forall(_._2 <= bound),
+        s"q-digest stream persisted state exceeded sizeBound($qdstCap) = $bound: ${qdstResults.map(_._2)}")
+      require(qdstResults.zip(multiples).forall { case ((_, _, w), m) => w == baseRows * m },
+        s"q-digest stream state lost weight: ${qdstResults.map(_._3)} vs ${multiples.map(_ * baseRows)}")
+      // deployed cap at the top multiple: exact regime, bound + weight
+      import spark.implicits._
+      val m = multiples.last
+      val rows = packets
+        .crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          s"ts_us DIV ${operators.QdStream.WinUs} AS win",
+          s"CAST(pmod(xxhash64(src_ip), ${operators.QdStream.QdSalts}) AS INT) AS salt",
+          "length AS v")
+        .as[operators.QdStream.QdRow]
+      val st = operators.QdStream.stateProbe(rows, operators.QdStream.QdStreamCap)
+        .agg(max(col("state_nodes")), sum(col("weight"))).head()
+      val depBound = functions.QDigest.sizeBound(operators.QdStream.QdStreamCap)
+      println(s"[scale] qdst deployed cap ${operators.QdStream.QdStreamCap} x$m: max nodes ${st.getInt(0)} (bound $depBound), weight ${st.getLong(1)}")
+      require(st.getInt(0) <= depBound && st.getLong(1) == baseRows * m,
+        s"deployed-cap qdst state violated bound/weight: nodes ${st.getInt(0)}, weight ${st.getLong(1)}")
+    }
+
     // ---- twap family (r13): the per-user step-integral must stay ONE
     // user-partitioned window + one combinable groupBy. Replicated
     // users are disjoint, so output rows (users with >= 2 events) grow

@@ -128,16 +128,52 @@ object Sf1Probe {
     val only: Set[String] = args.drop(2).toSet
     var currentQuery = "warmup"
     operators.StageViews.enableBuildAttribution(() => currentQuery)
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
+    // Machine-health canary (r15 VERDICT task 1): Bench.canary min-of-2
+    // in the fresh session before the sweep, recorded in the artifact,
+    // so cross-round sf1 comparisons can normalize by the machine.
+    val canarySec: Seq[(String, Double)] =
+      if (only.nonEmpty) Nil
+      else Bench.canary.flatMap { name =>
+        val q = SparkEntry.catalog.find(_.name == name).get
+        currentQuery = s"canary:$name"
+        val attempts = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val s = try { q.run(spark, out).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              println(s"[sf1] canary FAILED $name: ${e.getMessage}"); None }
+          GraftSession.dropStreamSinks(spark)
+          s
+        }
+        val sec = attempts.minOption
+        sec.foreach(s => println(f"[sf1] canary $name%-28s $s%8.2f s"))
+        sec.map(name -> _)
+      }
     val results = SparkEntry.catalog.sortBy(_.name)
       .filter(q => only.isEmpty || only(q.name)).map { q =>
       currentQuery = q.name
+      // Charge stage (re)builds to the stage channel, not the query
+      // (r15 VERDICT task 5): the long sweep EVICTS cached stage views
+      // under storage pressure, and whichever query next touches one
+      // pays the silent rebuild inside its timed window —
+      // q_triangle_count swept 42.08 s at sf1 while its fresh-session
+      // iso (which itemizes the same rebuild explicitly) was 5.17 s.
+      // Builds are already timed and attributed by StageViews; the
+      // query's swept sec now EXCLUDES them (same basis as Bench's
+      // min-of-two, where attempt 2 reads the cache), and the rebuild
+      // cost stays visible under stage_builds with chargedTo = this
+      // query.
+      val builds0 = operators.StageViews.buildLog.size
       val t0 = System.nanoTime()
       val res =
         try Right(q.run(spark, out).count())
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val raw = (System.nanoTime() - t0) / 1e9
+      val buildSec = operators.StageViews.buildLog.drop(builds0).map(_.sec).sum
+      val sec = math.max(0.0, raw - buildSec)
       res match {
-        case Right(n) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s  $n%10d rows")
+        case Right(n) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s " +
+          f"(+${buildSec}%.2f s stage builds)  $n%10d rows")
         case Left(err) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s  FAILED: $err")
       }
       // free this query's memory-sink tables: at sf1 the streaming
@@ -222,9 +258,10 @@ object Sf1Probe {
       s"""{"view":"${b.view}","charged_to":"${b.chargedTo}","sec":${num(b.sec, 3)}}""")
       .mkString("[", ",", "]")
     val ijson = isolated.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
+    val cjson = canarySec.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),
-      s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
+      s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"canary":$cjson,"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
     spark.stop()
     // Hard coverage gate (r14 VERDICT task 3), full runs only: the

@@ -220,7 +220,7 @@ object FlowFeaturizer {
     */
   def runFileStream(spark: SparkSession, sfDir: String): DataFrame = {
     val events = graft.Tables.eventsStream(spark, sfDir)
-    val sinkName = s"flow_stream_${System.nanoTime()}"
+    val sinkName = graft.GraftSession.newSinkName(spark, "flow_stream")
     val q = featurize(packetsOf(events), timeoutMs = 0, emitOnUpdate = true)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(sinkName)

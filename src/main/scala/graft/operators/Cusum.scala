@@ -330,12 +330,24 @@ ORDER BY pfx, hour_idx""")
     * counter stage) and the CUSUM pass runs as the batch screen over
     * the maintained table. Gated by the SAME oracle: stream == batch,
     * bit for bit.
+    *
+    * Batch-split robustness (r15 ADVICE): an update-mode memory sink
+    * appends each micro-batch's UPDATED rows, so if AvailableNow ever
+    * splits the source into >1 data batch (multi-file input at larger
+    * SFs) a (pfx, h) key appears once per batch that touched it, each
+    * carrying the count as of that batch. Feeding those partials
+    * straight into the CUSUM trajectory would inflate total_cnt/cum;
+    * the sinks the sketch triad reads guard this with a max-stamp pick,
+    * and this query's equivalent is `max(cnt)` per key — a streaming
+    * count is monotone across re-emissions of the same key, so the max
+    * IS the final count, and on the single-batch path it is the
+    * identity.
     */
   val qCusumStream = Q(
     "q_cusum_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
-      val sinkName = s"cusum_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "cusum_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
         .select(
           regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),
@@ -349,7 +361,8 @@ ORDER BY pfx, hour_idx""")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      cusumFromCounts(spark.table(sinkName).select($"pfx", $"h", $"cnt"))
+      cusumFromCounts(spark.table(sinkName)
+        .groupBy($"pfx", $"h").agg(max($"cnt").as("cnt")))
     },
     qCusumChangepoint.oracle) // stream == batch: the SAME oracle gates both
 

@@ -1673,7 +1673,7 @@ WHERE f.nmem <= $EmbedBucketCap""")
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      val sinkName = s"dds_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "dds")
       // layout-aware stream source (Tables.streamTable scaladoc)
       val q = graft.Tables.streamTable(spark, dir, "documents", docSchema)
         .selectExpr("source", "md5(text) AS h")
@@ -1719,7 +1719,7 @@ FROM documents GROUP BY source ORDER BY source"""))
       import org.apache.spark.sql.functions.{count, lit}
       import spark.implicits._
       val events = graft.Tables.eventsStream(spark, dir)
-      val sinkName = s"ddw_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "ddw")
       val q = events
         .selectExpr("user_id", "event_type",
           "timestamp_micros(ts DIV 1000) AS event_time")

@@ -194,7 +194,7 @@ ORDER BY window_start_us"""
     "q_src_entropy_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
-      val sinkName = s"entropy_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "entropy_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
         .withColumn("event_time", timestamp_micros($"ts_us"))
         .withWatermark("event_time", "2 minutes")

@@ -141,7 +141,7 @@ ORDER BY pfx, hour_idx""")
     "q_ewma_burst_stream",
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
-      val sinkName = s"ewma_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "ewma_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))
         .select(
           regexp_extract($"src_ip", Detection.Prefix16Re, 1).as("pfx"),

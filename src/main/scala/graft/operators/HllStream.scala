@@ -50,8 +50,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, T
   * under `TimeMode.EventTime` one close timer per group at window end
   * clears the group once the watermark passes, and late rows for a
   * closed window are dropped instead of resurrecting an empty sketch.
-  * Under `TimeMode.None` (the catalog's terminating AvailableNow run
-  * and the durability harness) behavior is unchanged. GC + late-row
+  * The catalog query runs THIS EventTime shape (r15 VERDICT task 2 —
+  * see [[MgStream]]); under `TimeMode.None` (the durability harness)
+  * the guard and arming are no-ops. GC + late-row
   * drop pinned by `StreamStateGcSpec`; restart-from-checkpoint
   * durability by `MgStreamDurabilitySpec` (HLL case).
   */
@@ -122,8 +123,9 @@ object HllStream {
     * against the exact per-window distinct count as a 6σ boolean.
     *
     * Emission idempotence (the [[MgStream.topTalkersReport]] note):
-    * n_seen is strictly monotone per (win, salt) under TimeMode.None,
-    * so the max-stamp filter keeps exactly one emission per group; a
+    * n_seen is strictly monotone per (win, salt) under both time modes
+    * (EventTime close timers emit nothing), so the max-stamp filter
+    * keeps exactly one emission per group; a
     * hypothetical repeated emission at an unchanged stamp is
     * bit-identical (one sketch row per group per batch) and collapsed
     * by the post-filter max(sk) — which clusters on the stamp window's
@@ -178,11 +180,17 @@ object HllStream {
     "q_hll_distinct_stream",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"hds_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "hds")
       StatefulTotals.withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        // DEPLOYED shape (r15 VERDICT task 2): EventTime + watermark —
+        // the [[MgStream]] rationale verbatim. Timers emit nothing, so
+        // the report and oracle are unchanged; only state LIFETIME is
+        // affected (closed windows are GC'd in the terminating batch).
+        graft.GraftSession.withStreamingShuffle(spark, 2) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
+            .withColumn("pt", timestamp_micros($"ts_us"))
+            .withWatermark("pt", "10 minutes")
             // salt on the value's own hash: distinct values partition
             // across salt groups, so per-salt sketches cover disjoint
             // sets and the report union is lossless
@@ -192,7 +200,7 @@ object HllStream {
             .as[HsRow]
             .groupByKey(r => (r.win, r.salt))
             .transformWithState(new DistinctSourcesProcessor(LgK),
-              TimeMode.None(), OutputMode.Update(), Encoders.product[HsEmit])
+              TimeMode.EventTime(), OutputMode.Update(), Encoders.product[HsEmit])
             .writeStream.outputMode("update")
             .format("memory").queryName(sinkName)
             .trigger(Trigger.AvailableNow())

@@ -45,9 +45,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, T
   * stream holds state only for windows the watermark hasn't closed,
   * not for every window ever seen. (The report is immune to the
   * timer by construction: timers emit nothing, and the max-stamp +
-  * max(est) collapse already absorbs repeated emissions.) Under
-  * `TimeMode.None` (the catalog's terminating AvailableNow run and
-  * the durability harness) behavior is unchanged — no watermark
+  * max(est) collapse already absorbs repeated emissions.) The catalog
+  * query runs THIS EventTime shape (r15 VERDICT task 2) — its
+  * terminating AvailableNow run fires every closed window's timer in
+  * the final watermark batch, so the oracle gates the deployed
+  * lifecycle, not a timerless twin. Under `TimeMode.None` (the
+  * durability harness) the guard and arming are no-ops — no watermark
   * exists to bound anything. GC + late-row drop pinned by
   * `StreamStateGcSpec` (reads the state store to assert the closed
   * window's key is GONE); restart-from-checkpoint durability:
@@ -130,8 +133,9 @@ object MgStream {
     *
     * Emission idempotence: the max-stamp filter relies on n_seen being
     * STRICTLY monotone per (win, salt), which [[TopTalkersProcessor]]
-    * guarantees under TimeMode.None (handleInputRows only fires with
-    * data, and every input row bumps the stamp). Should a future
+    * guarantees under BOTH time modes (handleInputRows only fires with
+    * data, every input row bumps the stamp, and EventTime close timers
+    * emit nothing). Should a future
     * timer-driven emission ever re-emit a summary at an unchanged
     * stamp, those rows are bit-identical to the first emission (a
     * summary's keys are unique, so one emission never carries
@@ -165,18 +169,29 @@ object MgStream {
     "q_mg_heavy_hitters_stream",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"mghh_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "mghh")
       StatefulTotals.withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        // DEPLOYED shape (r15 VERDICT task 2): EventTime + watermark,
+        // so the catalog gates the same timer/GC lifecycle a live
+        // deployment runs — the close timers fire in the terminating
+        // watermark batch (the no-data batch MUST stay, the left-join
+        // rule) and clear every closed window's state. Emissions all
+        // happen in DATA batches (timers emit nothing), so the
+        // max-stamp report — and therefore the oracle — is unchanged
+        // from the TimeMode.None spelling: no watermark horizon
+        // applies to the output, only to state lifetime.
+        graft.GraftSession.withStreamingShuffle(spark, 2) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
+            .withColumn("pt", timestamp_micros($"ts_us"))
+            .withWatermark("pt", "10 minutes")
             .selectExpr(s"ts_us DIV $WinUs AS win",
               s"CAST(pmod(xxhash64(src_ip), $Salts) AS INT) AS salt",
               "src_ip AS k")
             .as[MgRow]
             .groupByKey(r => (r.win, r.salt))
             .transformWithState(new TopTalkersProcessor(MgStreamCap),
-              TimeMode.None(), OutputMode.Update(), Encoders.product[MgEmit])
+              TimeMode.EventTime(), OutputMode.Update(), Encoders.product[MgEmit])
             .writeStream.outputMode("update")
             .format("memory").queryName(sinkName)
             .trigger(Trigger.AvailableNow())

@@ -296,7 +296,7 @@ ORDER BY n_both""")
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
-      val sinkName = s"session_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "session_stream")
       val q = events
         .selectExpr("user_id",
           "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")

@@ -43,9 +43,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, T
   * close timer per group at window end clears the group once the
   * watermark passes, and late rows for a closed window are dropped
   * instead of resurrecting an empty digest — a live multi-week stream
-  * holds state only for open windows. Under `TimeMode.None` (the
-  * catalog's terminating AvailableNow run and the durability harness)
-  * behavior is unchanged. GC + late-row drop pinned by
+  * holds state only for open windows. The catalog query runs THIS
+  * EventTime shape (r15 VERDICT task 2 — see [[MgStream]]); under
+  * `TimeMode.None` (the durability harness) the guard and arming are
+  * no-ops. GC + late-row drop pinned by
   * `StreamStateGcSpec` (reads the state store); restart durability:
   * `MgStreamDurabilitySpec` (same ValueState product-array shape,
   * pinned there for the digest too).
@@ -93,6 +94,16 @@ object QdStream {
         digest = QDigest.update(digest, r.v, cap)
         n += 1
       }
+      // Compress BEFORE persisting (r15 VERDICT task 6): update()'s
+      // amortization window lets the working buffer grow to 6k+64
+      // slots between compressions, and persisting that interim buffer
+      // made the ValueState bound "≤ the compress trigger" instead of
+      // the scaladoc's ≤ sizeBound(k) = 4k nodes. One compress per
+      // batch pins the PERSISTED image to the hard bound (a no-op in
+      // the exact t = 0 regime, where the buffer is value-domain-sized
+      // and already ≤ weight < k); the ScaleSmoke qdst gate measures
+      // this against sizeBound while weight is replicated far past k.
+      digest = QDigest.compress(digest, cap)
       state.update(QdGroupState(digest.ids, digest.counts, digest.n, n))
       armCloseTimer(key)
       val (win, salt) = key
@@ -129,9 +140,9 @@ object QdStream {
     * rank rule at 50% and 99%.
     *
     * Emission idempotence (the [[MgStream.topTalkersReport]] note):
-    * n_seen is strictly monotone per (win, salt) under TimeMode.None —
-    * every emission follows at least one input row — so the max-stamp
-    * filter is sound; and because exact-regime summaries are leaf
+    * n_seen is strictly monotone per (win, salt) under both time modes
+    * — every emission follows at least one input row, and EventTime
+    * close timers emit nothing — so the max-stamp filter is sound; and because exact-regime summaries are leaf
     * histograms (one row per distinct value), a hypothetical repeated
     * emission at an unchanged stamp is bit-identical and collapsed by
     * the post-filter max(cnt) per (win, salt, v) rather than
@@ -164,15 +175,44 @@ object QdStream {
       .orderBy("window_start_us")
   }
 
+  /** Per-group PERSISTED-state image built with the exact calls
+    * [[WindowQuantileProcessor.handleInputRows]] makes — update per
+    * row, then the one pre-persist compress — so the ScaleSmoke gate
+    * sizes the arrays a (window, salt) group's ValueState would
+    * actually hold after a batch, against [[QDigest.sizeBound]], while
+    * weight is replicated ×m past the exact regime (the
+    * [[HllStream.stateProbe]] pattern).
+    */
+  private[graft] def stateProbe(rows: org.apache.spark.sql.Dataset[QdRow],
+      cap: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(r => (r.win, r.salt))
+      .mapGroups { (key: (Long, Int), it: Iterator[QdRow]) =>
+        var d = QDigest.Digest(Array.empty, Array.empty, 0L)
+        var n = 0L
+        it.foreach { r => d = QDigest.update(d, r.v, cap); n += 1 }
+        d = QDigest.compress(d, cap)
+        (key._1, key._2, d.ids.length, d.n, n)
+      }
+      .toDF("win", "salt", "state_nodes", "weight", "n_rows")
+  }
+
   val qQdigestStream = Q(
     "q_qdigest_stream",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"qds_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "qds")
       StatefulTotals.withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        // DEPLOYED shape (r15 VERDICT task 2): EventTime + watermark —
+        // the [[MgStream]] rationale verbatim. Timers emit nothing, so
+        // the report and oracle are unchanged; only state LIFETIME is
+        // affected (closed windows are GC'd in the terminating batch).
+        graft.GraftSession.withStreamingShuffle(spark, 2) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
+            .withColumn("pt", timestamp_micros($"ts_us"))
+            .withWatermark("pt", "10 minutes")
             // salt on the SOURCE, not the value: a fixed-size flood
             // (every packet the same length) still spreads across
             // groups, and exact-regime leaf histograms merge by plain
@@ -183,7 +223,7 @@ object QdStream {
             .as[QdRow]
             .groupByKey(r => (r.win, r.salt))
             .transformWithState(new WindowQuantileProcessor(QdStreamCap),
-              TimeMode.None(), OutputMode.Update(), Encoders.product[QdEmit])
+              TimeMode.EventTime(), OutputMode.Update(), Encoders.product[QdEmit])
             .writeStream.outputMode("update")
             .format("memory").queryName(sinkName)
             .trigger(Trigger.AvailableNow())

@@ -83,7 +83,7 @@ ORDER BY src_ip, window_start_us"""
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
-      val sinkName = s"rate_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "rate_stream")
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))
         .withWatermark("event_time", "2 minutes")
@@ -210,7 +210,7 @@ ORDER BY src_ip, window_start_us"""
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
-      val sinkName = s"slide_stream_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "slide_stream")
       val q = graft.flow.BatchFlowFeaturizer.packetsFromEvents(events)
         .withColumn("event_time", timestamp_micros($"ts_us"))
         .withWatermark("event_time", "2 minutes")

@@ -91,7 +91,7 @@ object StatefulTotals {
     "q_tws_running_totals",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"tws_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "tws")
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
@@ -171,7 +171,7 @@ ORDER BY user_id"""))
     "q_tws_top_event_type",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"twsm_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "twsm")
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
@@ -305,7 +305,7 @@ ORDER BY r.user_id"""))
     "q_tws_session_timers",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"twst_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "twst")
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark) {
           val q = graft.Tables.eventsStream(spark, dir)
@@ -405,7 +405,7 @@ ORDER BY user_id, start_us"""))
     "q_tws_debounce_chain",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"tws_chain_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "tws_chain")
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
@@ -523,7 +523,7 @@ ORDER BY event_type""")
     "q_tws_token_bucket",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"tws_bucket_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "tws_bucket")
       withRocksDb(spark) {
         graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)

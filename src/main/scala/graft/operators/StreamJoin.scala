@@ -47,7 +47,7 @@ ORDER BY c.user_id, click_id, error_id""")
             expr("CAST(ts DIV 1000 AS BIGINT)").as(s"${prefix}_ts_us"),
             timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
           .withWatermark(s"${prefix}_time", "10 minutes")
-      val sinkName = s"ssj_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "ssj")
       // stream-stream joins open FOUR state stores per partition (2
       // sides × 2 store families) — see withStreamingShuffle. Floor
       // tuning, measured (StreamFloorProbe, sf0.1, steady-state):
@@ -144,7 +144,7 @@ ORDER BY c.user_id, click_id, error_id""")
             expr("CAST(ts DIV 1000 AS BIGINT)").as(s"${prefix}_ts_us"),
             timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
           .withWatermark(s"${prefix}_time", "10 minutes")
-      val sinkName = s"ssjl_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "ssjl")
       // 2 partitions like the inner join; the no-data batch STAYS — the
       // final watermark advance is what emits the expired-click nulls
       graft.GraftSession.withStreamingShuffle(spark, 2) {

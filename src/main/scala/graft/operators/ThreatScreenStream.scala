@@ -109,6 +109,11 @@ object ThreatScreenStream {
         hll.update(r.src)
         n += 1
       }
+      // compress the digest before persisting so the ValueState image
+      // honors the ≤ sizeBound(k) node bound, not update()'s larger
+      // 6k+64 amortization buffer (the QdStream rationale — a no-op in
+      // the exact regime)
+      qd = QDigest.compress(qd, qdCap)
       state.update(ScreenState(mg.keys, mg.counts, qd.ids, qd.counts, qd.n,
         hll.toUpdatableByteArray, n))
       armCloseTimer(key)
@@ -168,15 +173,32 @@ object ThreatScreenStream {
     // fresh aliases (new expression ids) — est's lineage shares `win`
     // with both screenFromCounts inputs, and the final join would
     // otherwise carry the same attribute on both sides
-    val est = uniq.select($"win".as("est_win"), $"hll".as("est_hll"))
+    val est = uniq.select($"win".as("est_win"), $"hll".as("est_hll"),
+        size($"srcs").as("est_mg_n"))
       .groupBy($"est_win")
-      .agg(hll_sketch_estimate(hll_union_agg($"est_hll")).as("hll_est"))
-      .select(($"est_win" * lit(WinUs)).as("est_ws"), $"hll_est")
+      .agg(hll_sketch_estimate(hll_union_agg($"est_hll")).as("hll_est"),
+        max($"est_mg_n").as("mg_n_max"))
+      .select(($"est_win" * lit(WinUs)).as("est_ws"), $"hll_est", $"mg_n_max")
     ThreatScreen.screenFromCounts(perSrc, hist)
       .join(est, $"window_start_us" === $"est_ws")
+      // hll_within prices the estimate against n_src, which is the
+      // MG-retained key count — EXACT only while no (win, salt) summary
+      // ever hit capacity (no decrement fired, so every source is
+      // retained). The screen's regime note assumed that; now it is
+      // ENFORCED (r15 ADVICE): a group whose summary reached MgCap keys
+      // means n_src may undercount the true distinct count, and the 10%
+      // band would silently measure drift against a degraded baseline —
+      // fail loudly instead of emitting an opaque boolean. (Beyond the
+      // exact regime the right spelling is the q_hll_distinct_stream
+      // one: carry an exact side out-of-band.)
       .withColumn("hll_within",
-        abs($"hll_est" - $"n_src") <= lit(0.10) * $"n_src")
-      .drop("hll_est", "est_ws")
+        when($"mg_n_max" >= lit(MgCap), raise_error(concat(
+          lit(s"MG summary hit capacity $MgCap for window start "),
+          $"window_start_us".cast("string"),
+          lit(" — n_src is no longer the exact distinct-source count; " +
+            "raise MgCap or carry an exact side like q_hll_distinct_stream"))))
+          .otherwise(abs($"hll_est" - $"n_src") <= lit(0.10) * $"n_src"))
+      .drop("hll_est", "est_ws", "mg_n_max")
       .orderBy("window_start_us")
   }
 
@@ -184,7 +206,7 @@ object ThreatScreenStream {
     "q_threat_screen_stream",
     (spark, dir) => {
       import spark.implicits._
-      val sinkName = s"tscr_${System.nanoTime()}"
+      val sinkName = graft.GraftSession.newSinkName(spark, "tscr")
       StatefulTotals.withRocksDb(spark) {
         // the close timers fire in the terminating watermark batch —
         // the no-data batch MUST stay (the left-join rule)
