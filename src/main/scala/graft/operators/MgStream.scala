@@ -180,7 +180,7 @@ object MgStream {
         // max-stamp report — and therefore the oracle — is unchanged
         // from the TimeMode.None spelling: no watermark horizon
         // applies to the output, only to state lifetime.
-        graft.GraftSession.withStreamingShuffle(spark, 2) {
+        graft.GraftSession.withStreamingShuffle(spark, 8) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .withColumn("pt", timestamp_micros($"ts_us"))

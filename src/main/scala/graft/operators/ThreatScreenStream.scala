@@ -210,7 +210,7 @@ object ThreatScreenStream {
       StatefulTotals.withRocksDb(spark) {
         // the close timers fire in the terminating watermark batch —
         // the no-data batch MUST stay (the left-join rule)
-        graft.GraftSession.withStreamingShuffle(spark, 2) {
+        graft.GraftSession.withStreamingShuffle(spark, 8) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .withColumn("pt", timestamp_micros($"ts_us"))
