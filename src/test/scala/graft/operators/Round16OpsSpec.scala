@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.datasketches.hll.HllSketch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 laws: the three r15-ADVICE hardenings, each driven through
+  * its failure mode — the multi-batch CUSUM sink collapse, the threat
+  * screen's MG-capacity guard, and the sink-name registry replacing the
+  * digit-suffix regex.
+  */
+class Round16OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- q_cusum_stream multi-batch collapse (r15 ADVICE #1) ----
+  // An update-mode memory sink appends each micro-batch's UPDATED rows:
+  // a (pfx, h) key split across batches appears once per batch, each
+  // carrying the count as of that batch (monotone for a streaming
+  // count). The query collapses with max(cnt) per key before screening;
+  // this law pins that the collapsed multi-batch table yields the
+  // exact trajectory of the final counts — and that WITHOUT the
+  // collapse the trajectory would differ (the test is non-vacuous).
+
+  test("cusum stream collapse: max(cnt) over partial emissions == final counts") {
+    // final counts: a bursty prefix over 8 present hours + a quiet one
+    val finals = Seq(
+      ("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 11L), ("a", 5L, 40L), ("a", 6L, 42L), ("a", 7L, 10L),
+      ("b", 0L, 5L), ("b", 3L, 5L), ("b", 6L, 5L), ("b", 7L, 5L))
+      .toDF("pfx", "h", "cnt")
+    // multi-batch sink image: hours 5 and 6 were first emitted with
+    // partial counts (an earlier micro-batch saw only part of the hour)
+    val partials = finals.unionAll(Seq(
+      ("a", 5L, 17L), ("a", 6L, 30L), ("b", 6L, 2L)).toDF("pfx", "h", "cnt"))
+    val collapsed = partials.groupBy($"pfx", $"h").agg(max($"cnt").as("cnt"))
+    def traj(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+      Cusum.trajectoryFromCounts(df)
+        .select($"pfx", $"h", $"cnt", $"cusum_scaled")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+    assert(traj(collapsed) == traj(finals),
+      "collapsed multi-batch emissions must reproduce the final-count trajectory")
+    // non-vacuity: feeding the raw partials in (the pre-fix shape)
+    // inflates total_cnt/cum and corrupts the trajectory
+    assert(traj(partials) != traj(finals),
+      "uncollapsed partials must NOT match — otherwise this law tests nothing")
+  }
+
+  // ---- threat screen MG-capacity guard (r15 ADVICE #2) ----
+  // hll_within prices the HLL estimate against n_src, which is exact
+  // only while no (win, salt) MG summary ever hit capacity. The report
+  // now raises instead of silently measuring against a degraded
+  // baseline.
+
+  private def emitRow(win: Long, srcs: Array[String]): (Long, Int,
+      Array[String], Array[Long], Array[Long], Array[Long], Array[Byte], Long) = {
+    val sk = new HllSketch(ThreatScreenStream.LgK)
+    srcs.foreach(sk.update)
+    (win, 0, srcs, Array.fill(srcs.length)(3L),
+      Array(40L, 60L), Array(4L, 4L), sk.toCompactByteArray, srcs.length * 3L)
+  }
+
+  private val emitCols = Seq("win", "salt", "srcs", "srcCnts", "lenVals",
+    "lenCnts", "hll", "n")
+
+  test("screen report: below MG capacity, hll_within computes; at capacity, it raises") {
+    val ok = Seq(emitRow(0L, Array("s1", "s2", "s3")))
+      .toDF(emitCols: _*)
+    val rows = ThreatScreenStream.screenReport(ok).collect()
+    assert(rows.length == 1 &&
+      rows(0).getBoolean(rows(0).fieldIndex("hll_within")),
+      "3 sources, exact regime: the 6-sigma band must hold")
+    val atCap = Seq(emitRow(1L,
+      Array.tabulate(ThreatScreenStream.MgCap)(i => s"s$i")))
+      .toDF(emitCols: _*)
+    val e = intercept[Exception] {
+      ThreatScreenStream.screenReport(atCap).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("MG summary hit capacity")),
+      s"expected the capacity guard to fire, got: $e")
+  }
+
+  // ---- sink-name registry (r15 ADVICE #3) ----
+  // dropStreamSinks drops exactly the names newSinkName registered for
+  // this session — a fixed-name bystander view whose name happens to
+  // end in 10+ digits (the old regex's false positive) survives.
+
+  test("sink registry: registered names drop, digit-suffixed bystanders survive") {
+    val sink = GraftSession.newSinkName(spark, "regtest")
+    spark.range(3).toDF("x").createOrReplaceTempView(sink)
+    val bystander = "decoy_12345678901"
+    spark.range(2).toDF("x").createOrReplaceTempView(bystander)
+    GraftSession.dropStreamSinks(spark)
+    assert(!spark.catalog.tableExists(sink), "registered sink must be dropped")
+    assert(spark.catalog.tableExists(bystander),
+      "a convention-named bystander must survive (the r15 ADVICE regression)")
+    // drained registry: a second drain is a no-op, and re-registering
+    // works
+    GraftSession.dropStreamSinks(spark)
+    assert(spark.catalog.tableExists(bystander))
+    spark.catalog.dropTempView(bystander)
+  }
+}
