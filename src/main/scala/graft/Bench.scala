@@ -190,6 +190,22 @@ object Bench {
     val byName = SparkEntry.queries
     val movers = results.sortBy(-_._2).take(IsoTopN).map(_._1)
     val spark2 = newSession(cpus)
+    // Streaming warmup (r16): the FIRST streaming query in a fresh
+    // session pays one-time costs the sweep's movers never see
+    // in-sweep — RocksDB JNI/native load, streaming-plan codegen,
+    // state-store provider init — and r15's iso channel had 3 of its 6
+    // entries land ABOVE their swept numbers for exactly this reason,
+    // inverting the contention signal the channel exists to measure.
+    // Two untimed streaming runs (default HDFS-backed state + RocksDB
+    // transformWithState) absorb those costs so iso numbers share the
+    // sweep's warm basis. Untimed and fail-soft: a warmup crash must
+    // not block the channel.
+    currentQuery = "iso_warmup"
+    Seq("q_rate_window_stream", "q_tws_running_totals").foreach { w =>
+      try byName(w)(spark2, sfDir).count()
+      catch { case _: Throwable => () }
+      GraftSession.dropStreamSinks(spark2)
+    }
     val isolated = movers.flatMap { name =>
       val s = minOfTwo(spark2, name, s"iso:$name", byName(name)).map(name -> _)
       GraftSession.dropStreamSinks(spark2)

@@ -206,6 +206,15 @@ object Sf1Probe {
       val movers = results.sortBy(-_._2).take(10).map(_._1)
       val s2 = newSession()
       s2.range(1000000).selectExpr("sum(id)").collect()
+      // streaming warmup — the Bench phase-2 rationale: absorb the
+      // fresh session's one-time RocksDB/streaming-codegen costs so a
+      // streaming mover's iso number shares the sweep's warm basis
+      currentQuery = "iso_warmup"
+      Seq("q_rate_window_stream", "q_tws_running_totals").foreach { w =>
+        try SparkEntry.catalog.find(_.name == w).get.run(s2, out).count()
+        catch { case _: Throwable => () }
+        GraftSession.dropStreamSinks(s2)
+      }
       val iso = movers.flatMap { name =>
         currentQuery = s"iso:$name"
         val q = SparkEntry.catalog.find(_.name == name).get
