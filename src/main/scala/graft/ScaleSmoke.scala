@@ -196,6 +196,31 @@ object ScaleSmoke {
         s"embedding-dedup candidates grew x$candRatio for x$inputRatio input — adaptive modulus not holding")
     }
 
+    // ---- PQ encode (r16): code assignment is ONE broadcast join of
+    // n·M subvectors against the ≤2048-row codebook — O(n·K) work with
+    // K capped at 256, so the code table must grow EXACTLY ×m (8 codes
+    // per vector, structural) and every code must index the capped
+    // codebook. Replica ids shift by 1e8, so the j < 256 codebook
+    // seeds are the SAME vectors at every multiple — growth changes
+    // the assignment load, never the quantizer.
+    val pqResults = multiples.map { m =>
+      val corpus = emb.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("vec_id + rep * 100000000 AS vec_id", "embedding")
+      val t0p = System.nanoTime()
+      val st = operators.Pq.encodeOn(spark, s"scale-pq-$m", corpus)
+        .agg(count(lit(1)).as("rows"), max(col("code")).as("maxc")).head()
+      val sec = (System.nanoTime() - t0p) / 1e9
+      println(f"[scale] pq      x$m%-3d vecs=${nVec * m}%8d codes=${st.getLong(0)}%9d maxcode=${st.getLong(1)}%4d  $sec%7.2f s")
+      (m, st.getLong(0), st.getLong(1))
+    }
+    locally {
+      require(pqResults.zip(multiples).forall { case ((_, rows, _), m) =>
+        rows == 8L * nVec * m },
+        s"PQ code table must be exactly 8 rows per vector: ${pqResults.map(_._2)}")
+      require(pqResults.forall(_._3 < 256),
+        s"PQ codes must index the capped 256-codeword codebook: ${pqResults.map(_._3)}")
+    }
+
     // ---- LSH ANN: L sign-hyperplane tables with an adaptive modulus
     // keep bucket occupancy ~constant, and hamming-1 multi-probing adds
     // ONE bucket per modulus bit — so probed candidates must grow

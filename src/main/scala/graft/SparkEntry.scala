@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AsOfJoin.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.Pq.all ++
       operators.TextAnalysis.all ++
       operators.Bpe.all ++
       operators.Sampling.all ++
