@@ -24,15 +24,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Cross-engine float discipline (the [[Similarity]] header contract):
   * all distances are doubles built from the same float→double casts and
-  * the same SEQUENTIAL fold (Spark `aggregate(zip_with(...))` folds in
-  * element order; the oracle's correlated `sum() FROM range(...)` is
-  * the house spelling 15 rounds of hash-equality pin as order-stable),
+  * the same SEQUENTIAL fold (Spark: [[graft.functions.SubL2]]'s
+  * left-to-right loop; the oracle's correlated `sum() FROM range(...)`
+  * is the house spelling 15 rounds of hash-equality pin as
+  * order-stable),
   * doubles never surface in output — only codes, ids, ranks, and
   * overlap counts (all BIGINT) — and every argmin/rank breaks exact
   * ties on the integer id, so bit-equal doubles on both sides yield
-  * identical integers. Code assignment uses min-then-min (min(dist),
-  * then min(j) at that dist) instead of a window rank: two map-side
-  * combinable aggregates, no per-(vector, subspace) window shuffle.
+  * identical integers. Code assignment is ONE map-side-combinable
+  * `min(struct(dist, j))` aggregate (lexicographic struct order = the
+  * tie rule), no per-(vector, subspace) window shuffle; the
+  * subdistance itself is the fused codegen expression
+  * [[graft.functions.SubL2]] — the HOF slice/zip_with/fold spelling
+  * allocated three arrays per pair and measured 10× slower on the
+  * n·K·M assignment pass.
   *
   * Scale shape (the 100 TB reading):
   *  - the codebook is K·M rows ≤ 2048 — broadcast, like every centroid
@@ -71,14 +76,6 @@ object Pq {
     */
   private val kSub = "(SELECT LEAST(256, count(*)) FROM pq_emb_v)"
 
-  /** Sequential-fold L2² between two [[Dsub]]-wide array columns
-    * (Spark side). `aggregate` folds left in element order — the
-    * cross-engine determinism contract.
-    */
-  private def subL2(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-       CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
 
   /** Register the PQ stages for corpus `emb` under `key`:
     * `pq_emb_v` (the corpus), `pq_cw_v` (K·M codebook rows, broadcast
@@ -88,6 +85,7 @@ object Pq {
     */
   private[graft] def ensurePq(spark: SparkSession, key: String,
       emb: => DataFrame): Unit = {
+    graft.functions.SubL2.register(spark)
     StageViews.ensure(spark, "pq_emb_v", key)(emb)
     StageViews.ensure(spark, "pq_cw_v", key)(spark.sql(s"""
 SELECT ms.m, vec_id AS j, slice(embedding, ms.m * $Dsub + 1, $Dsub) AS cw
@@ -95,17 +93,11 @@ FROM pq_emb_v
 CROSS JOIN (SELECT explode(sequence(0, ${M - 1})) AS m) ms
 WHERE vec_id < $kSub"""))
     StageViews.ensureCached(spark, "pq_codes_v", key)(spark.sql(s"""
-SELECT a.vec_id, a.m, min(a.j) AS code
+SELECT vec_id, m, min(named_struct('d', dist, 'j', j)).j AS code
 FROM (SELECT /*+ BROADCAST(c) */ e.vec_id, c.m, c.j,
-             ${subL2(s"slice(e.embedding, c.m * $Dsub + 1, $Dsub)", "c.cw")} AS dist
-      FROM pq_emb_v e CROSS JOIN pq_cw_v c) a
-JOIN (SELECT vec_id, m, min(dist) AS mind
-      FROM (SELECT /*+ BROADCAST(c) */ e.vec_id, c.m,
-                   ${subL2(s"slice(e.embedding, c.m * $Dsub + 1, $Dsub)", "c.cw")} AS dist
-            FROM pq_emb_v e CROSS JOIN pq_cw_v c)
-      GROUP BY vec_id, m) b
-  ON a.vec_id = b.vec_id AND a.m = b.m AND a.dist = b.mind
-GROUP BY a.vec_id, a.m"""))
+             sub_l2(e.embedding, c.m * $Dsub, c.cw) AS dist
+      FROM pq_emb_v e CROSS JOIN pq_cw_v c)
+GROUP BY vec_id, m"""))
   }
 
   /** Reconstruction join (codes → codewords, pivoted to one row per
@@ -153,14 +145,14 @@ LEFT JOIN (
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY dist ASC, neighbor_id) AS rnk
         FROM (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-                     ${subL2("q.embedding", "r.recon")} AS dist
+                     sub_l2(q.embedding, 0, r.recon) AS dist
               FROM pq_emb_v q JOIN $reconSub r ON r.vec_id <> q.vec_id
               WHERE q.vec_id < $Probes)) a
   JOIN (SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY dist ASC, neighbor_id) AS rnk
         FROM (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     ${subL2("q.embedding", "e.embedding")} AS dist
+                     sub_l2(q.embedding, 0, e.embedding) AS dist
               FROM pq_emb_v q JOIN pq_emb_v e ON e.vec_id <> q.vec_id
               WHERE q.vec_id < $Probes)) b
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
