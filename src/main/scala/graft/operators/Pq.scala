@@ -87,7 +87,13 @@ object Pq {
       emb: => DataFrame): Unit = {
     graft.functions.SubL2.register(spark)
     StageViews.ensure(spark, "pq_emb_v", key)(emb)
-    StageViews.ensure(spark, "pq_cw_v", key)(spark.sql(s"""
+    // CACHED: the recall query's 8-way reconstruction join references
+    // the codebook once per subspace, and an uncached view re-inlines
+    // its corpus scan per reference — the r16 explain audit counted 75
+    // parquet scans in q_pq_recall's plan before this. 2048 rows in
+    // memory turns each reference into an InMemoryTableScan; at 100 TB
+    // this is the broadcast codebook artifact, built once.
+    StageViews.ensureCached(spark, "pq_cw_v", key)(spark.sql(s"""
 SELECT ms.m, vec_id AS j, slice(embedding, ms.m * $Dsub + 1, $Dsub) AS cw
 FROM pq_emb_v
 CROSS JOIN (SELECT explode(sequence(0, ${M - 1})) AS m) ms
