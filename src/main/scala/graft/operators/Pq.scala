@@ -106,22 +106,38 @@ FROM (SELECT /*+ BROADCAST(c) */ e.vec_id, c.m, c.j,
 GROUP BY vec_id, m"""))
   }
 
-  /** Reconstruction join (codes → codewords, pivoted to one row per
-    * vector, concatenated in subspace order) as a subquery string —
-    * consumed by the recall query; fixed 8-way equi-join on vec_id
-    * against the broadcast codebook.
+  /** Search-side shared stages, cached once per (session, key) —
+    * [[qPqRecall]] and the composed [[qIvfAdcRecall]] both read them:
+    *
+    *  - `pq_recon_v`: per-vector code reconstruction (codes →
+    *    codewords pivoted by a fixed 8-way equi-join against the
+    *    broadcast codebook, concatenated in subspace order);
+    *  - `pq_exact_v`: exact-L2 ground-truth ranks for the [[Probes]]
+    *    probe queries, PRUNED to rank ≤ [[TopK]] (the consumers'
+    *    contract — extend the predicate, don't read around it).
     */
-  private def reconSub: String = {
-    val joins = (0 until M).map { m =>
+  private[graft] def ensurePqSearchStages(spark: SparkSession, key: String,
+      emb: => DataFrame): Unit = {
+    ensurePq(spark, key, emb)
+    val joins = (1 until M).map { m =>
       s"""JOIN (SELECT k.vec_id, c.cw FROM pq_codes_v k
        JOIN pq_cw_v c ON c.m = k.m AND c.j = k.code WHERE k.m = $m) r$m
   ON r$m.vec_id = r0.vec_id"""
-    }.drop(1).mkString("\n")
+    }.mkString("\n")
     val concat = (0 until M).map(m => s"r$m.cw").mkString("concat(", ", ", ")")
-    s"""(SELECT r0.vec_id, $concat AS recon
+    StageViews.ensureCached(spark, "pq_recon_v", key)(spark.sql(s"""
+SELECT r0.vec_id, $concat AS recon
 FROM (SELECT k.vec_id, c.cw FROM pq_codes_v k
       JOIN pq_cw_v c ON c.m = k.m AND c.j = k.code WHERE k.m = 0) r0
-$joins)"""
+$joins"""))
+    StageViews.ensureCached(spark, "pq_exact_v", key)(spark.sql(s"""
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY sub_l2(q.embedding, 0, e.embedding) ASC, e.vec_id) AS rnk
+  FROM pq_emb_v q JOIN pq_emb_v e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < $Probes)
+WHERE rnk <= $TopK"""))
   }
 
   /** Code table for corpus `emb` under `key` — the spec/gate entry
@@ -141,7 +157,7 @@ ORDER BY vec_id, m""")
 
   private[graft] def recallOn(spark: SparkSession, key: String,
       emb: => DataFrame): DataFrame = {
-    ensurePq(spark, key, emb)
+    ensurePqSearchStages(spark, key, emb)
     spark.sql(s"""
 SELECT p.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
 FROM (SELECT vec_id AS query_id FROM pq_emb_v WHERE vec_id < $Probes) p
@@ -152,17 +168,11 @@ LEFT JOIN (
                                   ORDER BY dist ASC, neighbor_id) AS rnk
         FROM (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
                      sub_l2(q.embedding, 0, r.recon) AS dist
-              FROM pq_emb_v q JOIN $reconSub r ON r.vec_id <> q.vec_id
+              FROM pq_emb_v q JOIN pq_recon_v r ON r.vec_id <> q.vec_id
               WHERE q.vec_id < $Probes)) a
-  JOIN (SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY dist ASC, neighbor_id) AS rnk
-        FROM (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     sub_l2(q.embedding, 0, e.embedding) AS dist
-              FROM pq_emb_v q JOIN pq_emb_v e ON e.vec_id <> q.vec_id
-              WHERE q.vec_id < $Probes)) b
+  JOIN pq_exact_v b
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-  WHERE a.rnk <= $TopK AND b.rnk <= $TopK
+  WHERE a.rnk <= $TopK
   GROUP BY a.query_id) ov
   ON p.query_id = ov.query_id
 ORDER BY p.query_id""")
@@ -170,6 +180,49 @@ ORDER BY p.query_id""")
 
   private def runRecall(spark: SparkSession, dir: String): DataFrame =
     recallOn(spark, dir, StageViews.widen(spark, Tables.embeddings(spark, dir), "vec_id"))
+
+  /** IVFADC — the composed billion-scale ANN architecture (Jégou et
+    * al. §5; the FAISS `IndexIVFPQ` layout): the two-level IVF coarse
+    * quantizer routes each probe to ~n^(3/4) candidates
+    * ([[Similarity.ensureIvfStages]]), and PQ's asymmetric distance
+    * reranks ONLY those candidates through their reconstructions — the
+    * corpus-sized scan of `q_pq_recall` becomes candidate-sized, and
+    * the candidates' memory residency is the 32×-smaller code table.
+    * Recall accounting vs the same exact-L2 ground truth
+    * (`pq_exact_v`), so the three gates read together: brute ADC
+    * (`q_pq_recall`) prices quantization loss alone, `q_ann_ivf_recall`
+    * prices routing loss alone, this prices the composition a real
+    * deployment runs.
+    */
+  private def runIvfAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.ensureIvfStages(spark, dir)
+    ensurePqSearchStages(spark, dir,
+      StageViews.widen(spark, Tables.embeddings(spark, dir), "vec_id"))
+    spark.sql(s"""
+SELECT p.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM (SELECT vec_id AS query_id FROM pq_emb_v WHERE vec_id < $Probes) p
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n_common
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id) AS rnk
+        FROM (SELECT c.query_id, c.neighbor_id,
+                     sub_l2(q.embedding, 0, r.recon) AS dist
+              FROM (SELECT p2.vec_id AS query_id, m.vec_id AS neighbor_id
+                    FROM (SELECT vec_id, c1, c2 FROM ann_asg2_pruned_v
+                          WHERE vec_id < $Probes AND rnk <= ${Similarity.np2Sub}) p2
+                    JOIN (SELECT vec_id, c1, c2 FROM ann_asg2_pruned_v
+                          WHERE a1rnk = 1 AND rnk = 1) m
+                      ON p2.c1 = m.c1 AND p2.c2 = m.c2 AND m.vec_id <> p2.vec_id) c
+              JOIN pq_emb_v q ON c.query_id = q.vec_id
+              JOIN pq_recon_v r ON c.neighbor_id = r.vec_id)) a
+  JOIN pq_exact_v b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  WHERE a.rnk <= $TopK
+  GROUP BY a.query_id) ov
+  ON p.query_id = ov.query_id
+ORDER BY p.query_id""")
+  }
 
   // ---- DuckDB oracle: the self-contained CTE restatement ----
 
@@ -248,8 +301,52 @@ FROM probes p LEFT JOIN ov ON p.query_id = ov.query_id
 ORDER BY p.query_id"""
   }
 
+  /** IVFADC oracle: the self-contained composition of the IVF candidate
+    * CTE chain ([[Similarity.ivfCte]] — identical coarse routing) and
+    * the PQ code/reconstruction chain, reranked by the same ordered
+    * fold and counted against the same exact-L2 top-[[TopK]].
+    */
+  private val ivfAdcOracle = {
+    val joins = (1 until M).map(m =>
+      s"JOIN (SELECT vec_id, cw FROM cj WHERE m = $m) r$m ON r$m.vec_id = r0.vec_id")
+      .mkString("\n      ")
+    val concat = (0 until M).map(m => s"r$m.cw").mkString(" || ")
+    s"""${Similarity.ivfCte(graft.operators.DuckSql)},
+$duckCodesCte,
+cj AS (SELECT k.vec_id, k.m, c.cw FROM codes k
+       JOIN cw c ON c.m = k.m AND c.j = k.code),
+rec AS (SELECT r0.vec_id, $concat AS recon
+        FROM (SELECT vec_id, cw FROM cj WHERE m = 0) r0
+      $joins),
+pprobes AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < $Probes),
+adcr AS (SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, neighbor_id) AS rnk
+         FROM (SELECT cd.query_id, cd.neighbor_id,
+                      ${duckL2("p.qe", "0", "r.recon", "0", Dim)} AS dist
+               FROM cand cd
+               JOIN pprobes p ON cd.query_id = p.query_id
+               JOIN rec r ON cd.neighbor_id = r.vec_id)),
+exr AS (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id) AS rnk
+        FROM (SELECT p.query_id, e.vec_id AS neighbor_id,
+                     ${duckL2("p.qe", "0", "e.embedding", "0", Dim)} AS dist
+              FROM pprobes p JOIN embeddings e ON e.vec_id <> p.query_id)),
+ov AS (SELECT a.query_id, count(*) AS n_common
+       FROM adcr a JOIN exr b
+         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       WHERE a.rnk <= $TopK AND b.rnk <= $TopK
+       GROUP BY a.query_id)
+SELECT p.query_id, CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common
+FROM pprobes p LEFT JOIN ov ON p.query_id = ov.query_id
+ORDER BY p.query_id"""
+  }
+
   val qPqEncode = Q("q_pq_encode", runEncode _, Some(encodeOracle))
   val qPqRecall = Q("q_pq_recall", runRecall _, Some(recallOracle))
+  val qIvfAdcRecall = Q("q_ivfadc_recall", runIvfAdcRecall _, Some(ivfAdcOracle))
 
-  val all: Seq[Q] = Seq(qPqEncode, qPqRecall)
+  val all: Seq[Q] = Seq(qPqEncode, qPqRecall, qIvfAdcRecall)
 }

@@ -95,7 +95,7 @@ ORDER BY query_id, rank"""
   /** Sub-cells per level-1 cell: ⌈T/nl1⌉. */
   private val nl2Sub = s"(SELECT CAST(ceil(CAST($tSub AS DOUBLE) / $nl1Sub) AS INT))"
   private val np1Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl1Sub)) AS INT)))"
-  private val np2Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl2Sub)) AS INT)))"
+  private[operators] val np2Sub = s"(SELECT GREATEST(2, CAST(ceil(sqrt($nl2Sub)) AS INT)))"
 
   private def ensureEmbeddings(spark: SparkSession, dir: String): Unit = {
     graft.functions.CosineSimilarity.register(spark)
@@ -110,7 +110,7 @@ ORDER BY query_id, rank"""
     * (which compares the two) calls both. `ensureCached` is idempotent,
     * so any order of first-touch builds each view once.
     */
-  private def ensureIvfStages(spark: SparkSession, dir: String): Unit = {
+  private[operators] def ensureIvfStages(spark: SparkSession, dir: String): Unit = {
     ensureEmbeddings(spark, dir)
     // Level-1 assignment ranking (broadcast ≤4096-row centroid table).
     // PRUNED view — the name is the contract: only the rows the two
@@ -213,7 +213,7 @@ ORDER BY query_id, rank""")
     * (scalar subqueries), so the Spark result and the DuckDB oracle
     * agree at every scale factor without out-of-band parameters.
     */
-  private def ivfCte(d: SqlDialect): String = {
+  private[operators] def ivfCte(d: SqlDialect): String = {
     val (norm, cos) = normCos(d)
     val hint = d match { case SparkSql => "/*+ BROADCAST(c) */ "; case DuckSql => "" }
     s"""

@@ -78,6 +78,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC on a seed corpus: per-probe recall == |exact top-5 ∩ IVF candidates|") {
+    // seed corpus (n=30 ≤ 256): reconstruction is exact, so ADC == exact
+    // L2 and the composed pipeline's only loss is ROUTING — each probe's
+    // n_common must equal the count of its true top-5 that the IVF
+    // coarse quantizer even surfaced. Computed from the session's own
+    // registered stages (candidate join + pq_exact_v), not a
+    // re-implementation.
+    val dir = java.nio.file.Files.createTempDirectory("pq_ivfadc").toString
+    corpus((0 until 30).map(mk))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_ivfadc_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == Pq.Probes)
+    val cands = spark.sql(s"""
+SELECT p2.vec_id AS query_id, m.vec_id AS neighbor_id
+FROM (SELECT vec_id, c1, c2 FROM ann_asg2_pruned_v
+      WHERE vec_id < ${Pq.Probes} AND rnk <= ${Similarity.np2Sub}) p2
+JOIN (SELECT vec_id, c1, c2 FROM ann_asg2_pruned_v
+      WHERE a1rnk = 1 AND rnk = 1) m
+  ON p2.c1 = m.c1 AND p2.c2 = m.c2 AND m.vec_id <> p2.vec_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact5 = spark.table("pq_exact_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until Pq.Probes).map(q =>
+      q -> exact5.count { case (qq, n) => qq == q && cands((q, n)) }.toLong).toMap
+    assert(out == expected,
+      "with exact reconstructions the composed recall must be exactly the routing overlap")
+    assert(out.values.sum > 0, "IVF routing should surface at least some true neighbors")
+  }
+
   test("per-subspace assignment: a chimera codes to its donors") {
     // vector 20 borrows subspace 0 from seed 3 and subspaces 1..7 from
     // seed 11 -> its codes must be (3, 11, 11, ..., 11), which a
