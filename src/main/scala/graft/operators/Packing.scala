@@ -103,6 +103,78 @@ SELECT lang, n_docs, lang_tokens,
 FROM w
 ORDER BY lang"""
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): given a total token budget
+    * B = total · [[UmxBudgetNum]]/[[UmxBudgetDen]] and a per-source
+    * epoch cap [[UmxEpochCap]], give every source an equal share of
+    * the budget except where the cap binds — a source too small to
+    * absorb its share trains at exactly the cap and its slack
+    * redistributes to the rest. This kills both failure modes of
+    * exponent-smoothed sampling: low-resource sources never over-epoch
+    * past the cap, high-resource sources absorb the slack instead of
+    * being starved.
+    *
+    * Closed form (no iteration): with sources sorted by ASCENDING cap,
+    * capped-ness is a prefix — if source i can't absorb the equal
+    * share of what's left, neither could any smaller source — so the
+    * crossover k is the FIRST i whose cap covers the remaining equal
+    * share, a first-crossing window scan (the CUSUM alarm shape).
+    * i < k: alloc = cap; i ≥ k: the remaining budget splits as BIGINT
+    * quotient + one extra token to the first `remainder` sources, so
+    * Σ alloc == B exactly whenever any source is uncapped. Every
+    * number is integer arithmetic — bit-exact across engines — and
+    * the plan is one map-side-combinable groupBy followed by windows
+    * over the |sources|-row aggregate.
+    */
+  val UmxEpochCap = 2L
+  val UmxBudgetNum = 3L
+  val UmxBudgetDen = 2L
+
+  private[graft] def unimaxSql(d: SqlDialect, rel: String = "documents"): String = s"""
+WITH tok AS (SELECT lang, CAST(sum(CAST(${nTok(d)} AS BIGINT)) AS BIGINT) AS n_tok
+             FROM $rel GROUP BY lang),
+o AS (SELECT lang, n_tok, $UmxEpochCap * n_tok AS cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY $UmxEpochCap * n_tok, lang) AS BIGINT) AS i,
+             CAST(sum($UmxEpochCap * n_tok) OVER (ORDER BY $UmxEpochCap * n_tok, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS l,
+             ${d.idiv(s"CAST(sum(n_tok) OVER () AS BIGINT) * $UmxBudgetNum", UmxBudgetDen.toString)} AS budget
+      FROM tok),
+kk AS (SELECT coalesce(min(CASE WHEN cap * (l - i + 1) >= budget - (cum - cap) THEN i END),
+                       max(l) + 1) AS k
+       FROM o),
+rr AS (SELECT kk.k, coalesce((SELECT cum FROM o WHERE i = kk.k - 1), 0) AS cum_before
+       FROM kk),
+a AS (SELECT o.lang, o.n_tok, o.cap, o.i, o.budget, rr.k,
+             o.budget - rr.cum_before AS rem, o.l - rr.k + 1 AS m
+      FROM o CROSS JOIN rr),
+alloc AS (SELECT lang, n_tok, cap,
+                 CAST(CASE WHEN i < k THEN cap
+                      ELSE ${d.idiv("rem", "m")} +
+                           (CASE WHEN i - k < rem % m THEN 1 ELSE 0 END)
+                      END AS BIGINT) AS alloc_tokens
+          FROM a)
+SELECT lang, n_tok AS n_tokens, cap AS cap_tokens, alloc_tokens,
+       ${d.idiv("10000 * alloc_tokens", "n_tokens")} AS epochs_bp
+FROM alloc
+ORDER BY lang"""
+
+  /** Fixture entry point: the production SQL over any registered
+    * documents-shaped relation (lang, text).
+    */
+  private[graft] def unimaxOn(spark: org.apache.spark.sql.SparkSession,
+      rel: String): org.apache.spark.sql.DataFrame =
+    spark.sql(unimaxSql(SparkSql, rel))
+
+  val qCorpusUnimax = Q(
+    "q_corpus_unimax",
+    (spark, dir) => {
+      graft.Tables.documents(spark, dir).createOrReplaceTempView("documents_umx")
+      unimaxOn(spark, "documents_umx")
+    },
+    Some(unimaxSql(DuckSql)))
+
   val qCorpusMix = Q(
     "q_corpus_mix",
     (spark, dir) => {
@@ -114,5 +186,5 @@ ORDER BY lang"""
     },
     Some(mixSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qSequencePack, qCorpusMix)
+  val all: Seq[Q] = Seq(qSequencePack, qCorpusMix, qCorpusUnimax)
 }

@@ -146,6 +146,13 @@ class PlanHygieneSpec extends AnyFunSuite {
         "of HashAggregate(keys=[lang]) — one row per distinct language. " +
         "Language cardinality is a data-model constant (O(100) even for a " +
         "100-TB multilingual corpus), not a function of corpus size.") ,
+    "q_corpus_unimax" ->
+      ("every unpartitioned window (the cap-ascending rank, the cap cumsum, " +
+        "and the corpus totals) runs over the output of " +
+        "HashAggregate(keys=[lang]) — one row per distinct language, the " +
+        "q_corpus_mix cardinality argument. The data-sized work is the one " +
+        "map-side-combinable token-count aggregate below them; the UniMax " +
+        "closed form itself is source-count-sized by construction."),
     "q_mg_est_error" ->
       ("the unpartitioned window reads the exact-counts FULL OUTER summary " +
         "join — at most |lang domain| + m rows (the q_corpus_mix language " +

@@ -92,6 +92,55 @@ class Round16OpsSpec extends AnyFunSuite {
       s"expected the capacity guard to fire, got: $e")
   }
 
+  // ---- UniMax budget allocation (q_corpus_unimax) ----
+  // hand corpora driving both branches of the closed form: the capped
+  // prefix, the crossover, the exact BIGINT split of the remaining
+  // budget (first `remainder` sources get the extra token), and the
+  // Σ alloc == B conservation law (with B = 1.5·total < 2·total = Σcap,
+  // an all-capped outcome is arithmetically impossible, so the budget
+  // is always spent exactly).
+
+  private def umx(rows: (String, Int)*): Map[String, (Long, Long, Long)] = {
+    rows.zipWithIndex.map { case ((lang, ntok), i) =>
+      (i.toLong, Seq.fill(ntok)("w").mkString(" "), lang) }
+      .toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("umx_fixture")
+    Packing.unimaxOn(spark, "umx_fixture").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  test("unimax: capped prefix at exactly the epoch cap, crossover absorbs the slack") {
+    // caps 20/40/200, total 130, B = 195: a and b cap at 2 epochs
+    // (20000 bp), c takes the remaining 135 — Σ = B
+    val out = umx("a" -> 10, "b" -> 20, "c" -> 100)
+    assert(out == Map(
+      "a" -> (10L, 20L, 20000L),
+      "b" -> (20L, 40L, 20000L),
+      "c" -> (100L, 135L, 13500L)))
+    assert(out.values.map(_._2).sum == 130L * 3 / 2)
+  }
+
+  test("unimax: odd remainder goes one-token-each to the FIRST uncapped sources") {
+    // caps 22/200/204, total 213, B = 319: a capped (22), remaining 297
+    // over {b, c} = 148 each + 1 extra to b (first in ascending cap
+    // order) — the deterministic integer split both engines must agree on
+    val out = umx("a" -> 11, "b" -> 100, "c" -> 102)
+    assert(out("a") == (11L, 22L, 20000L))
+    assert(out("b") == (100L, 149L, 14900L))
+    assert(out("c") == (102L, 148L, 14509L))
+    assert(out.values.map(_._2).sum == 213L * 3 / 2)
+  }
+
+  test("unimax: budget conservation on an uneven mix") {
+    val sizes = Seq("p" -> 7, "q" -> 13, "r" -> 29, "s" -> 61, "t" -> 400)
+    val out = umx(sizes: _*)
+    val total = sizes.map(_._2.toLong).sum
+    assert(out.values.map(_._2).sum == total * 3 / 2,
+      "some source is uncapped by construction, so the budget must be spent exactly")
+    sizes.foreach { case (l, n) =>
+      assert(out(l)._2 <= 2L * n, s"$l exceeded the epoch cap") }
+  }
+
   // ---- sink-name registry (r15 ADVICE #3) ----
   // dropStreamSinks drops exactly the names newSinkName registered for
   // this session — a fixed-name bystander view whose name happens to
