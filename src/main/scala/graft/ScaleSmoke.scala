@@ -140,6 +140,34 @@ object ScaleSmoke {
       println(s"[scale] bpe merges: table invariant, pair counts exactly linear across x${multiples.mkString("/x")}")
     }
 
+    // ---- BPE trainer job-count gate (r16 VERDICT #1): the merge loop
+    // is driver-local over the once-collected vocabulary, so the SPARK
+    // JOB COUNT must be IDENTICAL at any merge budget — the r15
+    // spelling ran one job + a 1-row collect PER step, which this gate
+    // would have caught (8 vs 64 budgets differed by 56 jobs).
+    locally {
+      def jobsDuring(steps: Int): (Int, Double) = {
+        // job-group + statusTracker (public API): every job submitted
+        // inside the group is attributed to it at submit time
+        val group = s"bpe-jobgate-$steps"
+        spark.sparkContext.setJobGroup(group, "bpe job-count gate")
+        val t0j = System.nanoTime()
+        try {
+          val merges = operators.Bpe.trainOn(spark, docs, steps).collect()
+          require(merges.nonEmpty)
+        } finally spark.sparkContext.clearJobGroup()
+        (spark.sparkContext.statusTracker.getJobIdsForGroup(group).length,
+          (System.nanoTime() - t0j) / 1e9)
+      }
+      val (j8, t8) = jobsDuring(8)
+      val (j64, t64) = jobsDuring(64)
+      println(f"[scale] bpe jobs: steps=8 -> $j8 jobs $t8%5.2f s; steps=64 -> $j64 jobs $t64%5.2f s")
+      require(j8 == j64,
+        s"BPE Spark job count grew with merge budget: $j8 jobs at 8 steps vs $j64 at 64 — " +
+          "a per-step Spark roundtrip leaked back into the trainer")
+      println("[scale] bpe trainer: Spark job count constant in merge budget (driver-local loop)")
+    }
+
     // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
     // multi-probe at both levels, so probed candidate rows must grow
     // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)

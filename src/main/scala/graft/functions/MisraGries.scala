@@ -124,6 +124,19 @@ object MisraGries {
     } else subtractCompact(b, 1L) // classic global decrement pays for `key`
   }
 
+  /** [[update]] plus a flag reporting whether THIS step took the
+    * global-decrement branch (key absent, no free slot). Callers that
+    * need "did this summary ever hit capacity" must track the flag
+    * per step: the final summary's SIZE cannot tell — subtractCompact
+    * drops zero-count keys, so a summary that degraded usually closes
+    * under capacity, while a summary with exactly m distinct keys and
+    * no eviction sits at capacity while still exact (r16 ADVICE).
+    */
+  private[graft] def updateTracked(b: Summary, key: String, m: Int): (Summary, Boolean) = {
+    val hit = b.keys.length >= m && slotIndex(b).get(key) == null
+    (update(b, key, m), hit)
+  }
+
   /** PODS-2012 merge: keywise counter sums, then subtract the
     * (m+1)-th largest combined count and drop non-positives.
     */

@@ -27,8 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * production SQL; unreachable in catalog queries): a window running
   * past `a`'s end truncates the loop (the slice form would null-pad
   * and the fold return NULL); a null ELEMENT reads as 0.0f. Null if
-  * any ARGUMENT is null; negative offsets rejected by the loop bound
-  * (contribute nothing).
+  * any ARGUMENT is null; a negative offset clamps the loop START to
+  * the first in-range ordinal (`i = max(0, -aOff)`), so out-of-range
+  * positions contribute nothing and `a` is never read below ordinal 0
+  * (sub_l2 is registered session-wide — arbitrary SQL can pass any
+  * offset, not just the catalog's m·Dsub ≥ 0).
   */
 case class SubL2(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with Serializable {
@@ -53,7 +56,7 @@ case class SubL2(first: Expression, second: Expression, third: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(y.numElements(), x.numElements() - o)
     var acc = 0.0
-    var i = 0
+    var i = math.max(0, -o)
     while (i < n) {
       val d = x.getFloat(o + i).toDouble - y.getFloat(i).toDouble
       acc += d * d
@@ -71,7 +74,7 @@ case class SubL2(first: Expression, second: Expression, third: Expression)
       s"""
         int $n = java.lang.Math.min($y.numElements(), $x.numElements() - $o);
         double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = java.lang.Math.max(0, -$o); $i < $n; $i++) {
           double $d = (double) $x.getFloat($o + $i) - (double) $y.getFloat($i);
           $acc += $d * $d;
         }

@@ -131,9 +131,15 @@ ORDER BY lang"""
   val UmxBudgetNum = 3L
   val UmxBudgetDen = 2L
 
+  // n_tok > 0 guard: a language whose documents all tokenize to zero
+  // tokens can absorb no budget (cap = 0) but would divide by zero in
+  // epochs_bp — NULL under Spark's DIV, a hard error under DuckDB's //.
+  // Dropping it in the tok CTE keeps both engines agreeing on the
+  // degenerate input (r16 ADVICE).
   private[graft] def unimaxSql(d: SqlDialect, rel: String = "documents"): String = s"""
 WITH tok AS (SELECT lang, CAST(sum(CAST(${nTok(d)} AS BIGINT)) AS BIGINT) AS n_tok
-             FROM $rel GROUP BY lang),
+             FROM $rel GROUP BY lang
+             HAVING sum(CAST(${nTok(d)} AS BIGINT)) > 0),
 o AS (SELECT lang, n_tok, $UmxEpochCap * n_tok AS cap,
              CAST(ROW_NUMBER() OVER (ORDER BY $UmxEpochCap * n_tok, lang) AS BIGINT) AS i,
              CAST(sum($UmxEpochCap * n_tok) OVER (ORDER BY $UmxEpochCap * n_tok, lang

@@ -58,15 +58,21 @@ object ThreatScreenStream {
   val LgK = 12
 
   case class SRow(win: Long, salt: Int, src: String, len: Long)
+  // hitCap: latched true the first time the MG update takes the
+  // global-decrement branch for this (win, salt) group. The FINAL
+  // summary size cannot stand in for it — subtractCompact drops
+  // zero-count keys, so a degraded summary usually closes UNDER
+  // MgCap, and a summary with exactly MgCap distinct sources and no
+  // eviction is still exact (r16 ADVICE).
   case class ScreenState(
       mgKeys: Array[String], mgCounts: Array[Long],
       qdIds: Array[Long], qdCounts: Array[Long], qdW: Long,
-      hll: Array[Byte], nSeen: Long)
+      hll: Array[Byte], nSeen: Long, hitCap: Boolean)
   case class ScreenEmit(
       win: Long, salt: Int,
       srcs: Array[String], srcCnts: Array[Long],
       lenVals: Array[Long], lenCnts: Array[Long],
-      hll: Array[Byte], n: Long)
+      hll: Array[Byte], n: Long, hitCap: Boolean)
 
   /** @param winMs window width in ms — close timer at `(win+1)*winMs`,
     *   the [[MgStream.TopTalkersProcessor]] grid. This processor is
@@ -98,13 +104,16 @@ object ThreatScreenStream {
       val prior =
         if (state.exists()) state.get()
         else ScreenState(Array.empty, Array.empty, Array.empty, Array.empty,
-          0L, new HllSketch(lgK).toUpdatableByteArray, 0L)
+          0L, new HllSketch(lgK).toUpdatableByteArray, 0L, hitCap = false)
       var mg = MisraGries.Summary(prior.mgKeys, prior.mgCounts)
       var qd = QDigest.Digest(prior.qdIds, prior.qdCounts, prior.qdW)
       val hll = HllSketch.heapify(prior.hll)
       var n = prior.nSeen
+      var hitCap = prior.hitCap
       rows.foreach { r =>
-        mg = MisraGries.update(mg, r.src, mgCap)
+        val (nmg, hit) = MisraGries.updateTracked(mg, r.src, mgCap)
+        mg = nmg
+        hitCap ||= hit
         qd = QDigest.update(qd, r.len, qdCap)
         hll.update(r.src)
         n += 1
@@ -115,7 +124,7 @@ object ThreatScreenStream {
       // the exact regime)
       qd = QDigest.compress(qd, qdCap)
       state.update(ScreenState(mg.keys, mg.counts, qd.ids, qd.counts, qd.n,
-        hll.toUpdatableByteArray, n))
+        hll.toUpdatableByteArray, n, hitCap))
       armCloseTimer(key)
       Iterator.empty // final-on-close: data batches emit nothing
     }
@@ -140,7 +149,8 @@ object ThreatScreenStream {
         i += 1
       }
       Iterator.single(ScreenEmit(key._1, key._2, s.mgKeys, s.mgCounts,
-        vals, s.qdCounts, HllSketch.heapify(s.hll).toCompactByteArray, s.nSeen))
+        vals, s.qdCounts, HllSketch.heapify(s.hll).toCompactByteArray, s.nSeen,
+        s.hitCap))
     }
   }
 
@@ -174,31 +184,36 @@ object ThreatScreenStream {
     // with both screenFromCounts inputs, and the final join would
     // otherwise carry the same attribute on both sides
     val est = uniq.select($"win".as("est_win"), $"hll".as("est_hll"),
-        size($"srcs").as("est_mg_n"))
+        $"hitCap".as("est_hit"))
       .groupBy($"est_win")
       .agg(hll_sketch_estimate(hll_union_agg($"est_hll")).as("hll_est"),
-        max($"est_mg_n").as("mg_n_max"))
-      .select(($"est_win" * lit(WinUs)).as("est_ws"), $"hll_est", $"mg_n_max")
+        max($"est_hit".cast("int")).as("hit_any"))
+      .select(($"est_win" * lit(WinUs)).as("est_ws"), $"hll_est", $"hit_any")
     ThreatScreen.screenFromCounts(perSrc, hist)
       .join(est, $"window_start_us" === $"est_ws")
       // hll_within prices the estimate against n_src, which is the
       // MG-retained key count — EXACT only while no (win, salt) summary
       // ever hit capacity (no decrement fired, so every source is
       // retained). The screen's regime note assumed that; now it is
-      // ENFORCED (r15 ADVICE): a group whose summary reached MgCap keys
-      // means n_src may undercount the true distinct count, and the 10%
-      // band would silently measure drift against a degraded baseline —
-      // fail loudly instead of emitting an opaque boolean. (Beyond the
+      // ENFORCED on the latched per-group `hitCap` flag (r16 ADVICE):
+      // the final summary SIZE can't stand in for it — the global
+      // decrement drops zero-count keys, so a degraded summary usually
+      // closes under MgCap, and a summary holding exactly MgCap
+      // distinct sources with no eviction is still exact. A group
+      // whose update ever took the decrement branch means n_src may
+      // undercount the true distinct count, and the 10% band would
+      // silently measure drift against a degraded baseline — fail
+      // loudly instead of emitting an opaque boolean. (Beyond the
       // exact regime the right spelling is the q_hll_distinct_stream
       // one: carry an exact side out-of-band.)
       .withColumn("hll_within",
-        when($"mg_n_max" >= lit(MgCap), raise_error(concat(
+        when($"hit_any" === lit(1), raise_error(concat(
           lit(s"MG summary hit capacity $MgCap for window start "),
           $"window_start_us".cast("string"),
           lit(" — n_src is no longer the exact distinct-source count; " +
             "raise MgCap or carry an exact side like q_hll_distinct_stream"))))
           .otherwise(abs($"hll_est" - $"n_src") <= lit(0.10) * $"n_src"))
-      .drop("hll_est", "est_ws", "mg_n_max")
+      .drop("hll_est", "est_ws", "hit_any")
       .orderBy("window_start_us")
   }
 

@@ -86,6 +86,24 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("updateTracked flags exactly the global-decrement steps") {
+    // m=2: a, b fill the slots; a third distinct key triggers the
+    // decrement (hit=true); re-seen keys and slot claims never do.
+    var s = MisraGries.Summary(Array.empty, Array.empty)
+    def step(k: String): Boolean = {
+      val (ns, hit) = MisraGries.updateTracked(s, k, 2)
+      s = ns; hit
+    }
+    assert(!step("a") && !step("b"), "slot claims are not capacity hits")
+    assert(!step("a"), "tracked-key increment is not a capacity hit")
+    assert(step("c"), "absent key with no free slot IS a capacity hit")
+    // after the decrement, b (count 1) dropped; summary is under
+    // capacity again — the final size cannot reveal the hit (the r16
+    // ADVICE failure mode this API exists to fix)
+    assert(s.keys.length < 2)
+    assert(!step("d"), "freed slot: claim again, no hit")
+  }
+
   test("null keys are tracked and the final sort is null-safe on count ties") {
     val agg = MisraGries.aggregator(4)
     var s = agg.zero

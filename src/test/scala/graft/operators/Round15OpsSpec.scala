@@ -63,15 +63,23 @@ class Round15OpsSpec extends AnyFunSuite {
       (1L, "a", "b", "ab", 1L), (2L, "c", "d", "cd", 1L)))
   }
 
-  test("bpe segment: per-language token stats from the final segmentation") {
-    // 8-char word needs 7 merges; MergeSteps=6 leaves 2 tokens.
+  test("bpe segment: per-language token stats honor the merge budget") {
+    // 8-char word needs 7 merges; a 6-step budget leaves 2 tokens.
     // en: 1 word -> 2 tokens (20000 bp); fr: 'ab ab' both merge to 1
     // token each in step... ab is merged only if (a,b) wins a step —
     // with the 8-char word saturating the argmax on count 1 ties,
-    // 'a b' (count 2 from fr) wins step 1, so fr words are 1 token.
-    val got = Bpe.segmentOn(spark, docs("abcdefgh" -> "en", "ab ab" -> "fr"))
+    // 'a b' (count 3: en's adjacency + fr x2) wins step 1, so fr words
+    // are 1 token. Pinned at steps=6 (the pre-r17 MergeSteps) so the
+    // hand-derived budget-limited shape stays covered now that the
+    // default budget fully merges a corpus this small.
+    val got = Bpe.segmentOn(spark, docs("abcdefgh" -> "en", "ab ab" -> "fr"),
+        steps = 6)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("en", 1L, 2L, 20000L), ("fr", 2L, 2L, 10000L)))
+    // the default budget (MergeSteps=64) fully merges both words
+    val full = Bpe.segmentOn(spark, docs("abcdefgh" -> "en", "ab ab" -> "fr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.toSeq == Seq(("en", 1L, 1L, 10000L), ("fr", 2L, 2L, 10000L)))
   }
 
   test("bpe: embedded line terminators stay single-char base symbols") {

@@ -62,29 +62,43 @@ class Round16OpsSpec extends AnyFunSuite {
   // now raises instead of silently measuring against a degraded
   // baseline.
 
-  private def emitRow(win: Long, srcs: Array[String]): (Long, Int,
-      Array[String], Array[Long], Array[Long], Array[Long], Array[Byte], Long) = {
+  private def emitRow(win: Long, srcs: Array[String],
+      hitCap: Boolean = false): (Long, Int,
+      Array[String], Array[Long], Array[Long], Array[Long], Array[Byte],
+      Long, Boolean) = {
     val sk = new HllSketch(ThreatScreenStream.LgK)
     srcs.foreach(sk.update)
     (win, 0, srcs, Array.fill(srcs.length)(3L),
-      Array(40L, 60L), Array(4L, 4L), sk.toCompactByteArray, srcs.length * 3L)
+      Array(40L, 60L), Array(4L, 4L), sk.toCompactByteArray,
+      srcs.length * 3L, hitCap)
   }
 
   private val emitCols = Seq("win", "salt", "srcs", "srcCnts", "lenVals",
-    "lenCnts", "hll", "n")
+    "lenCnts", "hll", "n", "hitCap")
 
-  test("screen report: below MG capacity, hll_within computes; at capacity, it raises") {
+  test("screen report: guard fires on the latched hitCap flag, not summary size") {
     val ok = Seq(emitRow(0L, Array("s1", "s2", "s3")))
       .toDF(emitCols: _*)
     val rows = ThreatScreenStream.screenReport(ok).collect()
     assert(rows.length == 1 &&
       rows(0).getBoolean(rows(0).fieldIndex("hll_within")),
       "3 sources, exact regime: the 6-sigma band must hold")
-    val atCap = Seq(emitRow(1L,
+    // exactly MgCap retained keys with NO eviction: still exact — the
+    // old size-based guard raised a spurious error here (r16 ADVICE)
+    val fullNoEvict = Seq(emitRow(1L,
       Array.tabulate(ThreatScreenStream.MgCap)(i => s"s$i")))
       .toDF(emitCols: _*)
+    val fullRows = ThreatScreenStream.screenReport(fullNoEvict).collect()
+    assert(fullRows.length == 1 &&
+      fullRows(0).getBoolean(fullRows(0).fieldIndex("hll_within")),
+      "exactly-at-cap with no eviction is still exact — must not raise")
+    // degraded group that closed UNDER capacity (the usual shape after
+    // subtractCompact drops zero-count keys): the size guard would
+    // pass silently; the flag guard must raise
+    val degraded = Seq(emitRow(2L, Array("s1", "s2", "s3"), hitCap = true))
+      .toDF(emitCols: _*)
     val e = intercept[Exception] {
-      ThreatScreenStream.screenReport(atCap).collect()
+      ThreatScreenStream.screenReport(degraded).collect()
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))

@@ -119,9 +119,9 @@ class ThreatScreenStreamSpec extends AnyFunSuite {
     // salt 1 has b×1/len 100×1 — merged: 2 sources, 4 packets,
     // top a @ 7500 bp, p50 40, p99 100
     val e0 = ScreenEmit(0L, 0, Array("a"), Array(3L), Array(40L), Array(3L),
-      hllOf("a"), 3L)
+      hllOf("a"), 3L, hitCap = false)
     val e1 = ScreenEmit(0L, 1, Array("b"), Array(1L), Array(100L), Array(1L),
-      hllOf("b"), 1L)
+      hllOf("b"), 1L, hitCap = false)
     val out = ThreatScreenStream.screenReport(
       Seq(e0, e1, e1).toDS().toDF()) // e1 twice = a replayed batch
       .collect()
