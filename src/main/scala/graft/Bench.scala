@@ -76,6 +76,23 @@ object Bench {
     "q_sessionize",         // window functions over events
     "q_rate_window_stream") // streaming fixed floor (state store, micro-batches)
 
+  /** Committed canary baseline (r16 VERDICT task 2): the canary
+    * basket's per-query seconds from the round the baseline was last
+    * frozen (BENCH_FULL_r16.json, sf0.1, local[32]). Every bench JSON
+    * now carries `canary_ratio` = this run's basket sum / this sum and
+    * `normalized_total` = total / canary_ratio, so a cross-round
+    * comparison separates machine drift (canary moves with the sweep)
+    * from plan drift (sweep moves, canary doesn't) mechanically from
+    * the artifacts alone. Update ONLY when the basket or host basis
+    * deliberately changes, with a MEASUREMENT note — silently
+    * refreshing it erases the drift signal it exists to carry.
+    */
+  val canaryBaseline: Map[String, Double] = Map(
+    "q1_pricing_summary" -> 0.63,
+    "q_top_customers" -> 1.13,
+    "q_sessionize" -> 0.51,
+    "q_rate_window_stream" -> 2.17)
+
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
   private def fmt(v: Double): String =
@@ -237,13 +254,21 @@ object Bench {
     val gcJson = gcMs.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
     val canaryJson = canarySec.map { case (n, s) => s""""$n":${fmt2(s)}""" }
       .mkString("{", ",", "}")
+    // canary_ratio over the baseline INTERSECTION (a canary crash drops
+    // its entry from both sums rather than skewing the ratio); -1
+    // signals "no ratio" if the whole basket failed
+    val canaryPairs = canarySec.filter(c => canaryBaseline.contains(c._1))
+    val canaryRatio =
+      if (canaryPairs.isEmpty) -1.0
+      else canaryPairs.map(_._2).sum / canaryPairs.map(c => canaryBaseline(c._1)).sum
+    val normalizedTotal = if (canaryRatio > 0) total / canaryRatio else -1.0
     def jsonLine(entries: Seq[(String, Double)], full: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + (if (full) fmt(v) else fmt2(v)) }
         .mkString("{", ",", "}")
       val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"canary":$canaryJson,"iso":$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)}$builds,"canary":$canaryJson,"canary_ratio":${fmt(canaryRatio)},"normalized_total":${fmt(normalizedTotal)},"iso":$isoJson,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).

@@ -182,8 +182,13 @@ object ScaleSmoke {
       val rows = operators.Similarity.ivfOn(spark, s"scale-ivf-$m", corpus).count()
       val sec = (System.nanoTime() - t0v) / 1e9
       val probed = operators.Similarity.ivfProbedOn(spark, s"scale-ivf-$m", corpus)
-      println(f"[scale] ivf     x$m%-3d vecs=${nVec * m}%8d rows=$rows%8d probed=$probed%8d  $sec%7.2f s")
-      (m, sec, probed)
+      // recall-vs-scale (r16 VERDICT task 6): the probe budget must
+      // keep FINDING the true top-5 as n grows, not just stay
+      // sub-linear. Same corpus key — the widened embeddings view is
+      // reused, not rebuilt.
+      val recall = operators.Similarity.ivfRecallAt5On(spark, s"scale-ivf-$m", corpus)
+      println(f"[scale] ivf     x$m%-3d vecs=${nVec * m}%8d rows=$rows%8d probed=$probed%8d recall@5=$recall%.3f  $sec%7.2f s")
+      (m, sec, probed, recall)
     }
     println(f"[scale] ivf growth: input x${ivfResults.last._1 / ivfResults.head._1} -> time x${ivfResults.last._2 / ivfResults.head._2}%.1f")
     locally {
@@ -192,6 +197,21 @@ object ScaleSmoke {
       println(f"[scale] ivf probed rows: input x$inputRatio%.0f -> probed x$probedRatio%.2f (sub-linear bound ${0.8 * inputRatio}%.2f)")
       require(probedRatio < 0.8 * inputRatio,
         s"IVF probed rows grew x$probedRatio for x$inputRatio input — index is not sub-linear")
+      // Floors calibrated against the DuckDB oracle on the same
+      // replicated corpora (sf0.1: x1=0.70, x4=0.98, x10=1.00 —
+      // replication ADDS same-cell duplicate ties, so recall rises
+      // with m here; the gate is that it never COLLAPSES): >= 0.8 at
+      // the top multiple (the r16 VERDICT ask), >= 0.6 absolute
+      // everywhere.
+      val recalls = ivfResults.map(r => f"x${r._1}=${r._4}%.3f").mkString(" ")
+      println(s"[scale] ivf recall@5 vs scale: $recalls (floors: 0.6 all, 0.8 at top multiple)")
+      ivfResults.foreach { case (m, _, _, rec) =>
+        require(rec >= 0.6,
+          f"IVF recall@5 collapsed to $rec%.3f at x$m replication — " +
+            "probe budget no longer finds the true neighbors as n grows")
+      }
+      require(ivfResults.last._4 >= 0.8,
+        f"IVF recall@5 at the top multiple is ${ivfResults.last._4}%.3f < 0.8")
     }
 
     // ---- embedding near-dup: the adaptive sign-bucket modulus (+

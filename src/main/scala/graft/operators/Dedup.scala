@@ -426,7 +426,11 @@ FROM $bandsf a JOIN $bandsf b
   private[graft] def ensureIntersections(spark: SparkSession, key: String,
       docs: => DataFrame): Unit = {
     ensureCandidates(spark, key, docs)
-    StageViews.ensureCached(spark, "ipairs_v", key)(spark.sql(s"""
+    // stored, not cached (r16 VERDICT #3): the intersection relation
+    // is the verify family's most expensive shared stage and was
+    // evicted mid-sweep — parquet-store it so re-reads are local
+    // columnar scans regardless of later queries' cache pressure
+    StageViews.ensureStored(spark, "ipairs_v", key)(spark.sql(s"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
 FROM $shC a JOIN $shC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id"""))

@@ -72,13 +72,17 @@ object MarketBasket {
 
   private[graft] def basketView(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    StageViews.ensureCached(spark, "mb_basket_v", dir) {
+    // stored, not cached (r16 VERDICT #3): the basket and pair
+    // relations are the whole graph family's shared input and were
+    // LRU-evicted mid-sweep under ~42-view residency — a local
+    // parquet store can't be evicted and frees the memory budget
+    StageViews.ensureStored(spark, "mb_basket_v", dir) {
       cappedBasket(Tables.lineitem(spark, dir))
     }
 
   private[graft] def pairsView(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    StageViews.ensureCached(spark, "mb_pairs_v", dir) {
+    StageViews.ensureStored(spark, "mb_pairs_v", dir) {
       pairCounts(basketView(spark, dir))
     }
 

@@ -55,8 +55,52 @@ object Multimodal {
   def looksLikeRealImage(b: Array[Byte]): Boolean =
     (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
-      (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      looksLikeGif(b) ||
       (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** Full GIF87a/GIF89a signature — the one still-image container the
+    * JDK reads MULTI-FRAME (animated) without native libs, so GIF
+    * payloads get real n_frames and real per-frame hashes (r16 VERDICT
+    * task 5) while other video-ish payloads keep the documented stub.
+    */
+  def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Run `f` over an ImageReader positioned on `bytes`; None when no
+    * reader claims the payload or the read throws (corrupt container).
+    */
+  private def withReader[A](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Option[A] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        r.setInput(iis)
+        try Some(f(r))
+        catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Deterministic pixel hash of one decoded frame: md5 over
+    * (width, height, row-major ARGB ints, big-endian) — pure pixel
+    * content, independent of the reader's internal raster layout.
+    */
+  def frameMd5(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val bb = java.nio.ByteBuffer.allocate(8 + px.length * 4)
+    bb.putInt(w); bb.putInt(h)
+    px.foreach(bb.putInt)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bb.array).map("%02x".format(_)).mkString
+  }
 
   /** Hybrid decoder: real `javax.imageio` decode for real image bytes
     * (a sniffed-but-corrupt image reports `decode_ok = false` with
@@ -69,7 +113,18 @@ object Multimodal {
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(bytes).map("%02x".format(_)).mkString
       val len = bytes.length.toLong
-      if (looksLikeRealImage(bytes)) {
+      if (looksLikeGif(bytes)) {
+        // GIF decodes through the reader API so n_frames is the REAL
+        // animated frame count (getNumImages(true) walks the stream)
+        withReader(bytes)(r =>
+          (r.getWidth(0).toLong, r.getHeight(0).toLong,
+            r.getNumImages(true).toLong)) match {
+          case Some((w, h, n)) => MediaRow(id, mime, len, md5,
+            width = w, height = h, n_frames = n, decode_ok = true)
+          case None => MediaRow(id, mime, len, md5,
+            width = 0, height = 0, n_frames = 0, decode_ok = false)
+        }
+      } else if (looksLikeRealImage(bytes)) {
         val img =
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
           catch { case _: Exception => None }
@@ -123,15 +178,31 @@ ORDER BY doc_id"""
 
   // ---- frame sampling (video): one-to-many typed fan-out ----
 
-  /** Sample ≤4 evenly-strided frames per video asset. The STUB "frame"
-    * is md5(payload ++ "#idx"); the plumbing is the real shape — a
-    * batched mapPartitions that fans one asset row out to N frame rows
-    * with no shuffle (frames land in the asset's partition, which is
-    * what a real ffmpeg frame-grab stage needs for locality).
+  /** Sample ≤4 evenly-strided frames per video asset. GIF payloads take
+    * the REAL path (r16 VERDICT task 5): the JDK reader walks the
+    * animation, n_frames is the true frame count, and each sampled
+    * frame's hash is [[frameMd5]] of its DECODED PIXELS — a corrupt
+    * GIF contributes no frame rows (mirroring decode_ok = false). All
+    * other payloads keep the documented stub (md5(payload ++ "#idx"));
+    * the plumbing is identical on both paths — a batched mapPartitions
+    * that fans one asset row out to N frame rows with no shuffle
+    * (frames land in the asset's partition, which is what a real
+    * ffmpeg frame-grab stage needs for locality). The catalog corpus
+    * is text bytes, which never carry the GIF signature, so the
+    * DuckDB oracle keeps gating the stub arithmetic.
     */
   def sampleFramesBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[FrameRow] =
     batch.flatMap { case (id, mime, bytes) =>
-      if (mime != "video/mp4") Nil
+      if (looksLikeGif(bytes)) {
+        withReader(bytes) { r =>
+          val nFrames = r.getNumImages(true).toLong
+          val stride = math.max(nFrames / 4, 1L)
+          (0 until 4)
+            .map(_ * stride)
+            .filter(_ < nFrames)
+            .map(idx => FrameRow(id, nFrames, idx, frameMd5(r.read(idx.toInt))))
+        }.getOrElse(Nil)
+      } else if (mime != "video/mp4") Nil
       else {
         val nFrames = 1 + bytes.length.toLong / 100
         val stride = math.max(nFrames / 4, 1L)

@@ -598,6 +598,24 @@ ORDER BY grp"""
       .head().getLong(0)
   }
 
+  /** Mean recall@5 over the 20 probe queries for `key`'s corpus — the
+    * ScaleSmoke recall-vs-scale gate (r16 VERDICT task 6). The oracle-SF
+    * recall gates (q_ann_ivf_recall) pin recall at ONE size; this runs
+    * the same self-contained recall computation at replicated sizes so
+    * the probe budget's n^(3/4) growth is shown to keep FINDING the
+    * true neighbors, not just to stay sub-linear. Uses the CTE spelling
+    * (not the cached stage views): each multiple is its own corpus key
+    * and the relations are built, read once, and dropped.
+    */
+  private[graft] def ivfRecallAt5On(spark: SparkSession, key: String,
+      emb: => DataFrame): Double = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    val rows = spark.sql(ivfRecallSql(SparkSql)).collect()
+    if (rows.isEmpty) 0.0
+    else rows.map(_.getLong(1)).sum.toDouble / (rows.length * 5.0)
+  }
+
   /** The derived (T, nl1, nl2, np1, np2) for `key`'s corpus — spec
     * observability for the parameter math at synthetic corpus sizes
     * the assignment joins could never run at inside a test (the

@@ -148,6 +148,54 @@ private[graft] object StageViews {
   def ensureCached(spark: SparkSession, name: String, key: String)(build: => DataFrame): DataFrame =
     ensure0(spark, name, key, cache = true)(build)
 
+  /** ensure + materialize the relation to LOCAL PARQUET once and
+    * register the view over the read-back — for expensive,
+    * multi-consumer stage relations whose in-memory cache residency
+    * was at the mercy of sweep pressure (r16 VERDICT #3: mb_* and
+    * ipairs_v were LRU-evicted mid-sweep by later queries' caches,
+    * making q_kcore_copurchase/q_triangle_count swept 2-2.5x their
+    * iso cost). A stored view cannot be evicted: every downstream
+    * read is a local columnar scan with pushdown/pruning, and the
+    * unified-memory budget is freed for the caches that stay. This is
+    * literally the 100 TB shape (persisted intermediate table on DFS)
+    * run at local scale. The write is timed and attributed like a
+    * cached-stage materialization; a new corpus key re-writes.
+    */
+  def ensureStored(spark: SparkSession, name: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val reg = registry(spark)
+    reg.synchronized {
+      reg.get(name) match {
+        case Some(e) if e.key == key => ()
+        case prior =>
+          prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+          val attributing = attributionLabel.isDefined
+          val saved: Double = if (attributing) {
+            val s = nestedSec.get(); nestedSec.set(0.0); s
+          } else 0.0
+          val t0 = System.nanoTime()
+          // session-scoped path: concurrent test sessions must not
+          // overwrite each other's store mid-read
+          val path = java.nio.file.Paths.get("target", "stageviews",
+            name + "_" + Integer.toHexString(System.identityHashCode(spark)) +
+              "_" + Integer.toHexString(key.hashCode)).toString
+          build.write.mode("overwrite").parquet(path)
+          val df = spark.read.parquet(path)
+          df.createOrReplaceTempView(name)
+          reg(name) = Entry(key, df, cached = false)
+          if (attributing) {
+            val raw = (System.nanoTime() - t0) / 1e9
+            val b = Build(name, attributionLabel.get.apply(), raw - nestedSec.get())
+            builds.synchronized(builds += b)
+            System.err.println(
+              f"[stageviews] stored ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+            nestedSec.set(saved + raw)
+          }
+      }
+    }
+    spark.table(name)
+  }
+
   /** Run `work` once per (session, name, key) — for stages whose
     * product is a SIDE EFFECT (bucketed table writes, index layouts)
     * rather than a cacheable relation. The work is timed and recorded

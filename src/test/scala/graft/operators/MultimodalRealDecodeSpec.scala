@@ -73,6 +73,76 @@ class MultimodalRealDecodeSpec extends AnyFunSuite {
     assert(r.decode_ok && r.width == 16 + len % 640 && r.height == 16 + len % 480)
   }
 
+  /** In-memory animated GIF: the JDK's own GIF writer in sequence mode
+    * (no fixture files, no native libs) — frame i gets a distinct pixel
+    * pattern so per-frame hashes must differ.
+    */
+  private def encodeAnimatedGif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { i =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17 + i * 97) & 0xffffff)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  test("animated GIF: real frame count in decode, real pixel hashes in frame sampling") {
+    import spark.implicits._
+    val gif3 = encodeAnimatedGif(5, 4, 3)
+    val gif10 = encodeAnimatedGif(6, 6, 10)
+    assert(Multimodal.looksLikeGif(gif3) && Multimodal.looksLikeGif(gif10))
+    val media = Seq((0L, "video/mp4", gif3), (1L, "image/gif", gif10))
+      .toDF("doc_id", "mime", "payload")
+    // decode: n_frames is the REAL animation length, dims are frame 0's
+    val dec = Multimodal.decode(media).collect().map(r => r.doc_id -> r).toMap
+    assert(dec(0L).decode_ok && dec(0L).n_frames == 3 &&
+      dec(0L).width == 5 && dec(0L).height == 4)
+    assert(dec(1L).decode_ok && dec(1L).n_frames == 10 &&
+      dec(1L).width == 6 && dec(1L).height == 6)
+    // frame sampling: <=4 evenly strided REAL frames, hashes from pixels
+    val frames = Multimodal.sampleFrames(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(0L).map(f => (f.n_frames, f.frame_idx)).toSeq ==
+      Seq((3L, 0L), (3L, 1L), (3L, 2L)), "3 frames, stride 1: sample all")
+    assert(frames(1L).map(f => (f.n_frames, f.frame_idx)).toSeq ==
+      Seq((10L, 0L), (10L, 2L), (10L, 4L), (10L, 6L)), "10 frames: stride 2")
+    // distinct pixel content -> distinct hashes; rerun is deterministic
+    assert(frames(0L).map(_.frame_md5).distinct.length == 3)
+    assert(frames(1L).map(_.frame_md5).distinct.length == 4)
+    val again = Multimodal.sampleFrames(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx).map(_.frame_md5).toSeq).toMap
+    assert(again(0L) == frames(0L).map(_.frame_md5).toSeq &&
+      again(1L) == frames(1L).map(_.frame_md5).toSeq,
+      "frame hashes are deterministic across runs")
+    // and the hash IS the pixel hash: recompute frame 0 locally
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(gif3))
+    val reader = ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val want = Multimodal.frameMd5(reader.read(0))
+    reader.dispose(); iis.close()
+    assert(frames(0L).head.frame_md5 == want)
+  }
+
+  test("corrupt GIF (valid signature, truncated body) yields decode_ok=false and no frames") {
+    import spark.implicits._
+    val broken = encodeAnimatedGif(5, 4, 3).take(10)
+    assert(Multimodal.looksLikeGif(broken))
+    val media = Seq((7L, "video/mp4", broken)).toDF("doc_id", "mime", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(!r.decode_ok && r.n_frames == 0 && r.width == 0 && r.height == 0)
+    assert(Multimodal.sampleFrames(media).collect().isEmpty,
+      "a corrupt GIF must not fall through to the stub frame path")
+  }
+
   test("roundtrip: decode of the JDK's own re-encode is stable (resize-plan input)") {
     import spark.implicits._
     // the aspect-fit plan on a REAL decoded 448x224 image must halve to 224x112
