@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.Pq.all ++
       operators.TextAnalysis.all ++
+      operators.Retrieval.all ++
       operators.Bpe.all ++
       operators.Sampling.all ++
       operators.CorpusFilter.all ++

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyword retrieval over the corpus — BM25 top-k, the operator a
+  * training-data pipeline runs for decontamination lookups, dedup
+  * triage, and eval-set leakage scans (and the lexical half of every
+  * hybrid RAG stack). New family: the text queries score documents
+  * INTERNALLY (tf-idf top terms, surprisal); this RANKS the corpus
+  * against a query workload.
+  *
+  * Integer-exact BM25 (the [[Q]] determinism contract): the standard
+  * k1 = 1.2, b = 0.75 scoring
+  *
+  *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+  *
+  * is evaluated in basis points with the rationals cleared — with
+  * avgdl = TL/N (TL total tokens, N docs), the tf ratio becomes
+  * 44·tf·TL / (20·tf·TL + 6·TL + 18·|d|·N), and idf uses the
+  * rational surrogate (N − df + 1)/(df + 1) rather than the float
+  * log (libm last-ulps differ across engines — the q_text_surprisal
+  * precedent): idf_bp = 10000·(N − df + 1) DIV (df + 1), and the tf
+  * ratio is itself bp-scaled BEFORE the integer divide
+  * (440000·tf·TL DIV denom — an unscaled divide floors the ~[0, 2.2]
+  * ratio to {0, 1, 2}, collapsing most rankings into ties). Every
+  * value is BIGINT; both engines run the identical arithmetic. The
+  * rational idf preserves the log-idf ORDERING (both decrease
+  * monotonically in df), which is what a ranking needs. Headroom:
+  * 44·10⁴·tf·TL must stay under 2⁶³ — holds to TL ≈ 10¹² tokens at
+  * tf ≤ 10³; past that, rescale the constant or pre-divide TL.
+  *
+  * Query workload: 20 two-term queries built deterministically from
+  * the corpus itself — the 40 highest-df non-stopword terms (ties by
+  * term ascending), paired in rank order. Self-contained: both engines
+  * derive the same workload with no out-of-band fixture.
+  *
+  * Scale shape: one explode+groupBy builds the (doc, term, tf)
+  * posting relation (the only corpus-sized shuffle); the 40-term
+  * query table broadcasts; candidates are qterms ⋈ postings ON term —
+  * only matching postings survive. Top-k is TWO-PHASE: phase 1 ranks
+  * within (query_id, doc_id % 32) and keeps 5 per salt — 32-way
+  * parallel, each partition sees ~1/32 of the candidates — phase 2
+  * ranks the ≤160 survivors per query globally. Same total order
+  * (score DESC, doc_id), so the result is identical to the
+  * single-phase spelling (Round17OpsSpec pins the law); at 100 TB the
+  * single-phase window would funnel every candidate for a query
+  * through one reducer.
+  */
+object Retrieval {
+
+  private val Stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+  val QueryTerms = 40
+  val TopK = 5
+  val Salts = 32
+
+  private def bm25Sql(d: SqlDialect): String = {
+    val termCte = d match {
+      case SparkSql => s"""
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+         (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+       WHERE NOT term IN $Stop GROUP BY doc_id, term)"""
+      case DuckSql => s"""
+dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+ti AS (${d.series("doc_id, w", d.len("w"), "i", "dw")}),
+tf AS (SELECT doc_id, ${d.el("w", "i")} AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM ti WHERE NOT ${d.el("w", "i")} IN $Stop GROUP BY doc_id, ${d.el("w", "i")})"""
+    }
+    val dlen = d match {
+      case SparkSql => "size(split(text, ' '))"
+      case DuckSql  => s"${d.len(d.split("text"))}"
+    }
+    s"""
+WITH $termCte,
+dl AS (SELECT doc_id, CAST($dlen AS BIGINT) AS len FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum($dlen) AS BIGINT) AS tl
+       FROM documents),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qt AS (SELECT term, df,
+              CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS qrank
+       FROM df),
+qterms AS (SELECT ${d.idiv("qrank - 1", "2")} AS query_id, term, df
+           FROM qt WHERE qrank <= $QueryTerms),
+contrib AS (SELECT q.query_id, t.doc_id,
+                   ${d.idiv(s"(${d.idiv("10000 * (nn.n - q.df + 1)", "q.df + 1")}) * (${d.idiv("440000 * t.tf * nn.tl", "20 * t.tf * nn.tl + 6 * nn.tl + 18 * dl.len * nn.n")})", "10000")} AS c_bp
+            FROM qterms q JOIN tf t ON q.term = t.term
+            JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN nn),
+scores AS (SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp
+           FROM contrib GROUP BY query_id, doc_id),
+r1 AS (SELECT query_id, doc_id, score_bp,
+              ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                 ORDER BY score_bp DESC, doc_id) AS sr
+       FROM scores),
+r2 AS (SELECT query_id, doc_id, score_bp,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+       FROM r1 WHERE sr <= $TopK),
+qlab AS (SELECT query_id, min(term) AS term_a, max(term) AS term_b
+         FROM qterms GROUP BY query_id)
+SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
+FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
+WHERE r2.rank <= $TopK
+ORDER BY r2.query_id, r2.rank"""
+  }
+
+  /** Spec/fixture entry: the production SQL over any documents-shaped
+    * relation registered as `documents` in the session.
+    */
+  private[graft] def bm25SparkSqlForTest: String = bm25Sql(SparkSql)
+  private[graft] def bm25DuckSqlForTest: String = bm25Sql(DuckSql)
+
+  /** Single-phase spelling (no salt pre-rank) — spec-only, the law
+    * "two-phase == single-phase" runs both over the same corpus.
+    */
+  private[graft] def bm25SinglePhaseSparkSql: String = {
+    val two = bm25Sql(SparkSql)
+    two.replace(s"PARTITION BY query_id, doc_id % $Salts", "PARTITION BY query_id")
+  }
+
+  private def runBm25(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    spark.sql(bm25Sql(SparkSql))
+  }
+
+  val qBm25 = Q("q_bm25_topk", runBm25 _, Some(bm25Sql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qBm25)
+}
