@@ -54,28 +54,37 @@ object Retrieval {
   val TopK = 5
   val Salts = 32
 
-  private def bm25Sql(d: SqlDialect): String = {
-    val termCte = d match {
-      case SparkSql => s"""
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
-         (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
-       WHERE NOT term IN $Stop GROUP BY doc_id, term)"""
-      case DuckSql => s"""
-dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
-ti AS (${d.series("doc_id, w", d.len("w"), "i", "dw")}),
-tf AS (SELECT doc_id, ${d.el("w", "i")} AS term, CAST(count(*) AS BIGINT) AS tf
-       FROM ti WHERE NOT ${d.el("w", "i")} IN $Stop GROUP BY doc_id, ${d.el("w", "i")})"""
-    }
-    val dlen = d match {
-      case SparkSql => "size(split(text, ' '))"
-      case DuckSql  => s"${d.len(d.split("text"))}"
-    }
-    s"""
-WITH $termCte,
-dl AS (SELECT doc_id, CAST($dlen AS BIGINT) AS len FROM documents),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum($dlen) AS BIGINT) AS tl
-       FROM documents),
-df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+  /** The postings build (doc_id, term, tf) — per dialect. */
+  private def tfSql(d: SqlDialect): String = d match {
+    case SparkSql => s"""
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+  (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+WHERE NOT term IN $Stop GROUP BY doc_id, term"""
+    case DuckSql => s"""
+SELECT doc_id, ${d.el("w", "i")} AS term, CAST(count(*) AS BIGINT) AS tf
+FROM (${d.series("doc_id, w", d.len("w"), "i",
+      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents) dw")})
+WHERE NOT ${d.el("w", "i")} IN $Stop GROUP BY doc_id, ${d.el("w", "i")}"""
+  }
+
+  private def dlen(d: SqlDialect): String = d match {
+    case SparkSql => "size(split(text, ' '))"
+    case DuckSql  => s"${d.len(d.split("text"))}"
+  }
+
+  /** Everything downstream of the postings (`tf`) and doc-length (`dl`)
+    * relations, shared by both dialects. The Spark catalog entry feeds
+    * it CACHED STAGE VIEWS (`bm25_tf_v`, `bm25_dl_v`) — Spark inlines
+    * WITH-CTEs at every mention, and the self-contained spelling
+    * re-scanned the documents parquet 10× (the Similarity-family
+    * lesson); with the staged views the corpus is scanned ONCE for
+    * postings and once for lengths, everything else reads the caches.
+    * The oracle and the specs keep the self-contained CTE spelling.
+    */
+  private def bm25Body(d: SqlDialect, tfRel: String, dlRel: String): String = s"""
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
+       FROM $dlRel),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM $tfRel GROUP BY term),
 qt AS (SELECT term, df,
               CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS qrank
        FROM df),
@@ -83,8 +92,8 @@ qterms AS (SELECT ${d.idiv("qrank - 1", "2")} AS query_id, term, df
            FROM qt WHERE qrank <= $QueryTerms),
 contrib AS (SELECT q.query_id, t.doc_id,
                    ${d.idiv(s"(${d.idiv("10000 * (nn.n - q.df + 1)", "q.df + 1")}) * (${d.idiv("440000 * t.tf * nn.tl", "20 * t.tf * nn.tl + 6 * nn.tl + 18 * dl.len * nn.n")})", "10000")} AS c_bp
-            FROM qterms q JOIN tf t ON q.term = t.term
-            JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN nn),
+            FROM qterms q JOIN $tfRel t ON q.term = t.term
+            JOIN $dlRel dl ON t.doc_id = dl.doc_id CROSS JOIN nn),
 scores AS (SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp
            FROM contrib GROUP BY query_id, doc_id),
 r1 AS (SELECT query_id, doc_id, score_bp,
@@ -101,7 +110,18 @@ SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
 FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
 WHERE r2.rank <= $TopK
 ORDER BY r2.query_id, r2.rank"""
-  }
+
+  /** Self-contained spelling (tf/dl as CTEs over `documents`) — the
+    * DuckDB oracle and the specs.
+    */
+  private def bm25Sql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Body(d, "tf", "dl")}"""
+
+  /** Staged spelling: the body over the cached stage views. */
+  private def bm25StagedSparkSql: String =
+    s"WITH ${bm25Body(SparkSql, "bm25_tf_v", "bm25_dl_v")}"
 
   /** Spec/fixture entry: the production SQL over any documents-shaped
     * relation registered as `documents` in the session.
@@ -119,7 +139,10 @@ ORDER BY r2.query_id, r2.rank"""
 
   private def runBm25(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
-    spark.sql(bm25Sql(SparkSql))
+    StageViews.ensureCached(spark, "bm25_tf_v", dir)(spark.sql(tfSql(SparkSql)))
+    StageViews.ensureCached(spark, "bm25_dl_v", dir)(spark.sql(
+      s"SELECT doc_id, CAST(${dlen(SparkSql)} AS BIGINT) AS len FROM documents"))
+    spark.sql(bm25StagedSparkSql)
   }
 
   val qBm25 = Q("q_bm25_topk", runBm25 _, Some(bm25Sql(DuckSql)))
