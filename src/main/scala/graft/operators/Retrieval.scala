@@ -54,8 +54,13 @@ object Retrieval {
   val TopK = 5
   val Salts = 32
 
-  /** The postings build (doc_id, term, tf) — per dialect. */
-  private def tfSql(d: SqlDialect): String = d match {
+  /** The postings build (doc_id, term, tf) — per dialect. The Spark
+    * spelling is shared with [[TextAnalysis.qCollocations]], which
+    * reuses the SAME `bm25_tf_v` cache for unigram counts (the
+    * StageViews registry dedups by name+key, so whichever query runs
+    * first builds it once).
+    */
+  private[operators] def tfSql(d: SqlDialect): String = d match {
     case SparkSql => s"""
 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
   (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)

@@ -760,8 +760,87 @@ ORDER BY z.doc_id""")
     (spark, dir) => noveltyOn(spark, dir, graft.Tables.documents(spark, dir)),
     Some(noveltySql(DuckSql)))
 
+  // ---- PMI collocation mining (integer association, no logs) ----
+
+  /** Adjacent-bigram collocations ranked by pointwise mutual
+    * information — the corpus statistic tokenizer designers read to
+    * decide merge-worthy units and dataset auditors read to spot
+    * boilerplate n-grams. PMI = log₂(P(ab) / (P(a)·P(b))) is a
+    * MONOTONE transform of the association ratio
+    * c_ab·W² / (B·c_a·c_b) (W = non-stopword token count, B = bigram
+    * count), so the ranking needs no log at all: the ratio is emitted
+    * directly in basis points, all BIGINT (the float log is
+    * unhashable across engines — the q_text_surprisal rationale).
+    * Overflow discipline: the two multiplications are split by a DIV
+    * ((10⁴·c_ab·W DIV B)·W DIV (c_a·c_b)), identical in both engines,
+    * keeping every intermediate under 2⁶³ to W ≈ 10⁹ tokens; past
+    * that, pre-scale W. Single-word documents are filtered BEFORE the
+    * position series (Spark's `sequence(1, 0)` descends instead of
+    * emitting empty). Min support 3 keeps hapax noise out while
+    * staying non-vacuous at sf0.001.
+    *
+    * Scale shape: one explode+groupBy builds the bigram counts (the
+    * only corpus-sized shuffle; unigram counts reuse the cached BM25
+    * postings on the Spark side), scalar totals broadcast, and the
+    * final rank runs over the bigram-TYPE relation (vocabulary², in
+    * practice adjacency-bounded), never the corpus.
+    */
+  private def collocationsSql(d: SqlDialect, uniRel: Option[String]): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val uni = uniRel match {
+      case Some(r) => s"SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM $r GROUP BY term"
+      case None => s"""
+SELECT ${d.el("w", "i")} AS term, CAST(count(*) AS BIGINT) AS c
+FROM (${d.series("doc_id, w", d.len("w"), "i",
+        s"(SELECT doc_id, ${d.split("text")} AS w FROM documents) uw")})
+WHERE NOT ${d.el("w", "i")} IN $stop GROUP BY ${d.el("w", "i")}"""
+    }
+    s"""
+WITH dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents
+            WHERE ${d.len(d.split("text"))} >= 2),
+bi AS (${d.series("doc_id, w", d.len("w") + " - 1", "i", "dw")}),
+bg AS (SELECT ${d.el("w", "i")} AS ta, ${d.el("w", "i + 1")} AS tb FROM bi
+       WHERE NOT ${d.el("w", "i")} IN $stop
+         AND NOT ${d.el("w", "i + 1")} IN $stop),
+pc AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY ta, tb),
+uni AS ($uni),
+tot AS (SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS wt,
+               CAST((SELECT sum(n_ab) FROM pc) AS BIGINT) AS b),
+scored AS (SELECT pc.ta, pc.tb, pc.n_ab, ua.c AS n_a, ub.c AS n_b,
+                  ${d.idiv(s"(${d.idiv("10000 * pc.n_ab * tot.wt", "tot.b")}) * tot.wt", "ua.c * ub.c")} AS assoc_bp
+           FROM pc JOIN uni ua ON pc.ta = ua.term
+                   JOIN uni ub ON pc.tb = ub.term CROSS JOIN tot
+           WHERE pc.n_ab >= 3),
+ranked AS (SELECT ta, tb, n_ab, n_a, n_b, assoc_bp,
+                  CAST(ROW_NUMBER() OVER (ORDER BY assoc_bp DESC, n_ab DESC, ta, tb) AS BIGINT) AS rank
+           FROM scored)
+SELECT rank, ta AS term_a, tb AS term_b, n_ab, n_a, n_b, assoc_bp
+FROM ranked WHERE rank <= 20
+ORDER BY rank"""
+  }
+
+  private[graft] def collocationsSparkSqlForTest: String =
+    collocationsSql(SparkSql, None)
+  private[graft] def collocationsDuckSqlForTest: String =
+    collocationsSql(DuckSql, None)
+
+  private def runCollocations(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    // unigram counts reuse the BM25 postings cache (same stopword set,
+    // same tokenization) — the corpus is exploded once for bigrams and
+    // zero additional times for unigrams
+    StageViews.ensureCached(spark, "bm25_tf_v", dir)(
+      spark.sql(Retrieval.tfSql(SparkSql)))
+    spark.sql(collocationsSql(SparkSql, Some("bm25_tf_v")))
+  }
+
+  val qCollocations = Q(
+    "q_text_collocations",
+    runCollocations _,
+    Some(collocationsSql(DuckSql, None)))
+
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qTokensBpe, qWinnow, qFingerprint,
       qRepetition, qTopTerms, qTfIdf, qSurprisal, qChunks, qNormalize,
-      qBoilerplate, qVocab, qNovelty)
+      qBoilerplate, qVocab, qNovelty, qCollocations)
 }

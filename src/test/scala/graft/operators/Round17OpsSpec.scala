@@ -77,6 +77,32 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: hand-derived integer PMI ratio, min support, ordering") {
+    // doc0 "big cat big cat", doc1 "big cat dog": W=7 tokens,
+    // unigrams big=3 cat=3 dog=1; bigrams B=5: (big,cat)x3 (cat,big)x1
+    // (cat,dog)x1 — min support 3 keeps only (big,cat):
+    // assoc_bp = ((10000*3*7) DIV 5) * 7 DIV 9 = 42000*7 DIV 9 = 32666
+    val got = withDocs(0L -> "big cat big cat", 1L -> "big cat dog") {
+      spark.sql(TextAnalysis.collocationsSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    }
+    assert(got == Seq((1L, "big", "cat", 3L, 3L, 3L, 32666L)))
+  }
+
+  test("collocations: single-word docs and stopword-adjacent pairs are excluded") {
+    // "x" alone has no bigram slot (Spark's sequence(1,0) DESCENDS —
+    // the len>=2 filter must fire before the position series);
+    // "the cat"-style pairs die on the stopword filter
+    val got = withDocs(
+      0L -> "x", 1L -> "the cat", 2L -> "ant bee ant bee ant bee") {
+      spark.sql(TextAnalysis.collocationsSparkSqlForTest).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    assert(got == Seq(("ant", "bee", 3L)),
+      s"only the supported non-stop bigram survives, got $got")
+  }
+
   test("bm25: catalog query is non-vacuous and totally ordered at the oracle SF") {
     val rows = Retrieval.qBm25.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
