@@ -108,6 +108,33 @@ class ThreatScreenStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("hitCap latches through the stream: eviction marks the emitted summary") {
+    // cap is 16 in this harness: window 1 sees 20 DISTINCT sources —
+    // the 17th update takes the global-decrement branch (all counts 1
+    // -> every key drops), so the summary closes far UNDER capacity
+    // but must still emit hitCap = true (r16 ADVICE: the final size
+    // cannot reveal the hit). Window 2 sees exactly 16 distinct
+    // sources — AT capacity but never evicted -> hitCap = false.
+    StatefulTotals.withRocksDb(spark) {
+      val src = Files.createTempDirectory("tscr_cap_src").toString
+      val ckpt = Files.createTempDirectory("tscr_cap_ckpt").toString
+      val out = Files.createTempDirectory("tscr_cap_out").toString
+      val w1 = (0 until 20).map(i => (1L, 0, f"s$i%02d", 40L, 1100L + i))
+      val w2 = (0 until 16).map(i => (2L, 0, f"t$i%02d", 40L, 2100L + i))
+      writeBatch(src, "b1", w1 ++ w2 :+ ((9L, 0, "z", 64L, 9500L)))
+      runOnce(src, ckpt, out)
+      val byWin = readEmits(out).map(e => e.win -> e).toMap
+      assert(byWin.keySet == Set(1L, 2L))
+      assert(byWin(1L).hitCap, "20 distinct sources at cap 16: eviction fired")
+      assert(byWin(1L).srcs.length < 16,
+        "the degraded summary closes under capacity — the size-based " +
+          "guard this flag replaced would have passed it silently")
+      assert(!byWin(2L).hitCap,
+        "exactly-at-cap with no eviction stays exact: no spurious flag")
+      assert(byWin(2L).srcs.length == 16)
+    }
+  }
+
   test("report: salt groups merge losslessly; replayed emissions collapse") {
     import spark.implicits._
     def hllOf(keys: String*): Array[Byte] = {
