@@ -168,6 +168,35 @@ object ScaleSmoke {
       println("[scale] bpe trainer: Spark job count constant in merge budget (driver-local loop)")
     }
 
+    // ---- BM25 retrieval (r17): the query workload (top-40 df terms)
+    // is replication-INVARIANT by construction (df scales x m for every
+    // term, ties unchanged), so candidate rows — postings matching the
+    // workload — must grow EXACTLY x m, and the result-row count (top-k
+    // per query) must not grow at all. Super-linear candidates would
+    // mean the workload leaked corpus-sized state; growing result rows
+    // would mean the top-k bound broke.
+    val bm25Results = multiples.map { m =>
+      val corpus = docs.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
+      val t0r = System.nanoTime()
+      val cands = operators.Retrieval.bm25CandidatesOn(spark, s"scale-bm25-$m", corpus)
+      val rows = operators.Retrieval.bm25On(spark, s"scale-bm25-$m", corpus).count()
+      val sec = (System.nanoTime() - t0r) / 1e9
+      println(f"[scale] bm25    x$m%-3d docs=${nDocs * m}%8d cands=$cands%9d rows=$rows%4d  $sec%7.2f s")
+      (m, cands, rows)
+    }
+    locally {
+      val (m0r, c0, r0) = bm25Results.head
+      for ((m, c, r) <- bm25Results.tail) {
+        require(c == c0 * m / m0r,
+          s"BM25 candidates not exactly linear: $c vs ${c0 * m / m0r} at x$m — " +
+            "the query workload leaked corpus-sized state")
+        require(r == r0,
+          s"BM25 result rows grew under replication: $r0 -> $r at x$m — top-k bound broke")
+      }
+      println(s"[scale] bm25 candidates exactly linear, result rows invariant across x${multiples.mkString("/x")}")
+    }
+
     // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
     // multi-probe at both levels, so probed candidate rows must grow
     // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)

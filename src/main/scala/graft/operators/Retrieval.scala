@@ -142,11 +142,46 @@ ${bm25Body(d, "tf", "dl")}"""
     two.replace(s"PARTITION BY query_id, doc_id % $Salts", "PARTITION BY query_id")
   }
 
+  private def ensureStages(spark: SparkSession, key: String): Unit = {
+    StageViews.ensureCached(spark, "bm25_tf_v", key)(spark.sql(tfSql(SparkSql)))
+    StageViews.ensureCached(spark, "bm25_dl_v", key)(spark.sql(
+      s"SELECT doc_id, CAST(${dlen(SparkSql)} AS BIGINT) AS len FROM documents"))
+    ()
+  }
+
+  /** The full query over an arbitrary documents-shaped corpus keyed by
+    * `key` — ScaleSmoke's replication probe entry.
+    */
+  private[graft] def bm25On(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    StageViews.ensure(spark, "documents", key)(
+      StageViews.widen(spark, docs, "doc_id"))
+    ensureStages(spark, key)
+    spark.sql(bm25StagedSparkSql)
+  }
+
+  /** Candidate (postings ⋈ query-terms) row count — the quantity that
+    * must grow EXACTLY linearly with corpus size: the workload (top-40
+    * df terms) is replication-invariant by construction, so candidates
+    * are Σ df over the workload, ×m under ×m replication. ScaleSmoke
+    * asserts the exact ratio.
+    */
+  private[graft] def bm25CandidatesOn(spark: SparkSession, key: String,
+      docs: => DataFrame): Long = {
+    StageViews.ensure(spark, "documents", key)(
+      StageViews.widen(spark, docs, "doc_id"))
+    ensureStages(spark, key)
+    spark.sql(s"""
+WITH df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm25_tf_v GROUP BY term),
+qt AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank FROM df),
+qterms AS (SELECT term FROM qt WHERE qrank <= $QueryTerms)
+SELECT count(*) FROM qterms q JOIN bm25_tf_v t ON q.term = t.term""")
+      .head().getLong(0)
+  }
+
   private def runBm25(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
-    StageViews.ensureCached(spark, "bm25_tf_v", dir)(spark.sql(tfSql(SparkSql)))
-    StageViews.ensureCached(spark, "bm25_dl_v", dir)(spark.sql(
-      s"SELECT doc_id, CAST(${dlen(SparkSql)} AS BIGINT) AS len FROM documents"))
+    ensureStages(spark, dir)
     spark.sql(bm25StagedSparkSql)
   }
 
