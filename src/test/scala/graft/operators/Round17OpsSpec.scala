@@ -103,6 +103,45 @@ class Round17OpsSpec extends AnyFunSuite {
       s"only the supported non-stop bigram survives, got $got")
   }
 
+  test("StageViews.ensureStored: build-once, key supersession, exact round-trip") {
+    import spark.implicits._
+    var builds = 0
+    def mk(n: Int) = { builds += 1; Seq((1L, s"v$n"), (2L, s"w$n")).toDF("id", "s") }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    try {
+      val a = StageViews.ensureStored(spark, "r17_store_v", "k1")(mk(1))
+      assert(builds == 1)
+      assert(rows(a) == Seq((1L, "v1"), (2L, "w1")),
+        "stored view round-trips the relation exactly")
+      // same key: the builder must not even be evaluated (no rewrite)
+      StageViews.ensureStored(spark, "r17_store_v", "k1")(mk(2))
+      assert(builds == 1, "same (name, key): registration is a no-op")
+      assert(rows(spark.table("r17_store_v")) == Seq((1L, "v1"), (2L, "w1")))
+      // a new corpus key supersedes: rebuilt, view reads the new store
+      val c = StageViews.ensureStored(spark, "r17_store_v", "k2")(mk(3))
+      assert(builds == 2)
+      assert(rows(c) == Seq((1L, "v3"), (2L, "w3")),
+        "new key re-materializes and the view follows")
+    } finally StageViews.unpersistAll(spark)
+  }
+
+  test("StageViews.ensureStored: attributed build lands in the build log") {
+    import spark.implicits._
+    StageViews.enableBuildAttribution(() => "r17_spec_query")
+    try {
+      StageViews.ensureStored(spark, "r17_store_attr_v", "k")(
+        Seq(1, 2, 3).toDF("x"))
+      val log = StageViews.buildLog
+      assert(log.exists(b => b.view == "r17_store_attr_v" &&
+        b.chargedTo == "r17_spec_query" && b.sec >= 0.0),
+        s"stored build must be itemized like a cached one: $log")
+    } finally {
+      StageViews.disableBuildAttribution()
+      StageViews.unpersistAll(spark)
+    }
+  }
+
   test("bm25: catalog query is non-vacuous and totally ordered at the oracle SF") {
     val rows = Retrieval.qBm25.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
