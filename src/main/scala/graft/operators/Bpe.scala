@@ -197,7 +197,13 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
     var w = 0
     while (w < rows.length) {
       cnts(w) = rows(w).getLong(0)
-      toksArr(w) = rows(w).getString(1).trim.split("  ", -1)
+      // strip EXACTLY the single framing spaces seg0Sql guarantees —
+      // Java String.trim strips every char <= U+0020, so a word with a
+      // leading/trailing control char (e.g. "\nb") would lose its "\n"
+      // base token here while the SQL spelling (space-only trim) keeps
+      // it, silently diverging pair counts from the DuckDB oracle
+      val s = rows(w).getString(1)
+      toksArr(w) = s.substring(1, s.length - 1).split("  ", -1)
       w += 1
     }
     // pair -> summed word-frequency weight over ALL adjacent positions
@@ -298,6 +304,16 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
     val (merges, _) = withDocsView(spark, documents)(trainLoop(spark, _, steps))
     spark.createDataset(merges).toDF().orderBy("step")
   }
+
+  /** Row count of the (word, cnt, seg) relation the trainer collects —
+    * the driver-side resource ScaleSmoke gates: it is VOCABULARY-sized
+    * (distinct whitespace words), so it must be invariant under
+    * identical corpus replication while the corpus itself grows ×m.
+    */
+  private[graft] def vocabRowsOn(spark: SparkSession, documents: DataFrame): Long =
+    withDocsView(spark, documents) { v =>
+      spark.sql(seg0Sql(SparkSql, v)).count()
+    }
 
   def segmentOn(spark: SparkSession, documents: DataFrame,
       steps: Int = MergeSteps): DataFrame =

@@ -38,7 +38,27 @@ import scala.collection.mutable
   */
 private[graft] object StageViews {
 
-  private final case class Entry(key: String, df: DataFrame, cached: Boolean)
+  private final case class Entry(key: String, df: DataFrame, cached: Boolean,
+      storePath: Option[String] = None)
+
+  /** Best-effort recursive delete of a superseded parquet store dir —
+    * without it, target/stageviews grows one orphaned directory per
+    * superseded (name, key) forever (r17 ADVICE). Failures are ignored:
+    * a leaked dir is the pre-fix status quo, never worth failing a
+    * query over.
+    */
+  private def deleteStore(path: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** One materialized cached-stage build: which view, how long the
     * materializing count took, and which catalog query triggered it.
@@ -97,6 +117,7 @@ private[graft] object StageViews {
         case Some(e) if e.key == key => () // already registered for this corpus
         case prior =>
           prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+          prior.flatMap(_.storePath).foreach(deleteStore)
           // Timed from BEFORE `build`: most stage views are lazy SQL
           // (build is plan-only, the count below is the whole cost),
           // but iterative builds (cc_comp_v's CC solve) do their work
@@ -164,33 +185,46 @@ private[graft] object StageViews {
   def ensureStored(spark: SparkSession, name: String, key: String)(
       build: => DataFrame): DataFrame = {
     val reg = registry(spark)
-    reg.synchronized {
-      reg.get(name) match {
-        case Some(e) if e.key == key => ()
-        case prior =>
-          prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
-          val attributing = attributionLabel.isDefined
-          val saved: Double = if (attributing) {
-            val s = nestedSec.get(); nestedSec.set(0.0); s
-          } else 0.0
-          val t0 = System.nanoTime()
-          // session-scoped path: concurrent test sessions must not
-          // overwrite each other's store mid-read
-          val path = java.nio.file.Paths.get("target", "stageviews",
-            name + "_" + Integer.toHexString(System.identityHashCode(spark)) +
-              "_" + Integer.toHexString(key.hashCode)).toString
-          build.write.mode("overwrite").parquet(path)
-          val df = spark.read.parquet(path)
-          df.createOrReplaceTempView(name)
-          reg(name) = Entry(key, df, cached = false)
-          if (attributing) {
-            val raw = (System.nanoTime() - t0) / 1e9
-            val b = Build(name, attributionLabel.get.apply(), raw - nestedSec.get())
-            builds.synchronized(builds += b)
-            System.err.println(
-              f"[stageviews] stored ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
-            nestedSec.set(saved + raw)
-          }
+    val hit = reg.synchronized(reg.get(name).exists(_.key == key))
+    if (!hit) {
+      val attributing = attributionLabel.isDefined
+      val saved: Double = if (attributing) {
+        val s = nestedSec.get(); nestedSec.set(0.0); s
+      } else 0.0
+      val t0 = System.nanoTime()
+      // The parquet write runs OUTSIDE the registry lock — it is the
+      // longest job this object ever schedules, and holding the lock
+      // across it would block every other ensure* in the session for
+      // the duration (r17 ADVICE). Each attempt writes to its OWN
+      // uniquified dir (session + key + nanos), so two racing builders
+      // can never interleave writes into one store; the double-checked
+      // insert below picks a winner and the loser's store is deleted.
+      val path = java.nio.file.Paths.get("target", "stageviews",
+        name + "_" + Integer.toHexString(System.identityHashCode(spark)) +
+          "_" + Integer.toHexString(key.hashCode) +
+          "_" + java.lang.Long.toHexString(System.nanoTime())).toString
+      build.write.mode("overwrite").parquet(path)
+      val df = spark.read.parquet(path)
+      val (won, supersededStore) = reg.synchronized {
+        reg.get(name) match {
+          case Some(e) if e.key == key => (false, None) // racing builder won
+          case prior =>
+            prior.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+            df.createOrReplaceTempView(name)
+            reg(name) = Entry(key, df, cached = false, storePath = Some(path))
+            (true, prior.flatMap(_.storePath))
+        }
+      }
+      // superseded (or losing) stores are unreachable from the registry
+      // and would otherwise accumulate under target/stageviews forever
+      if (won) supersededStore.foreach(deleteStore) else deleteStore(path)
+      if (attributing) {
+        val raw = (System.nanoTime() - t0) / 1e9
+        val b = Build(name, attributionLabel.get.apply(), raw - nestedSec.get())
+        builds.synchronized(builds += b)
+        System.err.println(
+          f"[stageviews] stored ${b.view} in ${b.sec}%.2fs (charged to ${b.chargedTo})")
+        nestedSec.set(saved + raw)
       }
     }
     spark.table(name)
@@ -242,6 +276,11 @@ private[graft] object StageViews {
             s"(${cachedNames.size} cached: ${cachedNames.mkString(", ")}; " +
             s"storage held ≈ ${held / (1 << 20)} MiB)")
         reg.values.filter(_.cached).foreach(_.df.unpersist(blocking = false))
+        // stored tiers are disk, not block-manager storage: reclaim
+        // their parquet dirs too (unpersist alone cannot — r17 ADVICE).
+        // A later ensureStored for the same (name, key) rebuilds into a
+        // fresh uniquified dir, so deletion here can't race a rebuild.
+        reg.values.flatMap(_.storePath).foreach(deleteStore)
         reg.clear()
       }
     }
