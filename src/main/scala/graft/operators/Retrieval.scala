@@ -86,7 +86,18 @@ WHERE NOT ${d.el("w", "i")} IN $Stop GROUP BY doc_id, ${d.el("w", "i")}"""
     * postings and once for lengths, everything else reads the caches.
     * The oracle and the specs keep the self-contained CTE spelling.
     */
-  private def bm25Body(d: SqlDialect, tfRel: String, dlRel: String): String = s"""
+  private def bm25Body(d: SqlDialect, tfRel: String, dlRel: String): String =
+    s"""
+${bm25Ctes(d, tfRel, dlRel)}
+SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
+FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
+WHERE r2.rank <= $TopK
+ORDER BY r2.query_id, r2.rank"""
+
+  /** The CTE chain only (ends at `qlab`) — reused by the hybrid fusion,
+    * which needs the ranked relation `r2` rather than a finished query.
+    */
+  private def bm25Ctes(d: SqlDialect, tfRel: String, dlRel: String): String = s"""
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
        FROM $dlRel),
 df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM $tfRel GROUP BY term),
@@ -110,11 +121,7 @@ r2 AS (SELECT query_id, doc_id, score_bp,
                                       ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
        FROM r1 WHERE sr <= $TopK),
 qlab AS (SELECT query_id, min(term) AS term_a, max(term) AS term_b
-         FROM qterms GROUP BY query_id)
-SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
-FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
-WHERE r2.rank <= $TopK
-ORDER BY r2.query_id, r2.rank"""
+         FROM qterms GROUP BY query_id)"""
 
   /** Self-contained spelling (tf/dl as CTEs over `documents`) — the
     * DuckDB oracle and the specs.
@@ -187,5 +194,120 @@ SELECT count(*) FROM qterms q JOIN bm25_tf_v t ON q.term = t.term""")
 
   val qBm25 = Q("q_bm25_topk", runBm25 _, Some(bm25Sql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25)
+  // ---- hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion ----
+
+  /** RRF smoothing constant — the standard k = 60 (Cormack, Clarke,
+    * Büttcher 2009), kept at the published value so the fused ordering
+    * matches what any RAG stack computes.
+    */
+  val RrfK = 60
+
+  /** Depth of the dense ranked list consumed by the fusion (the brute
+    * ground-truth stage keeps top-10 per probe query).
+    */
+  val AnnTopK = 10
+
+  /** Hybrid retrieval — the composition every RAG-shaped pipeline runs
+    * over a corpus with both a lexical index and an embedding index:
+    * reciprocal-rank fusion of the BM25 top-k (this file) and the dense
+    * cosine top-k (Similarity's brute ground-truth ranks), with
+    * embeddings.vec_id identified with documents.doc_id (the aligned
+    * corpus assumption — one embedding row per embedded document).
+    *
+    * Integer-exact like BM25 itself: each list contributes
+    * 10000 DIV (60 + rank) basis points — ranks are BIGINT, so the
+    * fused score involves no floats at all, and ties break by doc_id
+    * ascending (a total, deterministic order both engines share).
+    *
+    * Two structural laws (Round18OpsSpec pins both):
+    *  - list-membership dominance: with list depths ≤ 5 and ≤ 10, the
+    *    WORST doc present in both lists scores
+    *    10000 DIV 65 + 10000 DIV 70 = 295 bp, strictly above the BEST
+    *    single-list doc's 10000 DIV 61 = 163 bp — so every both-lists
+    *    doc outranks every single-list doc, per query, always;
+    *  - in particular a doc top-ranked by both rankers outranks any
+    *    single-ranker doc (the r17 VERDICT's done-condition).
+    *
+    * Scale shape: the fusion itself touches only the two ranked lists —
+    * ≤ (5 + 10) rows per query — so its cost is workload-sized, not
+    * corpus-sized; all corpus-sized work lives upstream in the two
+    * rankers, which keep their own scale stories (salted two-phase
+    * top-k for BM25; per-shard rank + merge for the dense side). The
+    * per-query window here sees ≤ 15 rows, so no salting is needed at
+    * any corpus size.
+    */
+  private def fusionSql(d: SqlDialect, bmRel: String, anRel: String): String = s"""
+fused AS (SELECT query_id, doc_id,
+                 CAST(sum(${d.idiv("10000", s"$RrfK + rank")}) AS BIGINT) AS rrf_bp,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM (SELECT query_id, doc_id, rank FROM $bmRel
+                UNION ALL
+                SELECT query_id, doc_id, rank FROM $anRel) lists
+          GROUP BY query_id, doc_id),
+hranked AS (SELECT query_id, doc_id, rrf_bp, n_lists,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rrf_bp DESC, doc_id) AS BIGINT) AS rank
+            FROM fused)
+SELECT query_id, rank, doc_id, rrf_bp, n_lists
+FROM hranked WHERE rank <= $TopK
+ORDER BY query_id, rank"""
+
+  /** BM25's ranked relation projected to the fusion's contract. */
+  private def bmTopCte: String = s"""
+bmtop AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(rank AS BIGINT) AS rank
+          FROM r2 WHERE rank <= $TopK)"""
+
+  private def anTopCte(denseRel: String): String = s"""
+antop AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(neighbor_id AS BIGINT) AS doc_id,
+                 CAST(rank AS BIGINT) AS rank
+          FROM $denseRel WHERE rank <= $AnnTopK)"""
+
+  /** Self-contained spelling over `documents` + `embeddings` — the
+    * DuckDB oracle (and the spec's Spark twin, which needs
+    * CosineSimilarity registered).
+    */
+  private def hybridSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${Similarity.bruteCtes(d)},
+$bmTopCte,
+${anTopCte("ranked")},
+${fusionSql(d, "bmtop", "antop")}"""
+
+  /** Staged spelling: BM25 CTEs over the cached postings/length views,
+    * dense ranks from the cached brute ground-truth stage.
+    */
+  private def hybridStagedSparkSql: String = s"""
+WITH ${bm25Ctes(SparkSql, "bm25_tf_v", "bm25_dl_v")},
+$bmTopCte,
+${anTopCte("ann_brute_v")},
+${fusionSql(SparkSql, "bmtop", "antop")}"""
+
+  private[graft] def hybridSparkSqlForTest: String = hybridSql(SparkSql)
+  private[graft] def hybridDuckSqlForTest: String = hybridSql(DuckSql)
+
+  /** Fusion-only spelling over two pre-ranked test relations
+    * (query_id, doc_id, rank) — Round18OpsSpec hand-derives rrf_bp and
+    * the dominance law on it without involving either ranker.
+    */
+  private[graft] def rrfFuseSparkSqlForTest(bmRel: String, anRel: String): String = s"""
+WITH bmtop AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+                      CAST(rank AS BIGINT) AS rank FROM $bmRel),
+antop AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(rank AS BIGINT) AS rank FROM $anRel),
+${fusionSql(SparkSql, "bmtop", "antop")}"""
+
+  private def runHybrid(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    Similarity.ensureBruteStage(spark, dir) // registers embeddings + cosine
+    spark.sql(hybridStagedSparkSql)
+  }
+
+  val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qBm25, qHybrid)
 }

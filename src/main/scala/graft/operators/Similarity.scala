@@ -52,21 +52,34 @@ object Similarity {
 
   // ---- brute-force cosine top-k ----
 
-  private def bruteSql(d: SqlDialect): String = {
+  /** The brute-force ranking CTE chain (meta → pairs → scored →
+    * ranked) — shared by the standalone oracle and the hybrid-retrieval
+    * fusion (Retrieval.qHybrid), whose oracle needs the dense ranked
+    * list as a relation rather than a finished query.
+    */
+  private[operators] def bruteCtes(d: SqlDialect): String = {
     val (norm, cos) = normCos(d)
-    s"""
-WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+    s"""meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
 pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                  q.embedding AS qe, n.embedding AS ne, q.nrm AS qn, n.nrm AS nn
           FROM meta q JOIN meta n ON q.vec_id < 20 AND n.vec_id <> q.vec_id),
 scored AS (SELECT query_id, neighbor_id, $cos AS cos FROM pairs),
 ranked AS (SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM scored)
+           FROM scored)"""
+  }
+
+  private def bruteSql(d: SqlDialect): String = s"""
+WITH ${bruteCtes(d)}
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked
 WHERE rank <= 10
 ORDER BY query_id, rank"""
-  }
+
+  /** Spec entry: the self-contained brute ranking over any
+    * embeddings-shaped view registered as `embeddings` (Round18OpsSpec
+    * recomputes the hybrid fusion from this and the BM25 list).
+    */
+  private[operators] def bruteSparkSqlForTest: String = bruteSql(SparkSql)
 
   // ---- Spark-side shared ANN stages ----
   //
@@ -169,7 +182,7 @@ WHERE rank <= 5"""))
   /** Exact ground-truth ranks for the 20 probe queries (top-10 kept) —
     * what the brute baseline, k-NN, and the recall gate read.
     */
-  private def ensureBruteStage(spark: SparkSession, dir: String): Unit = {
+  private[operators] def ensureBruteStage(spark: SparkSession, dir: String): Unit = {
     ensureEmbeddings(spark, dir)
     StageViews.ensureCached(spark, "ann_brute_v", dir)(spark.sql("""
 SELECT query_id, neighbor_id, rank FROM (
