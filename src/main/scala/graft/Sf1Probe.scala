@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Single-session full-catalog pressure probe at ~sf1 (r5 VERDICT #8).
+/** Sharded full-catalog pressure probe at ~sf1 (r5 VERDICT #8;
+  * shard isolation r18 per the r17 VERDICT task 1).
   *
   * The driver ships sf0.001/0.01/0.1 only, so this probe synthesizes an
   * sf1-scale corpus under `target/sf1` by replicating sf0.1 `REPS`(=10)
@@ -17,15 +18,42 @@ import org.apache.spark.sql.functions._
   * which deliberately stress-tests the dedup family's frequency caps
   * and cluster solve rather than handing it an easy dup-free corpus.
   *
-  * It then runs EVERY catalog query in one session (count() per query,
-  * sorted name order) so cache/state pressure accumulates the way a
-  * long-lived service's would, and prints a per-query + total summary.
+  * Measurement is SHARDED (r17 VERDICT task 1): the catalog runs as K
+  * contiguous sorted-name groups of ≤ [[ShardSize]] queries, EACH in
+  * its own fresh session with its own mini-canary — the r17 sf1 sweep's
+  * remaining swept/iso outliers (q_weighted_median 4.2×,
+  * q_dedup_ngram_jaccard 3.4×, q_cms_heavy_hitters 3.1×) were co-tenant
+  * GC + page-cache pressure from the 209-query single-session sweep,
+  * not plans, and the fix is to stop the measurement lying rather than
+  * to add storage tiers. Contiguous (not round-robin) grouping keeps
+  * operator families with their shared stage views in one shard;
+  * cross-shard rebuilds of a shared view are itemized per shard by the
+  * build-attribution channel, never silently charged to a query. The
+  * slowest movers still get a fresh-session iso re-run afterwards —
+  * with sharding, swept ≈ iso is the expected steady state.
+  *
   * This is a diagnostic main, not a driver contract: run it manually
   * via `SPARK_DRIVER_MEM=48g sbt "runMain graft.Sf1Probe"`.
   */
 object Sf1Probe {
 
   private val Reps = 10
+
+  /** Max catalog queries per fresh-session shard. ~30 keeps a shard's
+    * accumulated cache/heap pressure an order of magnitude under the
+    * old full-sweep's while bounding session bring-up overhead to K ≈ 7
+    * extra warmups per probe run.
+    */
+  private val ShardSize = 30
+
+  /** Per-shard machine-state canary: small (3 queries, median-of-3),
+    * stage-view-free, spanning scan-agg / window / shuffle-heavy so
+    * each shard's numbers carry their own machine context. Distinct
+    * from Bench.canary (9 queries) deliberately — K shards × 9 × 3
+    * would spend more time on canaries than on measurement.
+    */
+  private val ShardCanary = Seq(
+    "q1_pricing_summary", "q_sessionize", "q_weighted_median")
 
   /** Replicate `df` `Reps` times, shifting each key column by
     * replica × its key DOMAIN's offset (pre-computed from the domain's
@@ -119,8 +147,6 @@ object Sf1Probe {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
-    val spark = newSession()
-
     // same attributed eager stage materialization as Bench: at sf1 the
     // shared-stage builds are seconds each, and which query pays must
     // be visible, not inferred
@@ -128,45 +154,19 @@ object Sf1Probe {
     val only: Set[String] = args.drop(2).toSet
     var currentQuery = "warmup"
     operators.StageViews.enableBuildAttribution(() => currentQuery)
-    spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
-    // Machine-health canary (r15 VERDICT task 1): Bench.canary min-of-2
-    // in the fresh session before the sweep, recorded in the artifact,
-    // so cross-round sf1 comparisons can normalize by the machine.
-    val canarySec: Seq[(String, Double)] =
-      if (only.nonEmpty) Nil
-      else Bench.canary.flatMap { name =>
-        val q = SparkEntry.catalog.find(_.name == name).get
-        currentQuery = s"canary:$name"
-        val attempts = (1 to 2).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val s = try { q.run(spark, out).count(); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case e: Throwable =>
-              println(s"[sf1] canary FAILED $name: ${e.getMessage}"); None }
-          GraftSession.dropStreamSinks(spark)
-          s
-        }
-        val sec = attempts.minOption
-        sec.foreach(s => println(f"[sf1] canary $name%-28s $s%8.2f s"))
-        sec.map(name -> _)
-      }
-    val results = SparkEntry.catalog.sortBy(_.name)
-      .filter(q => only.isEmpty || only(q.name)).map { q =>
+
+    // One query, measured: stage (re)builds are charged to the stage
+    // channel, not the query (r15 VERDICT task 5) — builds are timed
+    // and attributed by StageViews, the query's swept sec EXCLUDES
+    // them (same basis as Bench's min-of-two, where attempt 2 reads
+    // the cache), and the rebuild cost stays visible under
+    // stage_builds with chargedTo = this query.
+    def runQuery(s: SparkSession, q: Q): (String, Double, Either[String, Long]) = {
       currentQuery = q.name
-      // Charge stage (re)builds to the stage channel, not the query
-      // (r15 VERDICT task 5): the long sweep EVICTS cached stage views
-      // under storage pressure, and whichever query next touches one
-      // pays the silent rebuild inside its timed window —
-      // q_triangle_count swept 42.08 s at sf1 while its fresh-session
-      // iso (which itemizes the same rebuild explicitly) was 5.17 s.
-      // Builds are already timed and attributed by StageViews; the
-      // query's swept sec now EXCLUDES them (same basis as Bench's
-      // min-of-two, where attempt 2 reads the cache), and the rebuild
-      // cost stays visible under stage_builds with chargedTo = this
-      // query.
       val builds0 = operators.StageViews.buildLog.size
       val t0 = System.nanoTime()
       val res =
-        try Right(q.run(spark, out).count())
+        try Right(q.run(s, out).count())
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val raw = (System.nanoTime() - t0) / 1e9
       val buildSec = operators.StageViews.buildLog.drop(builds0).map(_.sec).sum
@@ -179,10 +179,77 @@ object Sf1Probe {
       // free this query's memory-sink tables: at sf1 the streaming
       // emissions held in driver heap otherwise compound across the
       // sweep (the uniform sweep-vs-iso inflation of SF1_r14)
-      GraftSession.dropStreamSinks(spark)
+      GraftSession.dropStreamSinks(s)
       (q.name, sec, res)
     }
-    operators.StageViews.unpersistAll(spark)
+
+    // Per-shard machine-state canary, median-of-3 (one-off stalls out,
+    // sustained pressure in — the quantity a canary reports).
+    def shardCanaryOn(s: SparkSession, shard: Int): Seq[(String, Double)] =
+      ShardCanary.flatMap { name =>
+        val q = SparkEntry.catalog.find(_.name == name).get
+        currentQuery = s"canary$shard:$name"
+        val attempts = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val sec = try { q.run(s, out).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              println(s"[sf1] canary FAILED $name: ${e.getMessage}"); None }
+          GraftSession.dropStreamSinks(s)
+          sec
+        }
+        if (attempts.isEmpty) None
+        else {
+          val med = attempts.sorted.apply(attempts.size / 2)
+          println(f"[sf1] shard$shard canary $name%-24s $med%8.2f s")
+          Some(name -> med)
+        }
+      }
+
+    val sorted = SparkEntry.catalog.sortBy(_.name)
+      .filter(q => only.isEmpty || only(q.name))
+    // shard = (index, firstName, lastName, canary, shardSec)
+    case class ShardMeta(idx: Int, first: String, last: String,
+        canary: Seq[(String, Double)], sec: Double)
+    val (results, shardMeta): (Seq[(String, Double, Either[String, Long])], Seq[ShardMeta]) =
+      if (only.nonEmpty) {
+        // targeted profiling path: one session, no shards/canaries
+        val s = newSession()
+        s.range(1000000).selectExpr("sum(id)").collect()
+        val r = sorted.map(runQuery(s, _))
+        operators.StageViews.unpersistAll(s)
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        (r, Nil)
+      } else {
+        val shards = sorted.grouped(ShardSize).toSeq
+        val out2 = shards.zipWithIndex.map { case (qs, i) =>
+          val s = newSession()
+          s.range(1000000).selectExpr("sum(id)").collect()
+          // per-shard streaming warmup: the first streaming query in a
+          // fresh session pays one-time RocksDB/streaming-codegen costs
+          // no steady-state number should carry (the Bench phase-2
+          // rationale, now needed once per shard)
+          currentQuery = s"shard${i}_warmup"
+          try SparkEntry.catalog.find(_.name == "q_rate_window_stream")
+            .get.run(s, out).count()
+          catch { case _: Throwable => () }
+          GraftSession.dropStreamSinks(s)
+          val canary = shardCanaryOn(s, i)
+          val t0 = System.nanoTime()
+          val res = qs.map(runQuery(s, _))
+          val shardSec = (System.nanoTime() - t0) / 1e9
+          operators.StageViews.unpersistAll(s)
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          println(f"[sf1] shard $i done: ${qs.size} queries in $shardSec%.1f s " +
+            f"(${qs.head.name} .. ${qs.last.name})")
+          (res, ShardMeta(i, qs.head.name, qs.last.name, canary, shardSec))
+        }
+        (out2.flatMap(_._1), out2.map(_._2))
+      }
+    val canarySec: Seq[(String, Double)] = shardMeta.headOption.map(_.canary).getOrElse(Nil)
     val total = results.map(_._2).sum
     val failed = results.collect { case (n, _, Left(e)) => s"$n ($e)" }
     println(f"[sf1] TOTAL ${results.size} queries in $total%.1f s; ${failed.size} failed")
@@ -191,15 +258,12 @@ object Sf1Probe {
       .map { case (n, s, _) => f"$n=$s%.1f" }.mkString(", "))
 
     // Isolated re-runs of the slowest movers in a FRESH session (full
-    // runs only): the long sweep's accumulated cache/heap pressure
-    // inflates its own tail — r12's sweep numbers for the tws pair were
-    // ~2x their isolated cost — so the probe reports both. Min-of-two
-    // so shared-stage rebuilds land on attempt 1, same basis as the
+    // runs only): with sharded sweeps, swept ≈ iso is the EXPECTED
+    // steady state — a mover whose swept number still exceeds its iso
+    // by >1.5× is intra-shard pressure worth a look. Min-of-two so
+    // shared-stage rebuilds land on attempt 1, same basis as the
     // sweep's per-query numbers (which read already-cached stages).
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
       // top-10 movers (r14 task 2: the r14 sweep inflated ~23 queries
       // uniformly — a 6-deep iso channel could not cover enough of the
       // tail to prove contention vs regression per-query)
@@ -268,11 +332,14 @@ object Sf1Probe {
       .mkString("[", ",", "]")
     val ijson = isolated.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
     val cjson = canarySec.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
+    val shjson = shardMeta.map { m =>
+      val c = m.canary.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
+      s"""{"idx":${m.idx},"first":"${esc(m.first)}","last":"${esc(m.last)}","sec":${num(m.sec, 1)},"canary":$c}"""
+    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),
-      s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"canary":$cjson,"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
+      s"""{"sf_dir":"${esc(out)}","reps":$Reps,"n_queries":${results.size},"total_sec":${num(total, 1)},"n_failed":${failed.size},"shard_size":$ShardSize,"canary":$cjson,"shards":$shjson,"stage_builds":$sjson,"isolated":$ijson,"queries":{$qjson}}""")
     println("[sf1] wrote target/sf1_probe.json")
-    spark.stop()
     // Hard coverage gate (r14 VERDICT task 3), full runs only: the
     // committed SF1_r{N}.json must itemize the ENTIRE catalog. Note
     // the mechanism: a failing query stays IN `results` (as an

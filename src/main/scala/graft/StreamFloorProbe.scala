@@ -14,10 +14,24 @@ import scala.collection.mutable.ArrayBuffer
   * wall − Σ batch time).
   *
   * Usage: runMain graft.StreamFloorProbe <sfDir> [query...]
+  *        runMain graft.StreamFloorProbe <sfDir> detection
+  *
+  * The `detection` mode (r17 VERDICT task 6) prices the reference's
+  * HEADLINE path end-to-end — packet JSON frames → from_json decode →
+  * stateful featurizer → RF scoring → NDJSON sink — as a sustained
+  * rate, with the per-batch addBatch/stateCommit breakdown, against a
+  * bare decode+featurize twin on the SAME frame stream. Gate: the full
+  * scored pipeline's batch time must stay under 2× the bare
+  * featurizer's (scoring is a stateless projection; if it ever
+  * dominates the stateful operator, something is wrong).
   */
 object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "detection") {
+      detectionFloor(dir)
+      return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_stream_stream_join", "q_stream_stream_left_join",
         "q_src_entropy_stream", "q_rate_window_stream")
@@ -87,6 +101,175 @@ object StreamFloorProbe {
             .flatMap(k => d.get(k).map(v => s"$k=${v}ms")).mkString(" "))
       }
     }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+
+  /** End-to-end detection throughput floor: JSON frames (the Kafka wire
+    * contract, rendered by PacketReplay) replayed through a
+    * maxFilesPerTrigger'd file stream so the run spans several real
+    * micro-batches, driven once as decode+featurize (bare) and once as
+    * the FULL pipeline (decode+featurize+RF score+NDJSON sink, the
+    * DetectionPipeline composition). Both paths share timeoutMs = 0 so
+    * flows finalize on the next batch — the only way processing-time
+    * timers fire under a replay trigger. Each path runs twice; run 2
+    * (warm: streaming codegen, state-store provider, model broadcast
+    * already paid) is the reported floor.
+    */
+  private def detectionFloor(dir: String): Unit = {
+    val spark = GraftSession.getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // ×10 replication with remapped ip space (the ScaleSmoke shape):
+    // flows AND packets scale, so per-batch work is dominated by
+    // per-row cost instead of the ~150 ms micro-batch fixed floor —
+    // the sustained rate this artifact prices.
+    val packets = flow.BatchFlowFeaturizer.packetsFromEvents(Tables.events(spark, dir))
+      .crossJoin(spark.range(10).toDF("rep"))
+      .withColumn("src_ip", concat(col("rep"), lit("."), col("src_ip")))
+      .withColumn("dst_ip", concat(col("rep"), lit("."), col("dst_ip")))
+      .withColumn("event_id", col("event_id") + col("rep") * lit(100000000L))
+      .drop("rep")
+    val frames = packets.as[flow.PacketRow].map(ingest.PacketReplay.toJson).toDF("value")
+    val frameDir = java.nio.file.Files.createTempDirectory("floor_frames").toString
+    frames.repartition(32).write.mode("overwrite").parquet(frameDir)
+    val nPkts = spark.read.parquet(frameDir).count()
+    val model = ml.PretrainedRf.model // load OUTSIDE any timed window
+    println(s"[floor] detection: $nPkts packet frames under $frameDir")
+
+    case class Batch(runId: String, batchId: Long, rows: Long,
+        stateRows: Long, dur: Map[String, Long])
+    val batches = ArrayBuffer.empty[Batch]
+    val started = scala.collection.mutable.Set.empty[String]
+    val terminated = scala.collection.mutable.Set.empty[String]
+    val lock = new Object
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        lock.synchronized { started += e.runId.toString }
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        import scala.jdk.CollectionConverters._
+        lock.synchronized {
+          batches += Batch(e.progress.runId.toString, e.progress.batchId,
+            e.progress.numInputRows,
+            e.progress.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L),
+            e.progress.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap)
+          lock.notifyAll()
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        lock.synchronized { terminated += e.runId.toString; lock.notifyAll() }
+    }
+    spark.streams.addListener(listener)
+
+    def runOnce(label: String, scored: Boolean): (Double, Vector[Batch], Option[String]) = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"floor_ckpt_$label").toString
+      val raw = spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "4").parquet(frameDir)
+      // 500 ms session timeout so every flow FINALIZES (timeoutMs = 0
+      // maps to NoTimeout — no _TIMEOUT row would ever reach the scored
+      // sink and the gate would be vacuous). Trigger is ProcessingTime,
+      // not AvailableNow: AvailableNow never terminates while
+      // processing-time timers are pending (measured: 220+ empty
+      // trailing batches) — instead the probe watches the state
+      // operator's numRowsTotal and stops the query once the store
+      // drains to 0, i.e. once every flow has timed out and been
+      // emitted.
+      val flows = DetectionPipeline.flowsOf(raw, timeoutMs = 500).toDF()
+      val startedBefore = lock.synchronized(started.toSet)
+      val t0 = System.nanoTime()
+      val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds")
+      val (q, outDir) =
+        if (scored) {
+          val od = java.nio.file.Files.createTempDirectory(s"floor_out_$label").toString
+          (flows.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(trig)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              val out = DetectionPipeline.scored(batch, model)
+              if (!out.isEmpty) sink.Sinks.writeNdjson(out, s"$od/batch=$id")
+              ()
+            }.start(), Some(od))
+        } else {
+          (flows.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(trig)
+            .format("memory").queryName(s"floor_$label").start(), None)
+        }
+      // stop once the state store drains to 0 live flows AFTER at least
+      // one data batch — every flow has finalized through the sink by
+      // then. Bounded by a 180 s deadline so a stuck store can't hang
+      // the probe.
+      locally {
+        val myRun = q.runId.toString
+        val deadline = System.nanoTime() + 180000000000L
+        lock.synchronized {
+          def drained: Boolean = {
+            val mine = batches.filter(_.runId == myRun)
+            mine.exists(_.rows > 0) && mine.lastOption.exists(_.stateRows == 0L)
+          }
+          while (!drained && System.nanoTime() < deadline) lock.wait(200)
+        }
+        q.stop()
+        q.awaitTermination()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val deadline = System.nanoTime() + 5000000000L
+      val bs = lock.synchronized {
+        var mine = started.diff(startedBefore)
+        while (!mine.subsetOf(terminated) && System.nanoTime() < deadline) {
+          lock.wait(200); mine = started.diff(startedBefore)
+        }
+        batches.filter(b => mine.contains(b.runId)).toVector
+      }
+      GraftSession.dropStreamSinks(spark)
+      (wall, bs, outDir)
+    }
+
+    def report(label: String, wall: Double, bs: Vector[Batch]): Double = {
+      val trig = bs.map(_.dur.getOrElse("triggerExecution", 0L)).sum / 1000.0
+      val add = bs.map(_.dur.getOrElse("addBatch", 0L)).sum / 1000.0
+      val commit = bs.map(_.dur.getOrElse("commitOffsets", 0L)).sum / 1000.0
+      val wal = bs.map(_.dur.getOrElse("walCommit", 0L)).sum / 1000.0
+      println(f"[floor] detection $label%-12s wall=$wall%6.2f s batches=${bs.size} " +
+        f"trigger=$trig%6.2f s addBatch=$add%6.2f s walCommit=$wal%5.2f s " +
+        f"commitOffsets=$commit%5.2f s rate=${nPkts / trig / 1e6}%.3f Mpkt/s")
+      for (b <- bs.sortBy(_.batchId)) {
+        val d = b.dur
+        println(s"[floor]   batch=${b.batchId} rows=${b.rows} state=${b.stateRows} " +
+          Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+            "walCommit", "commitOffsets", "stateCommit", "triggerExecution")
+            .flatMap(k => d.get(k).map(v => s"$k=${v}ms")).mkString(" "))
+      }
+      trig
+    }
+
+    runOnce("bare_warmup", scored = false) // absorb one-time streaming costs
+    val (bw, bb, _) = runOnce("bare", scored = false)
+    val bare = report("bare", bw, bb)
+    runOnce("scored_warmup", scored = true)
+    val (sw, sb, sOut) = runOnce("scored", scored = true)
+    val scoredSec = report("scored", sw, sb)
+    // non-vacuity: the gate means nothing if no finalized flow was ever
+    // scored and sunk — count the NDJSON rows the run actually wrote
+    val scoredRows = sOut.map { od =>
+      val root = java.nio.file.Paths.get(od)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.filter(p => p.toString.endsWith(".json") ||
+          p.toString.endsWith(".txt") || p.getFileName.toString.startsWith("part-"))
+        .map(p => java.nio.file.Files.readAllLines(p).size.toLong).sum
+      finally walk.close()
+    }.getOrElse(0L)
+    println(s"[floor] detection scored+sunk rows: $scoredRows (labeled completed flows)")
+    require(scoredRows > 0,
+      "detection floor is vacuous: no finalized flow reached the scored NDJSON sink")
+    println(f"[floor] detection gate: scored/bare trigger ratio = ${scoredSec / bare}%.2f (bound 2.0)")
+    require(scoredSec <= 2.0 * bare,
+      f"full detection pipeline batch time ${scoredSec}%.2f s exceeds 2x the bare " +
+        f"featurizer's ${bare}%.2f s — scoring/sink is dominating the stateful operator")
+    println(f"[floor] detection sustained: ${nPkts / scoredSec / 1e6}%.3f Mpkt/s full pipeline, " +
+      f"${nPkts / bare / 1e6}%.3f Mpkt/s bare featurizer ($nPkts packets)")
     spark.streams.removeListener(listener)
     spark.stop()
   }
