@@ -89,13 +89,23 @@ object PretrainedRf {
     * materializes once row count amortizes the compile, exactly like
     * every whole-stage-codegen trade.
     */
-  def scoreCompiled(flows: DataFrame): DataFrame = {
+  /** The two vote expressions parsed ONCE per JVM: the rendered forest
+    * is ~0.6 MB of SQL, and re-parsing it on every scoreCompiled call
+    * made the query's steady-state cost ~1.3 s of DRIVER time at every
+    * scale factor (measured identical at sf0.001 and sf0.1 — plan-time,
+    * not execution; r17 VERDICT task 5's adjudication). Analysis of the
+    * parsed tree still runs per query — only the parse is cacheable —
+    * but it is the parse that dominates.
+    */
+  private lazy val voteCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val cols = assembler.getInputCols
     val feat = (i: Int) => cols(i)
+    (expr(TreeSql.votesSql(rf, 0, feat)), expr(TreeSql.votesSql(rf, 1, feat)))
+  }
+
+  def scoreCompiled(flows: DataFrame): DataFrame = {
     cleaned(flows)
-      .selectExpr("flow_id",
-        s"${TreeSql.votesSql(rf, 0, feat)} AS v0",
-        s"${TreeSql.votesSql(rf, 1, feat)} AS v1")
+      .select(col("flow_id"), voteCols._1.as("v0"), voteCols._2.as("v1"))
       .selectExpr("flow_id",
         "v1 AS ddos_votes",
         s"${TreeSql.predictionSql()} AS prediction",
