@@ -300,6 +300,108 @@ antop AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
                  CAST(rank AS BIGINT) AS rank FROM $anRel),
 ${fusionSql(SparkSql, "bmtop", "antop")}"""
 
+  // ---- pseudo-relevance feedback (RM3-lite query expansion) ----
+
+  /** How many round-1 documents feed the expansion, and how many
+    * expansion terms each query gains.
+    */
+  val PrfDocs = 3
+  val PrfTerms = 2
+
+  /** BM25 with pseudo-relevance feedback — the classic two-round
+    * retrieval composition (Rocchio 1971; RM3): run the original query,
+    * take the top-[[PrfDocs]] documents, harvest the [[PrfTerms]]
+    * strongest non-stopword terms they contain that the query lacks
+    * (by summed tf, ties by term ascending — a total order), append
+    * them, and rescore the corpus with the expanded query. Everything
+    * stays in the BM25 chain's integer basis points: the expansion
+    * choice is a tf argmax (BIGINT), the second round reuses the exact
+    * contribution formula with df joined from the corpus df relation,
+    * and the two-phase salted top-k bounds the final rank like round 1.
+    *
+    * Scale shape: round 1 is the existing staged BM25; the harvest
+    * joins the ≤ queries×[[PrfDocs]] top-doc keys against the postings
+    * (a broadcast-sized probe side); round 2 is another
+    * workload ⋈ postings candidate join — the same linear shape as
+    * round 1 with ≤ 2× the terms. Nothing quadratic appears at any
+    * corpus size.
+    *
+    * Reduction law (Round18OpsSpec): a corpus with no expandable
+    * vocabulary (every non-stop term already in the query workload)
+    * must reproduce the plain BM25 ranking with empty expansion labels.
+    */
+  private def prfCtes(d: SqlDialect, tfRel: String, dlRel: String): String = {
+    val cbp = d.idiv(
+      s"(${d.idiv("10000 * (nn.n - fd.df + 1)", "fd.df + 1")}) * " +
+        s"(${d.idiv("440000 * t.tf * nn.tl", "20 * t.tf * nn.tl + 6 * nn.tl + 18 * dl.len * nn.n")})",
+      "10000")
+    s"""
+prf_top AS (SELECT query_id, doc_id FROM r2 WHERE rank <= $PrfDocs),
+prf_cand AS (SELECT p.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS tfsum
+             FROM prf_top p JOIN $tfRel t ON p.doc_id = t.doc_id
+             WHERE NOT t.term IN $Stop
+             GROUP BY p.query_id, t.term),
+prf_new AS (SELECT query_id, term, tfsum,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY tfsum DESC, term) AS er
+            FROM (SELECT c.query_id, c.term, c.tfsum
+                  FROM prf_cand c LEFT JOIN qterms q
+                    ON c.query_id = q.query_id AND c.term = q.term
+                  WHERE q.term IS NULL) nw),
+prf_exp AS (SELECT query_id, term FROM prf_new WHERE er <= $PrfTerms),
+prf_q AS (SELECT query_id, term FROM qterms
+          UNION ALL SELECT query_id, term FROM prf_exp),
+prf_contrib AS (SELECT q.query_id, t.doc_id, $cbp AS c_bp
+                FROM prf_q q JOIN df fd ON q.term = fd.term
+                JOIN $tfRel t ON q.term = t.term
+                JOIN $dlRel dl ON t.doc_id = dl.doc_id CROSS JOIN nn),
+prf_scores AS (SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp
+               FROM prf_contrib GROUP BY query_id, doc_id),
+prf_r1 AS (SELECT query_id, doc_id, score_bp,
+                  ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                     ORDER BY score_bp DESC, doc_id) AS sr
+           FROM prf_scores),
+prf_r2 AS (SELECT query_id, doc_id, score_bp,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+           FROM prf_r1 WHERE sr <= $TopK),
+prf_lab AS (SELECT q.query_id,
+                   coalesce(min(e.term), '') AS exp_term_a,
+                   coalesce(max(e.term), '') AS exp_term_b
+            FROM (SELECT DISTINCT query_id FROM qterms) q
+            LEFT JOIN prf_exp e ON q.query_id = e.query_id
+            GROUP BY q.query_id)"""
+  }
+
+  private def prfSelect: String = s"""
+SELECT r.query_id, r.rank, r.doc_id, r.score_bp, l.exp_term_a, l.exp_term_b
+FROM prf_r2 r JOIN prf_lab l ON r.query_id = l.query_id
+WHERE r.rank <= $TopK
+ORDER BY r.query_id, r.rank"""
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def prfSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${prfCtes(d, "tf", "dl")}
+$prfSelect"""
+
+  private def prfStagedSparkSql: String = s"""
+WITH ${bm25Ctes(SparkSql, "bm25_tf_v", "bm25_dl_v")},
+${prfCtes(SparkSql, "bm25_tf_v", "bm25_dl_v")}
+$prfSelect"""
+
+  private[graft] def prfSparkSqlForTest: String = prfSql(SparkSql)
+
+  private def runPrf(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    spark.sql(prfStagedSparkSql)
+  }
+
+  val qPrf = Q("q_bm25_prf", runPrf _, Some(prfSql(DuckSql)))
+
   private def runHybrid(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
@@ -309,5 +411,5 @@ ${fusionSql(SparkSql, "bmtop", "antop")}"""
 
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25, qHybrid)
+  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf)
 }

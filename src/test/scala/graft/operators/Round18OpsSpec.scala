@@ -108,6 +108,10 @@ class Round18OpsSpec extends AnyFunSuite {
     try f finally {
       spark.catalog.dropTempView("documents")
       spark.catalog.dropTempView("embeddings")
+      // replacing 'documents'/'embeddings' clobbered any harness-level
+      // StageViews registrations (and invalidated their caches); clear
+      // the registry so a later catalog-path test re-registers cleanly
+      StageViews.unpersistAll(spark)
     }
   }
 
@@ -160,6 +164,85 @@ class Round18OpsSpec extends AnyFunSuite {
       if (both.nonEmpty && single.nonEmpty)
         assert(both.min > single.max, s"dominance law violated: $qs")
     }
+  }
+
+  // ---- BM25 pseudo-relevance feedback ----
+
+  test("bm25 prf: no expandable vocabulary reduces PRF to plain BM25") {
+    // A 2-term corpus: both terms land in the SINGLE query (query 0
+    // owns {cat, dog}), so the per-query anti-join leaves zero
+    // expansion candidates — terms of OTHER queries would be fair
+    // expansions, which is why a merely-small corpus (all terms in the
+    // 40-term workload) does NOT reduce: the law needs the top docs to
+    // contain only the query's own terms.
+    import spark.implicits._
+    val docs = (0 until 12).map { i =>
+      val words = Seq.fill(1 + i % 4)("cat") ++ Seq.fill(i % 3)("dog")
+      (i.toLong, words.mkString(" "), "en")
+    }
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    try {
+      val bm = spark.sql(Retrieval.bm25SparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val prf = spark.sql(Retrieval.prfSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSeq
+      assert(prf.map(r => (r._1, r._2, r._3, r._4)) == bm,
+        "PRF with no expansion must reproduce the BM25 ranking exactly")
+      assert(prf.forall(r => r._5 == "" && r._6 == ""))
+    } finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  test("bm25 prf: expansion terms are fresh, non-stop, and drawn from round-1 top docs") {
+    import spark.implicits._
+    // 61 distinct non-stop terms (> QueryTerms=40), so real expansion
+    // candidates exist outside the query workload
+    val docs = (0 until 50).map { i =>
+      val words = Seq.fill(3 + i % 4)("alpha") ++
+        Seq.fill(i % 3)(s"mid${i % 10}") ++ Seq.fill(1 + i % 5)(s"u$i")
+      (i.toLong, words.mkString(" "), "en")
+    }
+    docs.map { case (i, t, l) => (i, t, l) }
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    try {
+      val bm = spark.sql(Retrieval.bm25SparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4),
+          r.getString(5))).toSeq // (q, rank, doc, term_a, term_b)
+      val prf = spark.sql(Retrieval.prfSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4),
+          r.getString(5))).toSeq
+      assert(prf.nonEmpty)
+      val docTokens = docs.map { case (id, text, _) => id -> text.split(" ").toSet }.toMap
+      val origTerms = bm.map(r => r._1 -> Set(r._4, r._5)).toMap
+      val top3 = bm.filter(_._2 <= Retrieval.PrfDocs).groupBy(_._1)
+        .view.mapValues(_.map(_._3).toSet).toMap
+      val exps = prf.map(r => (r._1, r._4, r._5)).distinct
+      assert(exps.exists(e => e._2.nonEmpty), "corpus must produce real expansions")
+      val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+      for ((q, a, b) <- exps; t <- Seq(a, b) if t.nonEmpty) {
+        assert(!stop(t), s"expansion term '$t' is a stopword")
+        assert(!origTerms(q)(t), s"expansion term '$t' already in query $q")
+        assert(top3(q).exists(d => docTokens(d)(t)),
+          s"expansion term '$t' of query $q not present in its round-1 top-${Retrieval.PrfDocs} docs")
+      }
+    } finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  test("bm25 prf: catalog query is non-vacuous, expanding, totally ordered at the oracle SF") {
+    val rows = Retrieval.qPrf.run(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys == keys.sorted && keys.distinct.length == keys.length)
+    assert(rows.exists(_._5.nonEmpty),
+      "the oracle-SF corpus has > 40 terms; some query must actually expand")
   }
 
   // ---- StageViews: stored-tier disk reclamation (r17 ADVICE) ----
