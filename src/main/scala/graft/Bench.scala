@@ -106,10 +106,15 @@ object Bench {
     * to carry.
     */
   val canaryBaseline: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 0.63,
-    "q_top_customers" -> 1.13,
-    "q_sessionize" -> 0.51,
-    "q_rate_window_stream" -> 2.17)
+    "q1_pricing_summary" -> 0.51,
+    "q_top_customers" -> 1.07,
+    "q_sessionize" -> 0.62,
+    "q_market_share" -> 0.80,
+    "q_weighted_median" -> 1.27,
+    "q_dedup_exact" -> 0.63,
+    "q_mg_heavy_hitters" -> 0.34,
+    "q_cidr_block_match" -> 0.67,
+    "q_rate_window_stream" -> 1.86)
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
