@@ -46,8 +46,8 @@ object Bench {
     "q_text_langid", "q_tfidf_top_terms", "q_text_surprisal",
     "q_rate_window_stream", "q_stream_stream_join", "q_src_entropy_stream",
     "q_top_customers", "q_market_share", "q_sessionize",
-    "q_sequence_pack", "q_pagerank_dup", "q_bucketed_join",
-    "q_cidr_block_match", "q_ewma_burst", "q_fulfillment_sla",
+    "q_sequence_pack", "q_bucketed_join",
+    "q_cidr_block_match", "q_ewma_burst",
     "q_tws_running_totals", "q_item_cooccurrence", "q_mg_heavy_hitters")
 
   /** How many of the slowest swept queries get a fresh-session
