@@ -155,7 +155,8 @@ object ScaleSmoke {
       // regardless of submitting thread, and nothing is retained-store
       // dependent. The bus is async: drain by polling the counter to a
       // fixed point after the driving collect() returns.
-      def jobsDuring(steps: Int): (Int, Double) = {
+      def jobsDuring(steps: Int,
+          corpus: org.apache.spark.sql.DataFrame): (Int, Int, Double) = {
         val counter = new java.util.concurrent.atomic.AtomicInteger(0)
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -165,47 +166,57 @@ object ScaleSmoke {
         }
         spark.sparkContext.addSparkListener(listener)
         val t0j = System.nanoTime()
-        val jobs = try {
-          val merges = operators.Bpe.trainOn(spark, docs, steps).collect()
+        val (jobs, nMerges) = try {
+          val merges = operators.Bpe.trainOn(spark, corpus, steps).collect()
           require(merges.nonEmpty)
           // every job's onJobStart was POSTED before its result reached
           // the collect above; wait for the async bus to deliver them
           var last = -1
           var cur = counter.get()
           while (cur != last) { Thread.sleep(200); last = cur; cur = counter.get() }
-          cur
+          (cur, merges.length)
         } finally spark.sparkContext.removeSparkListener(listener)
-        (jobs, (System.nanoTime() - t0j) / 1e9)
+        (jobs, nMerges, (System.nanoTime() - t0j) / 1e9)
       }
-      val (j8, t8) = jobsDuring(8)
-      val (j64, t64) = jobsDuring(64)
+      val (j8, _, t8) = jobsDuring(8, docs)
+      val (j64, _, t64) = jobsDuring(64, docs)
       println(f"[scale] bpe jobs: steps=8 -> $j8 jobs $t8%5.2f s; steps=64 -> $j64 jobs $t64%5.2f s")
       require(j8 == j64,
         s"BPE Spark job count grew with merge budget: $j8 jobs at 8 steps vs $j64 at 64 — " +
           "a per-step Spark roundtrip leaked back into the trainer")
       // r17 VERDICT #4: the other bounded resource at a REAL vocabulary
-      // budget — 1024 merges must still run the same constant job count
-      // (the driver-local loop is the only thing that grows), and the
-      // collected (word, cnt, seg) relation must be VOCABULARY-sized:
+      // budget. The documents corpus has only ~31 word types (the
+      // 64-merge budget already exhausts it), so the 1024-merge probe
+      // runs on a synthetic WIDE-vocabulary corpus — 100k docs of
+      // 'tok<i>' words ≈ 100k word types — where 1024 merges are
+      // genuinely available: the budget must be FULLY consumed
+      // (1024 learned rules, not an early exhaust), the Spark job
+      // count must still be the constant j8, and the collected
+      // (word, cnt, seg) relation must be VOCABULARY-sized — row count
       // invariant under identical corpus replication (word-frequency
       // aggregation guarantees it; this measures the guarantee).
-      val (j1024, t1024) = jobsDuring(1024)
+      def wideCorpus(m: Int) = spark.range(100000L * m).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id % 100000, ' tok', (id + 1) % 100000, ' tok', (id + 2) % 100000) AS text",
+        "'en' AS lang")
+      val (j1024, m1024, t1024) = jobsDuring(1024, wideCorpus(1))
       val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
-      println(f"[scale] bpe jobs: steps=1024 -> $j1024 jobs $t1024%5.2f s (driver heap used ${heapMb}%d MiB)")
+      println(f"[scale] bpe jobs: steps=1024 wide-vocab -> $j1024 jobs, $m1024 merges learned, $t1024%6.2f s (driver heap used ${heapMb}%d MiB)")
       require(j1024 == j8,
         s"BPE Spark job count grew at a 1024-merge budget: $j1024 vs $j8 at 8 steps")
+      require(m1024 == 1024,
+        s"wide-vocab corpus exhausted at $m1024 merges — the 1024-step budget was not exercised")
       val vocabRows = multiples.map { m =>
-        val corpus = docs.crossJoin(spark.range(m).toDF("rep"))
-          .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
-        val rows = operators.Bpe.vocabRowsOn(spark, corpus)
-        println(f"[scale] bpevoc  x$m%-3d docs=${nDocs * m}%8d collected_rows=$rows%8d")
+        val rows = operators.Bpe.vocabRowsOn(spark, wideCorpus(m))
+        println(f"[scale] bpevoc  x$m%-3d docs=${100000L * m}%8d collected_rows=$rows%8d")
         rows
       }
       require(vocabRows.distinct.size == 1,
         s"BPE collected vocabulary rows changed under replication: $vocabRows — " +
           "the driver collect is corpus-sized, not vocabulary-sized")
       println(s"[scale] bpe trainer: jobs constant at 8/64/1024 merges ($j8), " +
-        s"collected rows invariant under x${multiples.mkString("/x")} replication (${vocabRows.head})")
+        s"1024-merge budget fully consumed, collected rows invariant under " +
+        s"x${multiples.mkString("/x")} replication (${vocabRows.head})")
     }
 
     // ---- BM25 retrieval (r17): the query workload (top-40 df terms)

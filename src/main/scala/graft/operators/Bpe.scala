@@ -173,15 +173,28 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
     out.toArray
   }
 
-  /** Run the training loop: the learned merge rules (≤ `steps`) and
-    * the final segmentation relation (word, cnt, seg) — the rules come
-    * from the DRIVER-LOCAL loop over the once-collected vocabulary;
-    * the relation stays distributed (the rules fold into one chained
-    * `replace` projection over the checkpointed seg0). Spark job count
-    * is CONSTANT in `steps`.
+  /** Expression-depth bound for the chained-replace segmentation: a
+    * merge budget deeper than this folds in CHUNKS with a
+    * localCheckpoint between them — a single nested-replace column
+    * 1024 deep overflows the column-conversion stack (measured:
+    * StackOverflow in ColumnNodeToExpressionConverter at the r18
+    * wide-vocabulary gate).
+    */
+  private val SegChunk = 64
+
+  /** Run the training loop: the learned merge rules (≤ `steps`) and a
+    * THUNK of the final segmentation relation (word, cnt, seg) — the
+    * rules come from the DRIVER-LOCAL loop over the once-collected
+    * vocabulary; the relation stays distributed (the rules fold into
+    * chained `replace` projections over the checkpointed seg0,
+    * [[SegChunk]] rules per projection). The thunk is only forced by
+    * [[segmentOn]]: training alone must not build (or execute) a
+    * merge-budget-deep expression. Spark job count during TRAINING is
+    * CONSTANT in `steps`; segmentation adds ⌈steps/[[SegChunk]]⌉
+    * checkpoint jobs over the vocabulary-sized relation.
     */
   private def trainLoop(spark: SparkSession, docsView: String,
-      steps: Int = MergeSteps): (Seq[Merge], DataFrame) = {
+      steps: Int = MergeSteps): (Seq[Merge], () => DataFrame) = {
     // the corpus-sized stage is materialized ONCE; training reads the
     // vocabulary-sized relation it leaves behind
     val seg0 = spark.sql(seg0Sql(SparkSql, docsView)).localCheckpoint()
@@ -268,13 +281,19 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
       step += 1
     }
     val learned = merges.result()
-    // final segmentation stays distributed: fold the learned rules
-    // into ONE chained-replace expression over seg0
-    val segExpr = learned.foldLeft(col("seg")) { (c, m) =>
-      replace(c, lit(s" ${m.left_sym}  ${m.right_sym} "),
-        lit(s" ${m.merged_sym} "))
+    // final segmentation stays distributed: fold the learned rules into
+    // chained-replace expressions over seg0, SegChunk rules deep per
+    // projection with a checkpoint between chunks (bounds expression
+    // depth at any merge budget)
+    val segDf = () => learned.grouped(SegChunk).foldLeft(seg0) { (df, chunk) =>
+      val segExpr = chunk.foldLeft(col("seg")) { (c, m) =>
+        replace(c, lit(s" ${m.left_sym}  ${m.right_sym} "),
+          lit(s" ${m.merged_sym} "))
+      }
+      val next = df.withColumn("seg", segExpr)
+      if (learned.length > SegChunk) next.localCheckpoint() else next
     }
-    (learned, seg0.withColumn("seg", segExpr))
+    (learned, segDf)
   }
 
   /** Register `documents` under a QUERY-UNIQUE temp view for the
@@ -318,7 +337,8 @@ FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
   def segmentOn(spark: SparkSession, documents: DataFrame,
       steps: Int = MergeSteps): DataFrame =
     withDocsView(spark, documents) { docsView =>
-    val (_, seg) = trainLoop(spark, docsView, steps)
+    val (_, segThunk) = trainLoop(spark, docsView, steps)
+    val seg = segThunk()
     val wl = spark.sql(
       s"""SELECT lang, word, CAST(count(*) AS BIGINT) AS wcnt
 FROM (${explodeWords(SparkSql, docsView)}) GROUP BY lang, word""")
