@@ -155,31 +155,46 @@ object Sf1Probe {
     var currentQuery = "warmup"
     operators.StageViews.enableBuildAttribution(() => currentQuery)
 
-    // One query, measured: stage (re)builds are charged to the stage
-    // channel, not the query (r15 VERDICT task 5) — builds are timed
-    // and attributed by StageViews, the query's swept sec EXCLUDES
-    // them (same basis as Bench's min-of-two, where attempt 2 reads
-    // the cache), and the rebuild cost stays visible under
-    // stage_builds with chargedTo = this query.
+    // One query, measured MIN-OF-TWO (r18: the same basis as Bench's
+    // sweep). Stage (re)builds are charged to the stage channel, not
+    // the query (r15 VERDICT task 5) — builds are timed and attributed
+    // by StageViews, the query's swept sec EXCLUDES them, and the
+    // rebuild cost stays visible under stage_builds with chargedTo =
+    // this query. The min matters even with sharding: the FIRST
+    // attempt of a query that follows tens of seconds of in-shard
+    // stage builds inherits their GC/page-cache wake (r18 shard 3:
+    // q_kcore_copurchase 17.7 s attempt-1 vs 2.6 s iso, with its own
+    // builds already excluded); attempt 2 runs in the stabilized shard
+    // and reads the built stages — the steady-state cost the probe
+    // reports everywhere else.
     def runQuery(s: SparkSession, q: Q): (String, Double, Either[String, Long]) = {
       currentQuery = q.name
-      val builds0 = operators.StageViews.buildLog.size
-      val t0 = System.nanoTime()
-      val res =
-        try Right(q.run(s, out).count())
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      val raw = (System.nanoTime() - t0) / 1e9
-      val buildSec = operators.StageViews.buildLog.drop(builds0).map(_.sec).sum
-      val sec = math.max(0.0, raw - buildSec)
+      def attempt(): (Double, Either[String, Long]) = {
+        val builds0 = operators.StageViews.buildLog.size
+        val t0 = System.nanoTime()
+        val res =
+          try Right(q.run(s, out).count())
+          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val raw = (System.nanoTime() - t0) / 1e9
+        val buildSec = operators.StageViews.buildLog.drop(builds0).map(_.sec).sum
+        // free this query's memory-sink tables between attempts: at sf1
+        // the streaming emissions held in driver heap otherwise
+        // compound across the sweep (the uniform inflation of SF1_r14)
+        GraftSession.dropStreamSinks(s)
+        (math.max(0.0, raw - buildSec), res)
+      }
+      val (s1, r1) = attempt()
+      val (sec, res) = r1 match {
+        case Left(_) => (s1, r1) // a failed query is not re-attempted
+        case Right(_) =>
+          val (s2, r2) = attempt()
+          if (r2.isLeft) (s1, r1) else (math.min(s1, s2), r1)
+      }
       res match {
         case Right(n) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s " +
-          f"(+${buildSec}%.2f s stage builds)  $n%10d rows")
+          f"(attempt1 $s1%.2f)  $n%10d rows")
         case Left(err) => println(f"[sf1] ${q.name}%-32s $sec%8.2f s  FAILED: $err")
       }
-      // free this query's memory-sink tables: at sf1 the streaming
-      // emissions held in driver heap otherwise compound across the
-      // sweep (the uniform sweep-vs-iso inflation of SF1_r14)
-      GraftSession.dropStreamSinks(s)
       (q.name, sec, res)
     }
 
