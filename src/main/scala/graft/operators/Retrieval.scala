@@ -94,6 +94,16 @@ FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
 WHERE r2.rank <= $TopK
 ORDER BY r2.query_id, r2.rank"""
 
+  /** One term's BM25 contribution in basis points — the one formula
+    * every spelling (oracle CTEs, PRF round 2, the staged scores view)
+    * must share verbatim so the arithmetic cannot drift.
+    */
+  private def cBpExpr(d: SqlDialect, df: String, tf: String, len: String): String =
+    d.idiv(
+      s"(${d.idiv(s"10000 * (nn.n - $df + 1)", s"$df + 1")}) * " +
+        s"(${d.idiv(s"440000 * $tf * nn.tl", s"20 * $tf * nn.tl + 6 * nn.tl + 18 * $len * nn.n")})",
+      "10000")
+
   /** The CTE chain only (ends at `qlab`) — reused by the hybrid fusion,
     * which needs the ranked relation `r2` rather than a finished query.
     */
@@ -107,7 +117,7 @@ qt AS (SELECT term, df,
 qterms AS (SELECT ${d.idiv("qrank - 1", "2")} AS query_id, term, df
            FROM qt WHERE qrank <= $QueryTerms),
 contrib AS (SELECT q.query_id, t.doc_id,
-                   ${d.idiv(s"(${d.idiv("10000 * (nn.n - q.df + 1)", "q.df + 1")}) * (${d.idiv("440000 * t.tf * nn.tl", "20 * t.tf * nn.tl + 6 * nn.tl + 18 * dl.len * nn.n")})", "10000")} AS c_bp
+                   ${cBpExpr(d, "q.df", "t.tf", "dl.len")} AS c_bp
             FROM qterms q JOIN $tfRel t ON q.term = t.term
             JOIN $dlRel dl ON t.doc_id = dl.doc_id CROSS JOIN nn),
 scores AS (SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp
@@ -131,9 +141,32 @@ WITH tf AS (${tfSql(d)}),
 dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
 ${bm25Body(d, "tf", "dl")}"""
 
-  /** Staged spelling: the body over the cached stage views. */
-  private def bm25StagedSparkSql: String =
-    s"WITH ${bm25Body(SparkSql, "bm25_tf_v", "bm25_dl_v")}"
+  /** Ranking CTEs over the STAGED round-1 scores (`bm25_scores_v`) and
+    * workload (`bm25_qt_v`) — shared by all three retrieval catalog
+    * queries, so the contribution join runs once per corpus and every
+    * consumer reads the ~(queries × matching docs) scored relation from
+    * cache. At 100 TB this is the persisted scores table a retrieval
+    * service maintains, not a per-query recompute.
+    */
+  private def stagedRankCtes: String = s"""
+r1 AS (SELECT query_id, doc_id, score_bp,
+              ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                 ORDER BY score_bp DESC, doc_id) AS sr
+       FROM bm25_scores_v),
+r2 AS (SELECT query_id, doc_id, score_bp,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+       FROM r1 WHERE sr <= $TopK),
+qlab AS (SELECT query_id, min(term) AS term_a, max(term) AS term_b
+         FROM bm25_qt_v GROUP BY query_id)"""
+
+  /** Staged spelling: rank the cached scores view. */
+  private def bm25StagedSparkSql: String = s"""
+WITH $stagedRankCtes
+SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
+FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
+WHERE r2.rank <= $TopK
+ORDER BY r2.query_id, r2.rank"""
 
   /** Spec/fixture entry: the production SQL over any documents-shaped
     * relation registered as `documents` in the session.
@@ -153,6 +186,23 @@ ${bm25Body(d, "tf", "dl")}"""
     StageViews.ensureCached(spark, "bm25_tf_v", key)(spark.sql(tfSql(SparkSql)))
     StageViews.ensureCached(spark, "bm25_dl_v", key)(spark.sql(
       s"SELECT doc_id, CAST(${dlen(SparkSql)} AS BIGINT) AS len FROM documents"))
+    // the 20-query workload (40 rows) — built once from the postings df
+    StageViews.ensureCached(spark, "bm25_qt_v", key)(spark.sql(s"""
+SELECT ${SparkSql.idiv("qrank - 1", "2")} AS query_id, term, df FROM (
+  SELECT term, df,
+         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS qrank
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm25_tf_v GROUP BY term))
+WHERE qrank <= $QueryTerms"""))
+    // round-1 scores: the ONE contribution join, shared by the bm25
+    // top-k, the hybrid fusion, and PRF's round 1
+    StageViews.ensureCached(spark, "bm25_scores_v", key)(spark.sql(s"""
+SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp FROM (
+  SELECT q.query_id, t.doc_id, ${cBpExpr(SparkSql, "q.df", "t.tf", "dl.len")} AS c_bp
+  FROM bm25_qt_v q JOIN bm25_tf_v t ON q.term = t.term
+  JOIN bm25_dl_v dl ON t.doc_id = dl.doc_id
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
+              FROM bm25_dl_v) nn)
+GROUP BY query_id, doc_id"""))
     ()
   }
 
@@ -277,11 +327,11 @@ $bmTopCte,
 ${anTopCte("ranked")},
 ${fusionSql(d, "bmtop", "antop")}"""
 
-  /** Staged spelling: BM25 CTEs over the cached postings/length views,
-    * dense ranks from the cached brute ground-truth stage.
+  /** Staged spelling: lexical ranks from the cached scores view, dense
+    * ranks from the cached brute ground-truth stage.
     */
   private def hybridStagedSparkSql: String = s"""
-WITH ${bm25Ctes(SparkSql, "bm25_tf_v", "bm25_dl_v")},
+WITH $stagedRankCtes,
 $bmTopCte,
 ${anTopCte("ann_brute_v")},
 ${fusionSql(SparkSql, "bmtop", "antop")}"""
@@ -388,7 +438,11 @@ ${prfCtes(d, "tf", "dl")}
 $prfSelect"""
 
   private def prfStagedSparkSql: String = s"""
-WITH ${bm25Ctes(SparkSql, "bm25_tf_v", "bm25_dl_v")},
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
+            FROM bm25_dl_v),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm25_tf_v GROUP BY term),
+qterms AS (SELECT query_id, term, df FROM bm25_qt_v),
+$stagedRankCtes,
 ${prfCtes(SparkSql, "bm25_tf_v", "bm25_dl_v")}
 $prfSelect"""
 
