@@ -456,6 +456,86 @@ $prfSelect"""
 
   val qPrf = Q("q_bm25_prf", runPrf _, Some(prfSql(DuckSql)))
 
+  // ---- positional phrase search ----
+
+  /** Phrase queries to derive and docs to keep per phrase. */
+  val PhraseQueries = 10
+  val PhraseTopK = 5
+
+  /** Exact phrase retrieval — the positional-index operator BM25's
+    * bag-of-words scoring cannot express: rank documents by how often
+    * an exact two-word phrase occurs (adjacent positions, in order).
+    * The per-doc positional bigram relation IS the positional index,
+    * built once per corpus as a cached stage (`phr_dbg_v`); the phrase
+    * workload is self-derived like BM25's — the [[PhraseQueries]] most
+    * frequent non-stopword bigrams corpus-wide (ties by terms
+    * ascending) — so both engines reproduce it with no out-of-band
+    * fixture. Occurrences may overlap ("a a a" contains "a a" twice):
+    * positional adjacency counts every position pair, the standard
+    * positional-index semantics.
+    *
+    * Scale shape: ONE explode builds the positional bigrams (linear —
+    * each position has exactly one successor), one groupBy collapses
+    * them to per-(doc, bigram) counts, the 10-phrase workload
+    * broadcasts against it, and the top-k is the same salted two-phase
+    * rank as BM25's. All counts BIGINT.
+    */
+  private def phraseSql(d: SqlDialect, dbgRel: Option[String]): String = {
+    val dbg = dbgRel.getOrElse("dbg")
+    val dbgCte = dbgRel match {
+      case Some(_) => ""
+      case None => s"""
+WITH dw AS (SELECT doc_id, ${d.split("text")} AS w FROM documents
+            WHERE ${d.len(d.split("text"))} >= 2),
+bi AS (${d.series("doc_id, w", d.len("w") + " - 1", "i", "dw")}),
+dbg AS (SELECT doc_id, ${d.el("w", "i")} AS ta, ${d.el("w", "i + 1")} AS tb,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM bi
+        WHERE NOT ${d.el("w", "i")} IN $Stop
+          AND NOT ${d.el("w", "i + 1")} IN $Stop
+        GROUP BY doc_id, ${d.el("w", "i")}, ${d.el("w", "i + 1")}),"""
+    }
+    val lead = if (dbgRel.isDefined) "WITH " else ""
+    s"""
+$dbgCte
+${lead}wl AS (SELECT ta, tb, CAST(sum(cnt) AS BIGINT) AS total,
+              CAST(ROW_NUMBER() OVER (ORDER BY sum(cnt) DESC, ta, tb) AS BIGINT) AS pr
+       FROM $dbg GROUP BY ta, tb),
+phrases AS (SELECT pr AS phrase_id, ta, tb FROM wl WHERE pr <= $PhraseQueries),
+cand AS (SELECT p.phrase_id, p.ta, p.tb, g.doc_id, g.cnt
+         FROM phrases p JOIN $dbg g ON p.ta = g.ta AND p.tb = g.tb),
+p1 AS (SELECT phrase_id, ta, tb, doc_id, cnt,
+              ROW_NUMBER() OVER (PARTITION BY phrase_id, doc_id % $Salts
+                                 ORDER BY cnt DESC, doc_id) AS sr
+       FROM cand),
+p2 AS (SELECT phrase_id, ta, tb, doc_id, cnt,
+              CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+                                      ORDER BY cnt DESC, doc_id) AS BIGINT) AS rank
+       FROM p1 WHERE sr <= $PhraseTopK)
+SELECT phrase_id, rank, doc_id, cnt AS phrase_tf, ta AS term_a, tb AS term_b
+FROM p2 WHERE rank <= $PhraseTopK
+ORDER BY phrase_id, rank"""
+  }
+
+  private[graft] def phraseSparkSqlForTest: String = phraseSql(SparkSql, None)
+
+  private def runPhrase(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    // the positional index: per-(doc, adjacent bigram) counts, read
+    // twice (workload derivation + candidate join)
+    StageViews.ensureCached(spark, "phr_dbg_v", dir)(spark.sql(s"""
+SELECT doc_id, ${SparkSql.el("w", "i")} AS ta, ${SparkSql.el("w", "i + 1")} AS tb,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (${SparkSql.series("doc_id, w", SparkSql.len("w") + " - 1", "i",
+      s"(SELECT doc_id, ${SparkSql.split("text")} AS w FROM documents WHERE ${SparkSql.len(SparkSql.split("text"))} >= 2) dw")})
+WHERE NOT ${SparkSql.el("w", "i")} IN $Stop
+  AND NOT ${SparkSql.el("w", "i + 1")} IN $Stop
+GROUP BY doc_id, ${SparkSql.el("w", "i")}, ${SparkSql.el("w", "i + 1")}"""))
+    spark.sql(phraseSql(SparkSql, Some("phr_dbg_v")))
+  }
+
+  val qPhrase = Q("q_phrase_search", runPhrase _, Some(phraseSql(DuckSql, None)))
+
   private def runHybrid(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
@@ -465,5 +545,5 @@ $prfSelect"""
 
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf)
+  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase)
 }

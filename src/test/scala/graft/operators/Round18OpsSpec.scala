@@ -245,6 +245,57 @@ class Round18OpsSpec extends AnyFunSuite {
       "the oracle-SF corpus has > 40 terms; some query must actually expand")
   }
 
+  // ---- positional phrase search ----
+
+  private def withPlainDocs[A](rows: (Long, String)*)(f: => A): A = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").selectExpr("doc_id", "text", "'en' AS lang")
+      .createOrReplaceTempView("documents")
+    try f finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  private def phrase(): Seq[(Long, Long, Long, Long, String, String)] =
+    spark.sql(Retrieval.phraseSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+
+  test("phrase search: hand-derived workload, per-doc counts, ranking") {
+    // doc0 "big cat big cat": bigrams (big,cat)x2, (cat,big)x1
+    // doc1 "big cat dog":     (big,cat)x1, (cat,dog)x1
+    // workload by total DESC, terms ASC: 1=(big,cat) 3, 2=(cat,big) 1,
+    // 3=(cat,dog) 1. Ranks by per-doc tf DESC, doc_id ASC.
+    val got = withPlainDocs(0L -> "big cat big cat", 1L -> "big cat dog")(phrase())
+    assert(got == Seq(
+      (1L, 1L, 0L, 2L, "big", "cat"),
+      (1L, 2L, 1L, 1L, "big", "cat"),
+      (2L, 1L, 0L, 1L, "cat", "big"),
+      (3L, 1L, 1L, 1L, "cat", "dog")))
+  }
+
+  test("phrase search: overlapping occurrences count per position pair") {
+    // "z z z" has (z,z) at positions 1 and 2 — positional-index
+    // semantics count both (unlike a non-overlapping string scan)
+    val got = withPlainDocs(0L -> "z z z")(phrase())
+    assert(got == Seq((1L, 1L, 0L, 2L, "z", "z")))
+  }
+
+  test("phrase search: stopword-adjacent bigrams and 1-word docs are excluded") {
+    val got = withPlainDocs(
+      0L -> "x", 1L -> "the cat", 2L -> "ant bee")(phrase())
+    assert(got == Seq((1L, 1L, 2L, 1L, "ant", "bee")),
+      s"only the non-stop bigram survives: $got")
+  }
+
+  test("phrase search: catalog query is non-vacuous and totally ordered at the oracle SF") {
+    val rows = Retrieval.qPhrase.run(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sorted && rows.distinct.length == rows.length)
+  }
+
   // ---- StageViews: stored-tier disk reclamation (r17 ADVICE) ----
 
   private def storeDirs(): Set[String] = {
