@@ -536,6 +536,64 @@ GROUP BY doc_id, ${SparkSql.el("w", "i")}, ${SparkSql.el("w", "i + 1")}"""))
 
   val qPhrase = Q("q_phrase_search", runPhrase _, Some(phraseSql(DuckSql, None)))
 
+  // ---- incremental index maintenance (streaming) ----
+
+  /** The BM25 query workload derived from a STREAMED corpus — the
+    * incremental-index-maintenance composition a live retrieval service
+    * runs: documents arrive as a stream, per-(doc, term) postings
+    * presence dedups statefully, per-term document frequency aggregates
+    * in complete mode, and the 40-term workload is derived from the
+    * maintained df relation. Must equal the batch derivation exactly
+    * (the oracle IS the batch spelling; Round18OpsSpec additionally
+    * pins equality with the staged `bm25_qt_v` relation).
+    *
+    * State shape: the dropDuplicates state is postings-sized — at
+    * 100 TB you bound it with `dropDuplicatesWithinWatermark` exactly
+    * like q_dedup_stream_windowed (the recurrence semantics are pinned
+    * there); the df aggregate's state and the memory sink are
+    * VOCABULARY-sized, which saturates while the corpus grows.
+    */
+  val qIndexStream = Q(
+    "q_bm25_index_stream",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+      import org.apache.spark.sql.functions.{col, count, lit, row_number}
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val sinkName = graft.GraftSession.newSinkName(spark, "bqi")
+      val q = graft.Tables.streamTable(spark, dir, "documents", docSchema)
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+        .where(s"NOT term IN $Stop")
+        .dropDuplicates("doc_id", "term")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("bigint").as("df"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // batch post-processing over the vocabulary-sized sink: the same
+      // (df DESC, term) rank the batch workload uses
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term"))
+      spark.table(sinkName)
+        .withColumn("qrank", row_number().over(w).cast("long"))
+        .where(col("qrank") <= QueryTerms)
+        .selectExpr("(qrank - 1) DIV 2 AS query_id", "term", "df")
+        .orderBy("query_id", "term")
+    },
+    Some(s"""
+WITH tf AS (${tfSql(DuckSql)}),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qt AS (SELECT term, df,
+              CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS qrank
+       FROM df)
+SELECT ${DuckSql.idiv("qrank - 1", "2")} AS query_id, term, df
+FROM qt WHERE qrank <= $QueryTerms
+ORDER BY query_id, term"""))
+
   private def runHybrid(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
@@ -545,5 +603,5 @@ GROUP BY doc_id, ${SparkSql.el("w", "i")}, ${SparkSql.el("w", "i + 1")}"""))
 
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase)
+  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase, qIndexStream)
 }

@@ -296,6 +296,23 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(rows == rows.sorted && rows.distinct.length == rows.length)
   }
 
+  test("bm25 index stream: stream-maintained workload equals the batch staged relation") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = Retrieval.qIndexStream.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed.size <= Retrieval.QueryTerms,
+      s"workload carries min(${Retrieval.QueryTerms}, distinct non-stop terms); " +
+        s"sf0.01 has fewer than ${Retrieval.QueryTerms}")
+    // the batch side: force the staged workload via the bm25 catalog
+    // query's stage builder, then read bm25_qt_v directly
+    Retrieval.qBm25.run(spark, dir).collect()
+    val batch = spark.table("bm25_qt_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(streamed == batch,
+      "incremental (stream-maintained) index must derive the identical workload")
+  }
+
   // ---- StageViews: stored-tier disk reclamation (r17 ADVICE) ----
 
   private def storeDirs(): Set[String] = {
