@@ -46,6 +46,7 @@ object SparkEntry {
       operators.Quantize.all ++
       operators.Cdc.all ++
       operators.Packing.all ++
+      operators.Privacy.all ++
       operators.WebCorpus.all ++
       operators.Behavior.all ++
       operators.Mitigation.all ++

@@ -1268,7 +1268,7 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
     * driver corpus' per-dim sign balance is ~0.5 (measured), so buckets
     * stay near-uniform at any k.
     */
-  private def signWord(d: SqlDialect): String = (1 to EmbedMaxBits)
+  private[operators] def signWord(d: SqlDialect): String = (1 to EmbedMaxBits)
     .map(i =>
       s"(CASE WHEN ${d.el("embedding", i.toString)} >= 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     .mkString(" + ")
@@ -1281,7 +1281,7 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
     * bucketing — the cross-engine float-determinism class of bug this
     * catalog bans.
     */
-  private def powModulusSub(cntSub: String): String = {
+  private[operators] def powModulusSub(cntSub: String): String = {
     val powers = (EmbedMinBits to EmbedMaxBits)
       .map(k => s"(CAST(${1L << k} AS BIGINT))")
       .mkString(", ")

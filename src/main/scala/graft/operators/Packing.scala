@@ -181,6 +181,73 @@ ORDER BY lang"""
     },
     Some(unimaxSql(DuckSql)))
 
+  /** Temperature-scaled language sampling (the mT5/XLM-R recipe:
+    * p_l ∝ (tokens_l)^α with α = 1/2 here — "temperature 2") — the
+    * third point on the mixing spectrum between q_corpus_mix's
+    * proportional shares (α = 1) and q_corpus_unimax's capped-uniform
+    * allocation: low-resource languages are upsampled, but smoothly
+    * rather than to a hard uniform share.
+    *
+    * Arithmetic contract: w_l = ⌊√tokens_l⌋ via the DOUBLE sqrt —
+    * IEEE-754 sqrt is CORRECTLY ROUNDED, so Spark (Math.sqrt) and
+    * DuckDB land on the identical double for the identical BIGINT
+    * input and the floor agrees bit-for-bit (the same argument the
+    * IVF list-count derivation relies on; log/exp would NOT be safe —
+    * libm last-ulps differ). Everything downstream is BIGINT: the
+    * budget B = Σ tokens reallocates as alloc_l = ⌊B·w_l / W⌋ plus
+    * Hamilton largest-remainder apportionment (+1 token to the
+    * `deficit` languages with the largest remainders, ties by lang
+    * ascending), so **Σ alloc_tokens == B exactly** — the law the spec
+    * pins. Headroom: B·w_l needs w_l·B < 2⁶³; with w ≈ √B that holds
+    * to B ≈ 4·10¹² tokens — past that, pre-scale w.
+    *
+    * Scale shape: one map-side-combinable groupBy over the corpus;
+    * every window runs over the |langs|-row aggregate. Zero-token
+    * languages are dropped by the same HAVING guard as UniMax (they
+    * can absorb no budget but would divide by zero in the rate).
+    */
+  private[graft] def temperatureSql(d: SqlDialect, rel: String = "documents"): String = s"""
+WITH tok AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CAST(${nTok(d)} AS BIGINT)) AS BIGINT) AS lang_tokens
+             FROM $rel GROUP BY lang
+             HAVING sum(CAST(${nTok(d)} AS BIGINT)) > 0),
+w AS (SELECT lang, n_docs, lang_tokens,
+             CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      FROM tok),
+t AS (SELECT lang, n_docs, lang_tokens, w_sqrt,
+             CAST(sum(lang_tokens) OVER () AS BIGINT) AS b,
+             CAST(sum(w_sqrt) OVER () AS BIGINT) AS ws
+      FROM w),
+base AS (SELECT lang, n_docs, lang_tokens, w_sqrt, b,
+                ${d.idiv("b * w_sqrt", "ws")} AS alloc0,
+                (b * w_sqrt) % ws AS remn
+         FROM t),
+fin AS (SELECT lang, n_docs, lang_tokens, w_sqrt, b, alloc0,
+               CAST(b - sum(alloc0) OVER () AS BIGINT) AS deficit,
+               ROW_NUMBER() OVER (ORDER BY remn DESC, lang) AS rr
+        FROM base)
+SELECT lang, n_docs, lang_tokens, w_sqrt,
+       CAST(alloc0 + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+       ${d.idiv("10000 * (alloc0 + CASE WHEN rr <= deficit THEN 1 ELSE 0 END)",
+      "lang_tokens")} AS sample_rate_bp
+FROM fin
+ORDER BY lang"""
+
+  /** Fixture entry: the production SQL over any registered
+    * documents-shaped relation (lang, text).
+    */
+  private[graft] def temperatureOn(spark: org.apache.spark.sql.SparkSession,
+      rel: String): org.apache.spark.sql.DataFrame =
+    spark.sql(temperatureSql(SparkSql, rel))
+
+  val qCorpusTemperature = Q(
+    "q_corpus_temperature",
+    (spark, dir) => {
+      graft.Tables.documents(spark, dir).createOrReplaceTempView("documents_tmp8")
+      temperatureOn(spark, "documents_tmp8")
+    },
+    Some(temperatureSql(DuckSql)))
+
   val qCorpusMix = Q(
     "q_corpus_mix",
     (spark, dir) => {
@@ -192,5 +259,6 @@ ORDER BY lang"""
     },
     Some(mixSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qSequencePack, qCorpusMix, qCorpusUnimax)
+  val all: Seq[Q] = Seq(qSequencePack, qCorpusMix, qCorpusUnimax,
+    qCorpusTemperature)
 }

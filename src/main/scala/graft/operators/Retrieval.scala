@@ -594,6 +594,279 @@ SELECT ${DuckSql.idiv("qrank - 1", "2")} AS query_id, term, df
 FROM qt WHERE qrank <= $QueryTerms
 ORDER BY query_id, term"""))
 
+  // ---- hard-negative mining (BM25 negatives, near-dup-safe) ----
+
+  /** BM25 rank depth mined for negatives (ranks 2..[[HnDepth]]). */
+  val HnDepth = 8
+  /** Negatives kept per query. */
+  val HnK = 3
+  /** Near-dup exclusion threshold, basis points of term-set
+    * containment: a candidate sharing ≥ 80% of the smaller doc's
+    * distinct content terms with the positive is treated as a
+    * duplicate of it, not a negative.
+    */
+  val NearDupBp = 8000L
+
+  /** Hard-negative mining for retriever training — the DPR recipe
+    * (Karpukhin et al. 2020): for each query, the positive is the BM25
+    * rank-1 document and the hard negatives are the next-highest BM25
+    * candidates, which are exactly the lexically-confusable documents
+    * a dense retriever must learn to separate. One correction the
+    * plain recipe needs on a real (duplicated) corpus: a candidate
+    * that is a NEAR-DUPLICATE of the positive is a false negative —
+    * training on it teaches the model to separate a document from its
+    * own copy — so candidates are screened by distinct-term-set
+    * containment against the positive (integer basis points,
+    * 10000·|shared| DIV min(|pos terms|, |cand terms|), the same
+    * containment notion as q_doc_containment) and dropped at
+    * ≥ [[NearDupBp]].
+    *
+    * Everything is BIGINT end-to-end (ranks, scores, containment), so
+    * both engines agree bit-for-bit; ties break by doc_id ascending.
+    *
+    * Scale shape: the ranked list reuses the staged round-1 scores
+    * (two-phase salted top-k, per-salt keep = [[HnDepth]]); every join
+    * after it is WORKLOAD-sized — ≤ queries×[[HnDepth]] keys probing
+    * the postings relation on doc_id (a broadcast-able probe side at
+    * any corpus size), never a corpus×corpus pair join.
+    */
+  private def hnCtes(d: SqlDialect, scoresRel: String, tfRel: String): String = s"""
+hn_r1 AS (SELECT query_id, doc_id, score_bp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                    ORDER BY score_bp DESC, doc_id) AS sr
+          FROM $scoresRel),
+hn_r2 AS (SELECT query_id, doc_id, score_bp,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+          FROM hn_r1 WHERE sr <= $HnDepth),
+hn_pos AS (SELECT query_id, CAST(doc_id AS BIGINT) AS pos_doc_id
+           FROM hn_r2 WHERE rank = 1),
+hn_cand AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score_bp
+            FROM hn_r2 WHERE rank > 1 AND rank <= $HnDepth),
+hn_pterms AS (SELECT p.query_id, p.pos_doc_id, t.term
+              FROM hn_pos p JOIN $tfRel t ON p.pos_doc_id = t.doc_id),
+hn_pn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS np
+          FROM hn_pterms GROUP BY query_id),
+hn_cn AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS nc
+          FROM hn_cand c JOIN $tfRel t ON c.doc_id = t.doc_id
+          GROUP BY c.query_id, c.doc_id),
+hn_ov AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS ov
+          FROM hn_cand c JOIN $tfRel t ON c.doc_id = t.doc_id
+          JOIN hn_pterms p ON p.query_id = c.query_id AND p.term = t.term
+          GROUP BY c.query_id, c.doc_id),
+hn_scored AS (SELECT c.query_id, c.doc_id, c.score_bp,
+                     ${d.idiv("10000 * coalesce(o.ov, 0)", "LEAST(pn.np, cn.nc)")} AS containment_bp
+              FROM hn_cand c
+              JOIN hn_pn pn ON c.query_id = pn.query_id
+              JOIN hn_cn cn ON c.query_id = cn.query_id AND c.doc_id = cn.doc_id
+              LEFT JOIN hn_ov o ON c.query_id = o.query_id AND c.doc_id = o.doc_id),
+hn_keep AS (SELECT query_id, doc_id, score_bp, containment_bp,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score_bp DESC, doc_id) AS BIGINT) AS neg_rank
+            FROM hn_scored WHERE containment_bp < $NearDupBp)"""
+
+  private def hnSelect: String = s"""
+SELECT k.query_id, k.neg_rank, p.pos_doc_id, k.doc_id AS neg_doc_id,
+       CAST(k.score_bp AS BIGINT) AS neg_score_bp, k.containment_bp
+FROM hn_keep k JOIN hn_pos p ON k.query_id = p.query_id
+WHERE k.neg_rank <= $HnK
+ORDER BY k.query_id, k.neg_rank"""
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def hnSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${hnCtes(d, "scores", "tf")}
+$hnSelect"""
+
+  private[graft] def hnSparkSqlForTest: String = hnSql(SparkSql)
+
+  private def runHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    spark.sql(s"""
+WITH ${hnCtes(SparkSql, "bm25_scores_v", "bm25_tf_v")}
+$hnSelect""")
+  }
+
+  val qHardNegatives = Q("q_hard_negatives", runHardNegatives _,
+    Some(hnSql(DuckSql)))
+
+  // ---- best-snippet extraction (passage selection) ----
+
+  /** Snippet window width, tokens. */
+  val SnipW = 8
+
+  /** Best-snippet extraction — the passage-selection operator a search
+    * UI (and a RAG context builder) runs over each query's top hit:
+    * the [[SnipW]]-token window of the document maximizing (distinct
+    * query terms matched, then total matches, then earliest start).
+    * All ordering keys are BIGINT counts and positions — no floats —
+    * and the snippet string itself is a deterministic slice+join of
+    * the whitespace tokenization both engines share.
+    *
+    * Scale shape: the only corpus-sized work is upstream (the staged
+    * BM25 ranks and one probe of `documents` by the ≤ |queries| top
+    * doc_ids — a broadcast-able semi-join, pushed to the scan as an
+    * id filter at 100 TB). The window scoring explodes ≤ |queries|
+    * documents × [[SnipW]] shifts of their MATCHED positions only —
+    * workload-sized, not corpus-sized.
+    */
+  private def snippetCtes(d: SqlDialect, rankedRel: String, qtRel: String,
+      docsRel: String): String = s"""
+sn_doc AS (SELECT s.query_id, CAST(s.doc_id AS BIGINT) AS doc_id,
+                  ${d.split("dd.text")} AS w
+           FROM (SELECT query_id, doc_id FROM $rankedRel WHERE rank = 1) s
+           JOIN $docsRel dd ON s.doc_id = dd.doc_id),
+sn_tok AS (${d.series("query_id, doc_id, w", d.len("w"), "i", "sn_doc")}),
+sn_hit AS (SELECT t.query_id, t.doc_id, t.i AS p, ${d.el("t.w", "t.i")} AS term,
+                  ${d.len("t.w")} AS ln
+           FROM sn_tok t JOIN $qtRel q
+             ON t.query_id = q.query_id AND ${d.el("t.w", "t.i")} = q.term),
+sn_sh AS (${d.series("query_id, doc_id, p, term, ln", SnipW.toString, "j", "sn_hit")}),
+sn_win AS (SELECT query_id, doc_id, term, p - j + 1 AS s
+           FROM sn_sh
+           WHERE p - j + 1 >= 1 AND p - j + 1 <= GREATEST(1, ln - $SnipW + 1)),
+sn_sc AS (SELECT query_id, doc_id, s,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(count(*) AS BIGINT) AS n_hits
+          FROM sn_win GROUP BY query_id, doc_id, s),
+sn_best AS (SELECT query_id, doc_id, s, n_terms, n_hits,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY n_terms DESC, n_hits DESC, s) AS br
+            FROM sn_sc)"""
+
+  private def snippetSelect(d: SqlDialect): String = s"""
+SELECT b.query_id, b.doc_id, CAST(b.s AS BIGINT) AS win_start, b.n_terms, b.n_hits,
+       ${d.joinArr(d.slice("sd.w", "b.s", SnipW.toString))} AS snippet
+FROM sn_best b JOIN sn_doc sd ON b.query_id = sd.query_id
+WHERE b.br = 1
+ORDER BY b.query_id"""
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def snippetSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${snippetCtes(d, "r2", "qterms", "documents")}
+${snippetSelect(d)}"""
+
+  private[graft] def snippetSparkSqlForTest: String = snippetSql(SparkSql)
+
+  private def runSnippet(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    spark.sql(s"""
+WITH $stagedRankCtes,
+${snippetCtes(SparkSql, "r2", "bm25_qt_v", "documents")}
+${snippetSelect(SparkSql)}""")
+  }
+
+  val qBestSnippet = Q("q_best_snippet", runSnippet _, Some(snippetSql(DuckSql)))
+
+  // ---- faceted result counts ----
+
+  /** Faceted search counts — the aggregation a search UI renders next
+    * to the result list: for each query, the per-facet-value document
+    * counts over its top-[[TopK]] hits, here over the two categorical
+    * document facets (`lang`, `source`). Workload-sized: the facet
+    * join probes `documents` with ≤ queries×[[TopK]] doc_ids (broadcast
+    * probe side; an id-filtered scan at 100 TB), and the counts group
+    * ≤ that many rows.
+    */
+  private def facetCtes(d: SqlDialect, rankedRel: String, docsRel: String): String = s"""
+fc_j AS (SELECT f.query_id, dd.lang, dd.source
+         FROM (SELECT query_id, doc_id FROM $rankedRel WHERE rank <= $TopK) f
+         JOIN $docsRel dd ON f.doc_id = dd.doc_id)"""
+
+  private def facetSelect: String = s"""
+SELECT query_id, facet, val, n_docs FROM (
+  SELECT query_id, 'lang' AS facet, lang AS val,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM fc_j GROUP BY query_id, lang
+  UNION ALL
+  SELECT query_id, 'source' AS facet, source AS val,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM fc_j GROUP BY query_id, source) u
+ORDER BY query_id, facet, val"""
+
+  private def facetSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${facetCtes(d, "r2", "documents")}
+$facetSelect"""
+
+  // ---- retrieval evaluation: MRR against the dense rank-1 label ----
+
+  /** Retrieval evaluation — the MRR@k audit every retrieval stack runs
+    * before swapping rankers: treating each query's dense cosine rank-1
+    * document as the relevance label (the aligned-corpus assumption the
+    * hybrid fusion already pins), score the BM25 top-[[TopK]] list by
+    * reciprocal rank. Integer-exact: rr_bp = 10000 DIV rank, 0 when the
+    * label is outside the lexical top-k (bm25_rank = 0 encodes the
+    * miss), so the mean over queries is a ratio of exact BIGINTs.
+    *
+    * Scale shape: both inputs are the rankers' existing staged top
+    * lists — the whole evaluation joins two ≤ |queries|·k relations.
+    */
+  private def mrrCtes(d: SqlDialect, bmRel: String, denseRel: String): String = s"""
+mrr_rel AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(doc_id AS BIGINT) AS rel_doc
+            FROM $denseRel WHERE rank = 1),
+mrr_hit AS (SELECT r.query_id, r.rel_doc,
+                   CAST(coalesce(b.rank, 0) AS BIGINT) AS bm25_rank
+            FROM mrr_rel r LEFT JOIN $bmRel b
+              ON r.query_id = b.query_id AND r.rel_doc = b.doc_id)"""
+
+  private def mrrSelect(d: SqlDialect): String = s"""
+SELECT query_id, rel_doc, bm25_rank,
+       CAST(CASE WHEN bm25_rank = 0 THEN 0
+            ELSE ${d.idiv("10000", "bm25_rank")} END AS BIGINT) AS rr_bp
+FROM mrr_hit
+ORDER BY query_id"""
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def mrrSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${Similarity.bruteCtes(d)},
+$bmTopCte,
+${anTopCte("ranked")},
+${mrrCtes(d, "bmtop", "antop")}
+${mrrSelect(d)}"""
+
+  private[graft] def mrrSparkSqlForTest: String = mrrSql(SparkSql)
+
+  private def runMrr(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    Similarity.ensureBruteStage(spark, dir)
+    spark.sql(s"""
+WITH $stagedRankCtes,
+$bmTopCte,
+${anTopCte("ann_brute_v")},
+${mrrCtes(SparkSql, "bmtop", "antop")}
+${mrrSelect(SparkSql)}""")
+  }
+
+  val qMrr = Q("q_retrieval_mrr", runMrr _, Some(mrrSql(DuckSql)))
+
+  private[graft] def facetSparkSqlForTest: String = facetSql(SparkSql)
+
+  private def runFacets(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    spark.sql(s"""
+WITH $stagedRankCtes,
+${facetCtes(SparkSql, "r2", "documents")}
+$facetSelect""")
+  }
+
+  val qFacetCounts = Q("q_facet_counts", runFacets _, Some(facetSql(DuckSql)))
+
   private def runHybrid(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
@@ -603,5 +876,6 @@ ORDER BY query_id, term"""))
 
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase, qIndexStream)
+  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase, qIndexStream,
+    qHardNegatives, qBestSnippet, qFacetCounts, qMrr)
 }

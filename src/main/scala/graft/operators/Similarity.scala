@@ -833,7 +833,120 @@ SELECT vec_id, dot, dot / (sqrt(na) * sqrt(nb)) AS cos_hof,
        true AS matches_custom_expr
 FROM m ORDER BY vec_id"""))
 
+  // ---- mutual-kNN graph over the sign-bucket LSH ----
+
+  /** Neighbors kept per vector before the mutuality filter. */
+  val KnnGraphK = 3
+
+  /** Adaptive power-of-two modulus for the SINGLE (non-doubled) corpus —
+    * the same integer-exact derivation as the embedding-dedup family's
+    * ([[Dedup.powModulusSub]]), sized so buckets hold
+    * ~[[Dedup.EmbedTargetBucket]] vectors in expectation.
+    */
+  private def knnGraphModulusSub: String =
+    Dedup.powModulusSub("(SELECT count(*) FROM embeddings)")
+
+  /** Mutual-kNN graph construction — the neighborhood graph semantic
+    * clustering and SemDeDup-style curation build over a corpus's
+    * embeddings: an edge (a, b) exists iff b is in a's top-[[KnnGraphK]]
+    * cosine neighbors AND a is in b's (mutuality kills the hub/antihub
+    * asymmetry of directed kNN). Candidates come from the adaptive
+    * sign-bucket LSH (same blocking as q_dedup_embedding, on the
+    * single corpus), so the graph is the BLOCKED approximation every
+    * billion-scale pipeline actually computes — only same-bucket pairs
+    * can become edges, which the spec pins as a law.
+    *
+    * Determinism: cosines are identical IEEE doubles in both engines
+    * (the Similarity-family argument), ranks break ties by neighbor id,
+    * and the output is id/rank columns only — all BIGINT.
+    *
+    * Scale shape: bucket sizes are ~[[Dedup.EmbedTargetBucket]] by the
+    * adaptive modulus and hard-capped by [[Dedup.EmbedBucketCap]]
+    * (dropped whole, the dedup family's skew backstop), so candidates
+    * are O(n · bucket) — never quadratic; the per-vector rank windows
+    * partition on vec_id, and the mutuality join is keyed on the
+    * ≤ [[KnnGraphK]]·n top relation.
+    */
+  private def knnGraphSql(d: SqlDialect): String = {
+    val (normExpr, cosExpr) = d match {
+      case SparkSql => ("CAST(0 AS DOUBLE)", "cosine_similarity(ea, eb)")
+      case DuckSql => (
+        "sqrt((SELECT sum(CAST(list_extract(embedding, i) AS DOUBLE) * CAST(list_extract(embedding, i) AS DOUBLE)) FROM range(1, 65) t(i)))",
+        "(SELECT sum(CAST(list_extract(ea, i) AS DOUBLE) * CAST(list_extract(eb, i) AS DOUBLE)) FROM range(1, 65) t(i)) / (na * nb)")
+    }
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $normExpr AS nrm,
+                     (${Dedup.signWord(d)}) % $knnGraphModulusSub AS bucket
+              FROM embeddings),
+bf AS (SELECT bucket, count(*) AS nmem FROM meta GROUP BY bucket),
+metaf AS (SELECT m.vec_id, m.embedding, m.nrm, m.bucket
+          FROM meta m JOIN bf f ON m.bucket = f.bucket
+          WHERE f.nmem <= ${Dedup.EmbedBucketCap}),
+cand AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+         FROM metaf a JOIN metaf b
+           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+sc AS (SELECT va, vb, $cosExpr AS cs FROM cand),
+rk AS (SELECT va, vb,
+              CAST(ROW_NUMBER() OVER (PARTITION BY va ORDER BY cs DESC, vb) AS BIGINT) AS rnk
+       FROM sc),
+top AS (SELECT va, vb, rnk FROM rk WHERE rnk <= $KnnGraphK),
+mutual AS (SELECT f.va AS vec_a, f.vb AS vec_b, f.rnk AS rank_ab, r.rnk AS rank_ba
+           FROM top f JOIN top r ON f.va = r.vb AND f.vb = r.va
+           WHERE f.va < f.vb)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       rank_ab, rank_ba
+FROM mutual ORDER BY vec_a, vec_b"""
+  }
+
+  /** Spark staged spelling: the expensive part — bucketing, candidate
+    * join, cosine scoring, per-vector rank — is ONE cached narrow
+    * relation (`knng_top_v`: va, vb, rnk); the mutuality self-join then
+    * reads the cache twice instead of recomputing the candidate join
+    * per mention (the WITH-CTE re-inlining lesson).
+    */
+  /** Frequency-capped bucketed corpus over the cached bucket stage. */
+  private def knngCapped: String = s"""(SELECT m.vec_id, m.embedding, m.bucket
+      FROM knng_bkt_v m
+      JOIN (SELECT bucket, count(*) AS nmem FROM knng_bkt_v GROUP BY bucket) f
+        ON m.bucket = f.bucket
+      WHERE f.nmem <= ${Dedup.EmbedBucketCap})"""
+
+  private[graft] def knnGraphOn(spark: SparkSession, key: String,
+      emb: => DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "embeddings", key)(
+      StageViews.widen(spark, emb, "vec_id"))
+    // one corpus scan computes the sign bucket; the cap filter and both
+    // sides of the candidate join read the cache
+    StageViews.ensureCached(spark, "knng_bkt_v", key)(spark.sql(s"""
+SELECT vec_id, embedding,
+       (${Dedup.signWord(SparkSql)}) % $knnGraphModulusSub AS bucket
+FROM embeddings"""))
+    StageViews.ensureCached(spark, "knng_top_v", key)(spark.sql(s"""
+SELECT va, vb, rnk FROM (
+  SELECT va, vb,
+         CAST(ROW_NUMBER() OVER (PARTITION BY va ORDER BY cs DESC, vb) AS BIGINT) AS rnk
+  FROM (SELECT a.vec_id AS va, b.vec_id AS vb,
+               cosine_similarity(a.embedding, b.embedding) AS cs
+        FROM $knngCapped a JOIN $knngCapped b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
+WHERE rnk <= $KnnGraphK"""))
+    spark.sql(s"""
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       rank_ab, rank_ba
+FROM (SELECT f.va AS vec_a, f.vb AS vec_b, f.rnk AS rank_ab, r.rnk AS rank_ba
+      FROM knng_top_v f JOIN knng_top_v r ON f.va = r.vb AND f.vb = r.va
+      WHERE f.va < f.vb)
+ORDER BY vec_a, vec_b""")
+  }
+
+  val qKnnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) => knnGraphOn(spark, dir, graft.Tables.embeddings(spark, dir)),
+    Some(knnGraphSql(DuckSql)))
+
   val all: Seq[Q] =
     Seq(qBrute, qIvf, qIvfRecall, qLsh, qLshRecall, qCentroids, qKnn, qMrl,
-      qHofVector)
+      qHofVector, qKnnGraph)
 }

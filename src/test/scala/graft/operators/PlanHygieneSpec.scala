@@ -153,6 +153,12 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q_corpus_mix cardinality argument. The data-sized work is the one " +
         "map-side-combinable token-count aggregate below them; the UniMax " +
         "closed form itself is source-count-sized by construction."),
+    "q_corpus_temperature" ->
+      ("every unpartitioned window (the corpus totals, the Hamilton " +
+        "largest-remainder rank) runs over the output of " +
+        "HashAggregate(keys=[lang]) — one row per distinct language, the " +
+        "q_corpus_mix cardinality argument; the data-sized work is the one " +
+        "map-side-combinable token-count aggregate below them."),
     "q_mg_est_error" ->
       ("the unpartitioned window reads the exact-counts FULL OUTER summary " +
         "join — at most |lang domain| + m rows (the q_corpus_mix language " +

@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 second-batch operator laws, all hand-derived:
+  *
+  *  - q_corpus_temperature: exact √-weight allocation arithmetic, the
+  *    Hamilton largest-remainder Σalloc == B law, and the flattening
+  *    law (low-resource rate > 10000 bp > high-resource rate);
+  *  - q_hard_negatives: full hand-derived output on a 5-doc corpus —
+  *    the positive is the BM25 rank-1, an exact duplicate and a
+  *    superset doc of the positive are containment-excluded, survivors
+  *    keep BM25 order;
+  *  - q_best_snippet: hand-derived window selection (distinct-terms
+  *    beats hits beats earliest-start), the short-document truncation
+  *    path, and the n_hits tiebreak;
+  *  - q_facet_counts: hand-derived facet census over the top-k;
+  *  - q_k_anonymity / q_l_diversity: hand-derived generalization-ladder
+  *    census including the negative-balance floor band.
+  */
+class Round18bOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- corpus temperature ----
+
+  private def withLangDocs[A](rows: (Long, String, String)*)(f: => A): A = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang").createOrReplaceTempView("docs_tmp8")
+    try f finally spark.catalog.dropTempView("docs_tmp8")
+  }
+
+  private def temp(): Seq[(String, Long, Long, Long, Long, Long)] =
+    Packing.temperatureOn(spark, "docs_tmp8").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("temperature: hand-derived sqrt weights, remainder apportionment, flattening") {
+    // aa: 100 tokens (w=10), bb: 4 tokens (w=2); B=104, W=12
+    // alloc0: aa ⌊1040/12⌋=86 rem 8; bb ⌊208/12⌋=17 rem 4 → deficit 1
+    // largest remainder → aa +1 → 87/17, Σ == 104 == B exactly
+    val out = withLangDocs(
+      (0L, Seq.fill(100)("w").mkString(" "), "aa"),
+      (1L, "w w w w", "bb"))(temp())
+    assert(out == Seq(
+      ("aa", 1L, 100L, 10L, 87L, 8700L),
+      ("bb", 1L, 4L, 2L, 17L, 42500L)))
+    // flattening: the low-resource language upsamples past uniform
+    // (rate > 10000), the high-resource one downsamples below it
+    assert(out(1)._6 > 10000L && out(0)._6 < 10000L)
+    assert(out.map(_._5).sum == out.map(_._3).sum)
+  }
+
+  test("temperature: remainder tie breaks by lang ascending, Σalloc == B") {
+    // a: 2 tok (w=1), b: 3 tok (w=1), c: 5 tok (w=2); B=10, W=4
+    // alloc0: a 2 rem 2, b 2 rem 2, c 5 rem 0 → deficit 1; tie (2,2)
+    // breaks by lang → a gets the extra token
+    val out = withLangDocs(
+      (0L, "w w", "a"), (1L, "w w w", "b"), (2L, "w w w w w", "c"))(temp())
+    assert(out == Seq(
+      ("a", 1L, 2L, 1L, 3L, 15000L),
+      ("b", 1L, 3L, 1L, 2L, 6666L),
+      ("c", 1L, 5L, 2L, 5L, 10000L)))
+    assert(out.map(_._5).sum == 10L)
+  }
+
+  // ---- retrieval fixtures (documents view with lang/source) ----
+
+  private def withDocs[A](rows: (Long, String, String, String)*)(f: => A): A = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .createOrReplaceTempView("documents")
+    try f finally spark.catalog.dropTempView("documents")
+  }
+
+  // ---- hard negatives ----
+
+  test("hard negatives: hand-derived mining with dup/superset exclusion") {
+    // docs (all len 4): N=5, TL=20; tf-ratio bp: tf1→10000, tf2→13750
+    // df: alpha 4, beta 4, gamma 3, delta 3 → query0=(alpha,beta),
+    // query1=(delta,gamma); idf: df4→4000, df3→7500
+    // query0 scores: d0=d1=11000 (tf2 both terms), d4=8000, d2=d3=4000
+    //   positive d0 {alpha,beta}; d1 exact dup (cont 10000, excluded),
+    //   d4 superset (cont 10000, excluded), d2/d3 cont 5000 → kept
+    // query1 scores: d2=d3=17812 (7500 + ⌊7500·13750/10000⌋=10312),
+    //   d4=15000; positive d2 {alpha,gamma,delta};
+    //   d3 ov{gamma,delta} → ⌊20000/3⌋=6666 kept; d4 ov 3/3 → excluded
+    val got = withDocs(
+      (0L, "alpha beta alpha beta", "en", "s0"),
+      (1L, "alpha beta alpha beta", "en", "s0"),
+      (2L, "alpha gamma delta gamma", "en", "s0"),
+      (3L, "beta delta gamma delta", "en", "s0"),
+      (4L, "alpha beta gamma delta", "en", "s0")) {
+      spark.sql(Retrieval.hnSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    }
+    assert(got == Seq(
+      (0L, 1L, 0L, 2L, 4000L, 5000L),
+      (0L, 2L, 0L, 3L, 4000L, 5000L),
+      (1L, 1L, 2L, 3L, 17812L, 6666L)))
+  }
+
+  // ---- best snippet ----
+
+  test("best snippet: hand-derived window selection and tiebreaks") {
+    // d0 (12 tok): x@1, f@2..10, y@11, x@12 — bm25 top-1 for query0=(x,y)
+    //   (score 5419 vs 5310 for d1/d2). Window starts 1..5; s=5 covers
+    //   {y@11, x@12} → n_terms 2 beats every 1-term window.
+    // query1=(f,g): top-1 d0 (f tf9 → 28401 vs d1 g tf6 → 27999);
+    //   windows s=2 and s=3 both hit 8 f's → earliest start s=2 wins.
+    // query2=(h,h): top-1 d2, len 8 ≤ W → single truncated window s=1.
+    val got = withDocs(
+      (0L, "x " + Seq.fill(9)("f").mkString(" ") + " y x", "en", "s0"),
+      (1L, "x y g g g g g g", "de", "s1"),
+      (2L, "x y h h h h h h", "de", "s1")) {
+      spark.sql(Retrieval.snippetSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toSeq
+    }
+    assert(got == Seq(
+      (0L, 0L, 5L, 2L, 2L, "f f f f f f y x"),
+      (1L, 0L, 2L, 1L, 8L, "f f f f f f f f"),
+      (2L, 2L, 1L, 1L, 6L, "x y h h h h h h")))
+  }
+
+  // ---- facet counts ----
+
+  test("facet counts: hand-derived census over each query's top-k") {
+    val got = withDocs(
+      (0L, "x " + Seq.fill(9)("f").mkString(" ") + " y x", "en", "s0"),
+      (1L, "x y g g g g g g", "de", "s1"),
+      (2L, "x y h h h h h h", "de", "s1")) {
+      spark.sql(Retrieval.facetSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    }
+    assert(got == Seq(
+      (0L, "lang", "de", 2L), (0L, "lang", "en", 1L),
+      (0L, "source", "s0", 1L), (0L, "source", "s1", 2L),
+      (1L, "lang", "de", 1L), (1L, "lang", "en", 1L),
+      (1L, "source", "s0", 1L), (1L, "source", "s1", 1L),
+      (2L, "lang", "de", 1L), (2L, "source", "s1", 1L)))
+  }
+
+  // ---- retrieval MRR ----
+
+  test("retrieval mrr: hand-derived reciprocal ranks incl. the miss encoding") {
+    // Round17OpsSpec's corpus: doc0 "cat cat dog", doc1 "dog fish fish
+    // fish" → bm25 lists q0 = [doc0, doc1], q1 = [doc1].
+    // Embeddings vec0/vec1: each query's dense rank-1 is the only other
+    // vector → rel(q0) = 1 (bm25 rank 2 → rr 5000), rel(q1) = 0 (absent
+    // from q1's lexical list → bm25_rank 0 encodes the miss, rr 0).
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Seq(
+      (0L, Array.tabulate(64)(d => 1.0f + 0.01f * d)),
+      (1L, Array.tabulate(64)(d => 2.0f - 0.01f * d))).toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("embeddings")
+    val got = withDocs(
+      (0L, "cat cat dog", "en", "s0"),
+      (1L, "dog fish fish fish", "en", "s0")) {
+      spark.sql(Retrieval.mrrSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    spark.catalog.dropTempView("embeddings")
+    assert(got == Seq((0L, 1L, 2L, 5000L), (1L, 0L, 0L, 0L)))
+  }
+
+  // ---- mutual-kNN graph ----
+
+  /** All-positive vector (sign bucket 7 = first 3 sign bits under the
+    * n=12 modulus 8) with wide per-vector jitter (within-bucket cosines
+    * land well below 1).
+    */
+  private def posVec(i: Int): Array[Float] =
+    Array.tabulate(64)(d => 0.5f + 0.2f * (((i + 1) * (d + 3)) % 11))
+
+  /** posVec(i) with dim-1 sign-flipped to a tiny negative → sign
+    * bucket 6, but nearly COLINEAR with its bucket-7 twin — so the
+    * best cross-bucket cosine provably beats within-bucket ones and
+    * the blocking law is exercised, not vacuous.
+    */
+  private def negVec(i: Int): Array[Float] = {
+    val v = posVec(i); v(0) = -0.01f; v
+  }
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < 64) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("knn graph: matches a Scala re-derivation; edges stay within buckets") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Array[Float])] =
+      (0 until 6).map(i => (i.toLong, posVec(i))) ++
+        (0 until 6).map(i => (10L + i, negVec(i)))
+    val got = Similarity.knnGraphOn(spark, "knng-r18b",
+      vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // independent re-derivation: bucket = first-3 sign bits, top-3 by
+    // (cos DESC, id), mutual edges with a < b
+    def bucket(v: Array[Float]): Long =
+      (0 until 3).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    val byId = vecs.toMap
+    val top: Map[Long, Seq[Long]] = vecs.map { case (id, v) =>
+      id -> vecs.filter { case (o, w) => o != id && bucket(w) == bucket(v) }
+        .map { case (o, w) => (o, cosD(v, w)) }
+        .sortBy { case (o, c) => (-c, o) }.take(3).map(_._1)
+    }.toMap
+    val expect = (for {
+      (a, na) <- top.toSeq; b <- na
+      if a < b && top(b).contains(a)
+    } yield (a, b, na.indexOf(b) + 1L, top(b).indexOf(a) + 1L))
+      .sortBy(e => (e._1, e._2))
+    assert(expect.nonEmpty, "fixture produced no mutual edges — vacuous")
+    assert(got == expect)
+
+    // every edge is within one sign bucket — even though cross-bucket
+    // cosines run HIGHER than some within-bucket ones (the vectors
+    // differ in one dim), i.e. the blocked approximation genuinely
+    // bites here and the operator still never crosses buckets
+    assert(got.forall { case (a, b, _, _) =>
+      bucket(byId(a)) == bucket(byId(b)) })
+    val crossMax = (for { i <- 0 until 6; j <- 0 until 6 }
+      yield cosD(posVec(i), negVec(j))).max
+    val withinMin = (for { i <- 0 until 6; j <- 0 until 6 if i != j }
+      yield cosD(posVec(i), posVec(j))).min
+    assert(crossMax > withinMin,
+      "fixture too easy: blocking never discarded a better cross-bucket neighbor")
+  }
+
+  // ---- k-anonymity / l-diversity ----
+
+  private def withCustomers[A](view: String,
+      rows: (Long, String, Int, Double, String)*)(f: => A): A = {
+    import spark.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView(view)
+    try f finally spark.catalog.dropTempView(view)
+  }
+
+  private val baseCustomers: Seq[(Long, String, Int, Double, String)] = Seq(
+    // nat1/A band0 ×5 → level 0 (n0 = 5 ≥ K)
+    (1L, "c", 1, 100.0, "A"), (2L, "c", 1, 200.0, "A"), (3L, "c", 1, 300.0, "A"),
+    (4L, "c", 1, 400.0, "A"), (5L, "c", 1, 500.0, "A"),
+    // nat1/A band1 ×2 → level 1 (n1 = 7 ≥ K)
+    (6L, "c", 1, 1500.0, "A"), (7L, "c", 1, 1600.0, "A"),
+    // nat2: B×2, C×2, D×1 → n1 < K everywhere, n2 = 5 → level 2
+    (8L, "c", 2, 50.0, "B"), (9L, "c", 2, 60.0, "B"),
+    (10L, "c", 2, 70.0, "C"), (11L, "c", 2, 80.0, "C"),
+    (12L, "c", 2, 90.0, "D"),
+    // nat4/E ×3, negative balances (floor(-0.5) = band -1) → level 3
+    (13L, "c", 4, -500.0, "E"), (14L, "c", 4, -400.0, "E"),
+    (15L, "c", 4, -300.0, "E"))
+
+  test("k-anonymity: hand-derived ladder census with negative-balance band") {
+    val got = withCustomers("cust_ka", baseCustomers: _*) {
+      spark.sql(Privacy.kAnonymitySql(SparkSql, "cust_ka")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    // total 15 records; shares = 10000·n DIV 15
+    assert(got == Seq(
+      (0L, 5L, 1L, 3333L),
+      (1L, 2L, 1L, 1333L),
+      (2L, 5L, 3L, 3333L),
+      (3L, 3L, 1L, 2000L)))
+  }
+
+  test("l-diversity: distinct-band census flags the diverse group only") {
+    val rows = baseCustomers ++ Seq(
+      (16L, "c", 5, 500.0, "F"), (17L, "c", 5, 1500.0, "F"),
+      (18L, "c", 5, 2500.0, "F")) // bands {0,1,2} → l = 3 → diverse
+    val got = withCustomers("cust_ld", rows: _*) {
+      spark.sql(Privacy.lDiversitySql(SparkSql, "cust_ld")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+    }
+    assert(got == Seq(
+      (1L, "A", 7L, 2L, false),
+      (2L, "B", 2L, 1L, false),
+      (2L, "C", 2L, 1L, false),
+      (2L, "D", 1L, 1L, false),
+      (4L, "E", 3L, 1L, false),
+      (5L, "F", 3L, 3L, true)))
+  }
+}
