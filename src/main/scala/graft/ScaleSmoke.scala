@@ -324,6 +324,36 @@ object ScaleSmoke {
         s"embedding-dedup candidates grew x$candRatio for x$inputRatio input — adaptive modulus not holding")
     }
 
+    // ---- mutual-kNN graph (r18): the directed top list is hard-capped
+    // at KnnGraphK rows per vector BY CONSTRUCTION (the per-vector rank
+    // window), so top rows must stay ≤ K·n at every multiple, and the
+    // mutual edge count — bounded by top/2 — must grow ~linearly like
+    // the embdup candidates (same sign-bucket blocking, same occupancy
+    // wobble bound). Reuses the sign-flipped replication corpus so
+    // replicas land in different buckets.
+    val knngResults = multiples.map { m =>
+      val corpus = emb.crossJoin(spark.range(m).toDF("rep"))
+        .selectExpr(
+          "vec_id + rep * 100000000 AS vec_id",
+          "transform(embedding, (x, i) -> CASE WHEN ((CAST(rep AS INT) >> (i % 8)) & 1) = 1 THEN -x ELSE x END) AS embedding")
+      val t0k = System.nanoTime()
+      val edges = operators.Similarity.knnGraphOn(spark, s"scale-knng-$m", corpus).count()
+      val top = spark.sql("SELECT count(*) FROM knng_top_v").head().getLong(0)
+      val sec = (System.nanoTime() - t0k) / 1e9
+      println(f"[scale] knng    x$m%-3d vecs=${nVec * m}%8d top=$top%8d edges=$edges%8d  $sec%7.2f s")
+      (m, top, edges)
+    }
+    locally {
+      for ((m, top, _) <- knngResults)
+        require(top <= operators.Similarity.KnnGraphK * nVec * m,
+          s"kNN-graph top list exceeded K·n at x$m: $top — per-vector rank cap broke")
+      val inputRatio = knngResults.last._1.toDouble / knngResults.head._1
+      val edgeRatio = knngResults.last._3.toDouble / knngResults.head._3.max(1L)
+      println(f"[scale] knng edges: input x$inputRatio%.0f -> edges x$edgeRatio%.2f (linear bound ${2.2 * inputRatio}%.2f)")
+      require(edgeRatio <= 2.2 * inputRatio,
+        s"kNN-graph edges grew x$edgeRatio for x$inputRatio input — blocking not holding")
+    }
+
     // ---- PQ encode (r16): code assignment is ONE broadcast join of
     // n·M subvectors against the ≤2048-row codebook — O(n·K) work with
     // K capped at 256, so the code table must grow EXACTLY ×m (8 codes

@@ -270,5 +270,94 @@ GROUP BY s.source ORDER BY s.source""")
     },
     Some(corpusBuildOracle))
 
-  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate, qRegexExtract, qCorpusBuild)
+  // ---- DSIR data selection (hashed-ngram importance weights) ----
+
+  /** Hashed-feature bucket count (the paper's 10k scaled to this
+    * corpus's vocabulary; any power works — collisions just coarsen
+    * the estimate identically in both engines).
+    */
+  val DsirBuckets = 256
+  /** The target-distribution stand-in: documents in this language. */
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of its hashed unigram features under
+    * the TARGET distribution (here the '$DsirTargetLang' sub-corpus)
+    * vs the RAW distribution (the whole corpus) — the standard recipe
+    * for selecting web text that "looks like" a curated target set.
+    *
+    *   w(doc) = Σ_tokens [ log p̂_t(b(tok)) − log p̂_r(b(tok)) ]
+    *
+    * with Laplace-smoothed bucket probabilities p̂(b) = (n_b+1)/(N+B).
+    * The log is [[SqlLog.log2x16]] — 1/16-bit fixed-point base-2,
+    * exact BIGINT arithmetic — so both engines agree bit-for-bit where
+    * a libm log would not, and the REDUCTION LAW holds exactly: if the
+    * target equals the raw corpus, every bucket's ratio term cancels
+    * and every document scores 0 (the spec pins it).
+    *
+    * Scale shape: ONE corpus-sized explode+groupBy builds the
+    * per-(doc, bucket) count relation (staged on the Spark side, like
+    * the BM25 postings); bucket stats aggregate it to [[DsirBuckets]]
+    * rows, the per-bucket scores broadcast back, and the final per-doc
+    * sum is a map-side-combinable groupBy. Nothing downstream of the
+    * staged relation is corpus×corpus.
+    */
+  private def dsirOccurrences(d: SqlDialect): String = d match {
+    case SparkSql =>
+      "SELECT doc_id, lang, explode(split(text, ' ')) AS term FROM documents"
+    case DuckSql => s"""
+SELECT doc_id, lang, ${d.el("w", "i")} AS term
+FROM (${d.series("doc_id, lang, w", d.len("w"), "i",
+      s"(SELECT doc_id, lang, ${d.split("text")} AS w FROM documents) dw")})"""
+  }
+
+  private[operators] def dsirDtbSql(d: SqlDialect): String = s"""
+SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt FROM
+  (SELECT doc_id, lang,
+          (${SqlHash.hex32(d, "md5(term)", 1)}) % $DsirBuckets AS b
+   FROM (${dsirOccurrences(d)}) occ) ob
+GROUP BY doc_id, lang, b"""
+
+  private def dsirBody(d: SqlDialect, dtb: String): String = {
+    def L(x: String) = SqlLog.log2x16(d, x)
+    s"""
+bs AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r_b,
+              CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) AS BIGINT) AS t_b
+       FROM $dtb GROUP BY b),
+tot AS (SELECT CAST(sum(r_b) + $DsirBuckets AS BIGINT) AS rn,
+               CAST(sum(t_b) + $DsirBuckets AS BIGINT) AS tn
+        FROM bs),
+sb AS (SELECT b,
+              CAST((${L("bs.t_b + 1")}) - (${L("bs.r_b + 1")})
+                   + (${L("tot.rn")}) - (${L("tot.tn")}) AS BIGINT) AS s16
+       FROM bs CROSS JOIN tot)
+SELECT t.doc_id, t.lang, CAST(sum(t.cnt) AS BIGINT) AS n_tok,
+       CAST(sum(t.cnt * sb.s16) AS BIGINT) AS dsir_w16
+FROM $dtb t JOIN sb ON t.b = sb.b
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id"""
+  }
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def dsirSql(d: SqlDialect): String = s"""
+WITH dtb AS (${dsirDtbSql(d)}),
+${dsirBody(d, "dtb")}"""
+
+  private[graft] def dsirSparkSqlForTest: String = dsirSql(SparkSql)
+
+  private def runDsir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    StageViews.documents(spark, dir)
+    // the one corpus-sized relation, read by the stats build AND the
+    // scoring join
+    StageViews.ensureCached(spark, "dsir_dtb_v", dir)(
+      spark.sql(dsirDtbSql(SparkSql)))
+    spark.sql(s"WITH ${dsirBody(SparkSql, "dsir_dtb_v")}")
+  }
+
+  val qDsir = Q("q_dsir_weights", runDsir _, Some(dsirSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qFilter, qPii, qDecontaminate, qRegexExtract,
+    qCorpusBuild, qDsir)
 }

@@ -16,6 +16,7 @@ sealed trait SqlDialect {
   /** SELECT <series 1..n> AS alias (standalone) */
   def seriesTable(n: String, alias: String): String
   def shr(x: String, bits: String): String
+  def shl(x: String, bits: String): String
   def xor(a: String, b: String): String
   def strpos(str: String, sub: String): String
   /** integer (floor) division of non-negative integers */
@@ -45,6 +46,7 @@ case object SparkSql extends SqlDialect {
   def seriesTable(n: String, alias: String) =
     s"SELECT explode(sequence(1, $n)) AS $alias"
   def shr(x: String, bits: String) = s"shiftright($x, CAST(($bits) AS INT))"
+  def shl(x: String, bits: String) = s"shiftleft($x, CAST(($bits) AS INT))"
   def xor(a: String, b: String) = s"($a ^ $b)"
   def strpos(str: String, sub: String) = s"instr($str, $sub)"
   def idiv(a: String, b: String) = s"(($a) DIV ($b))"
@@ -75,6 +77,32 @@ object SqlHash {
     .mkString("(", " + ", ")")
 }
 
+/** Integer fixed-point base-2 logarithm: L(x) ≈ 16·log2(x) for x ≥ 1,
+  * computed EXACTLY in BIGINT arithmetic — leading-bit position (the
+  * dialect's [[SqlDialect.floorLog2]], itself digit-count-exact) plus a
+  * 16-entry lookup on the 4 mantissa bits below it. Monotone
+  * non-decreasing, max error 0.134 bits, and — the property the DSIR
+  * scorer needs — IDENTICAL in both engines, where a libm log would
+  * diverge in the last ulp. L(1) = 0 exactly; equal inputs give equal
+  * outputs, so ratio scores of identical distributions cancel to 0
+  * exactly.
+  */
+object SqlLog {
+  /** ⌊16·log2(1 + i/16)⌋ for i in 0..15. */
+  private val Lut = Seq(0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 12, 13, 14, 15)
+
+  /** Render L(x) for a non-negative-integer SQL expression `x` ≥ 1. */
+  def log2x16(d: SqlDialect, x: String): String = {
+    val fl = d.floorLog2(x)
+    // (16x >> fl) ∈ [16, 32); its low 4 bits are the mantissa index —
+    // one spelling covers both the fl ≥ 4 (shift right) and fl < 4
+    // (shift left) regimes
+    val frac = s"((${d.idiv(s"16 * ($x)", d.shl("CAST(1 AS BIGINT)", fl))}) % 16)"
+    val cases = Lut.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+    s"(16 * ($fl) + CASE $frac $cases ELSE 0 END)"
+  }
+}
+
 case object DuckSql extends SqlDialect {
   def split(col: String) = s"string_split($col, ' ')"
   def len(arr: String) = s"len($arr)"
@@ -84,6 +112,7 @@ case object DuckSql extends SqlDialect {
   def seriesTable(n: String, alias: String) =
     s"SELECT unnest(generate_series(1, $n)) AS $alias"
   def shr(x: String, bits: String) = s"($x >> ($bits))"
+  def shl(x: String, bits: String) = s"($x << ($bits))"
   def xor(a: String, b: String) = s"xor($a, $b)"
   def strpos(str: String, sub: String) = s"strpos($str, $sub)"
   def idiv(a: String, b: String) = s"(($a) // ($b))"

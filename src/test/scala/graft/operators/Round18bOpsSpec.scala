@@ -241,6 +241,56 @@ class Round18bOpsSpec extends AnyFunSuite {
       "fixture too easy: blocking never discarded a better cross-bucket neighbor")
   }
 
+  // ---- DSIR importance weights ----
+
+  /** The engine's md5-hex32 bucket, re-derived independently. */
+  private def md5Bucket(term: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % CorpusFilter.DsirBuckets
+  }
+
+  /** SqlLog.log2x16, re-derived independently. */
+  private def l16(x: Long): Long = {
+    val lut = Seq(0, 1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 12, 13, 14, 15)
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    16L * fl + lut((((16 * x) >> fl) % 16).toInt)
+  }
+
+  private def runDsir(): Seq[(Long, String, Long, Long)] =
+    spark.sql(CorpusFilter.dsirSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("dsir: matches a Scala re-derivation; identical target/raw cancels to 0") {
+    val docs = Seq(
+      (0L, "apple banana apple", "en", "s0"),
+      (1L, "banana cherry", "en", "s0"),
+      (2L, "apple dach dach", "de", "s1"))
+    val got = withDocs(docs: _*)(runDsir())
+
+    // independent re-derivation of the whole scoring chain
+    val occ = docs.flatMap { case (id, text, lang, _) =>
+      text.split(" ").map(t => (id, lang, md5Bucket(t))) }
+    val byB = occ.groupBy(_._3)
+    val rB = byB.view.mapValues(_.size.toLong).toMap
+    val tB = byB.view.mapValues(_.count(_._2 == "en").toLong).toMap
+    val rn = rB.values.sum + CorpusFilter.DsirBuckets
+    val tn = tB.values.sum + CorpusFilter.DsirBuckets
+    val s16 = rB.keys.map(b =>
+      b -> (l16(tB(b) + 1) - l16(rB(b) + 1) + l16(rn) - l16(tn))).toMap
+    val expect = docs.map { case (id, text, lang, _) =>
+      val bs = text.split(" ").map(md5Bucket)
+      (id, lang, bs.length.toLong, bs.map(s16).sum)
+    }.sortBy(_._1)
+    assert(got == expect)
+    assert(got.exists(_._4 != 0L), "fixture produced all-zero weights — vacuous")
+
+    // reduction law: target == raw (every doc in the target language)
+    // → every bucket's ratio cancels EXACTLY → every weight is 0
+    val zero = withDocs(docs.map(d => (d._1, d._2, "en", d._4)): _*)(runDsir())
+    assert(zero.size == docs.size && zero.forall(_._4 == 0L))
+  }
+
   // ---- k-anonymity / l-diversity ----
 
   private def withCustomers[A](view: String,
