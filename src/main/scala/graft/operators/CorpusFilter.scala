@@ -353,7 +353,27 @@ ${dsirBody(d, "dtb")}"""
     // scoring join
     StageViews.ensureCached(spark, "dsir_dtb_v", dir)(
       spark.sql(dsirDtbSql(SparkSql)))
-    spark.sql(s"WITH ${dsirBody(SparkSql, "dsir_dtb_v")}")
+    // nested spelling (no WITH): cache substitution does not reach CTE
+    // bodies, so the WITH spelling re-ran the corpus explode per
+    // mention of the staged relation
+    val d = SparkSql
+    def L(x: String) = SqlLog.log2x16(d, x)
+    spark.sql(s"""
+SELECT t.doc_id, t.lang, CAST(sum(t.cnt) AS BIGINT) AS n_tok,
+       CAST(sum(t.cnt * sb.s16) AS BIGINT) AS dsir_w16
+FROM dsir_dtb_v t
+JOIN (SELECT bs.b,
+             CAST((${L("bs.t_b + 1")}) - (${L("bs.r_b + 1")})
+                  + (${L("tot.rn")}) - (${L("tot.tn")}) AS BIGINT) AS s16
+      FROM (SELECT b, CAST(sum(cnt) AS BIGINT) AS r_b,
+                   CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) AS BIGINT) AS t_b
+            FROM dsir_dtb_v GROUP BY b) bs
+      CROSS JOIN (SELECT CAST(sum(cnt) + $DsirBuckets AS BIGINT) AS rn,
+                         CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) + $DsirBuckets AS BIGINT) AS tn
+                  FROM dsir_dtb_v) tot) sb
+  ON t.b = sb.b
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id""")
   }
 
   val qDsir = Q("q_dsir_weights", runDsir _, Some(dsirSql(DuckSql)))

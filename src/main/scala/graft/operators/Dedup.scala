@@ -1202,7 +1202,34 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
   FROM tok_v JOIN (SELECT t, ${md5Half(d, 8)} AS vlo, ${md5Half(d, 0)} AS vhi
                    FROM (SELECT DISTINCT t FROM tok_v)) vh USING (t)
   GROUP BY doc_id)"""))
-    spark.sql(s"WITH sim64 AS (SELECT * FROM sim64_v),\n${simhash64Tail(d)}")
+    // nested spelling over the cached fingerprints (no WITH: cache
+    // substitution does not reach CTE bodies — the WITH spelling
+    // recomputed the corpus-wide bit-sum per band-relation mention)
+    spark.sql(simhash64TailNested("sim64_v"))
+  }
+
+  /** [[simhash64Tail]] restated as nested subqueries over a
+    * fingerprint relation — the cache-substitutable Spark spelling.
+    */
+  private def simhash64TailNested(rel: String): String = {
+    val d = SparkSql
+    val ham = s"CAST(bit_count(${d.xor("la", "lb")}) + bit_count(${d.xor("ha", "hb")}) AS BIGINT)"
+    val bb4 = s"""(SELECT doc_id, sim_lo, sim_hi, bseq - 1 AS band,
+               (CASE WHEN bseq <= 2 THEN ${d.shr("sim_lo", "(bseq - 1) * 16")}
+                     ELSE ${d.shr("sim_hi", "(bseq - 3) * 16")} END) & 65535 AS bv
+        FROM $rel CROSS JOIN (${d.seriesTable("4", "bseq")}) bs4)"""
+    val bbf4 = s"""(SELECT b.doc_id, b.sim_lo, b.sim_hi, b.band, b.bv
+         FROM $bb4 b JOIN (SELECT band, bv, count(*) AS nb FROM $bb4 bc GROUP BY band, bv) f
+           ON b.band = f.band AND b.bv = f.bv
+         WHERE f.nb <= $BandCap)"""
+    s"""
+SELECT doc_a, doc_b, $ham AS hamming
+FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim_lo AS la, a.sim_hi AS ha, b.sim_lo AS lb, b.sim_hi AS hb
+      FROM $bbf4 a JOIN $bbf4 b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) cand4
+WHERE $ham <= 3
+ORDER BY doc_a, doc_b"""
   }
 
   /** SimHash-64 fingerprints over an arbitrary documents frame

@@ -141,30 +141,16 @@ WITH tf AS (${tfSql(d)}),
 dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
 ${bm25Body(d, "tf", "dl")}"""
 
-  /** Ranking CTEs over the STAGED round-1 scores (`bm25_scores_v`) and
-    * workload (`bm25_qt_v`) — shared by all three retrieval catalog
-    * queries, so the contribution join runs once per corpus and every
-    * consumer reads the ~(queries × matching docs) scored relation from
-    * cache. At 100 TB this is the persisted scores table a retrieval
-    * service maintains, not a per-query recompute.
+  /** Staged spelling: the cached rank view joined to the workload
+    * labels — nested subqueries only (no WITH; cache substitution does
+    * not reach CTE bodies).
     */
-  private def stagedRankCtes: String = s"""
-r1 AS (SELECT query_id, doc_id, score_bp,
-              ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
-                                 ORDER BY score_bp DESC, doc_id) AS sr
-       FROM bm25_scores_v),
-r2 AS (SELECT query_id, doc_id, score_bp,
-              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
-       FROM r1 WHERE sr <= $TopK),
-qlab AS (SELECT query_id, min(term) AS term_a, max(term) AS term_b
-         FROM bm25_qt_v GROUP BY query_id)"""
-
-  /** Staged spelling: rank the cached scores view. */
   private def bm25StagedSparkSql: String = s"""
-WITH $stagedRankCtes
 SELECT r2.query_id, r2.rank, r2.doc_id, r2.score_bp, qlab.term_a, qlab.term_b
-FROM r2 JOIN qlab ON r2.query_id = qlab.query_id
+FROM bm25_rank_v r2
+JOIN (SELECT query_id, min(term) AS term_a, max(term) AS term_b
+      FROM bm25_qt_v GROUP BY query_id) qlab
+  ON r2.query_id = qlab.query_id
 WHERE r2.rank <= $TopK
 ORDER BY r2.query_id, r2.rank"""
 
@@ -203,6 +189,25 @@ SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp FROM (
   CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
               FROM bm25_dl_v) nn)
 GROUP BY query_id, doc_id"""))
+    // the round-1 top-k itself (two-phase salted rank, ≤ queries×TopK
+    // narrow rows) — every consumer below reads THIS instead of
+    // re-ranking the scores. NO WITH in any cached definition and no
+    // cached view referenced from a WITH body: cache substitution does
+    // not reach inside CTE bodies (verified empirically this round —
+    // a `SELECT ... FROM sh_v` inside WITH plans a fresh FileScan
+    // pipeline), so every staged final below is spelled as nested
+    // subqueries.
+    StageViews.ensureCached(spark, "bm25_rank_v", key)(spark.sql(s"""
+SELECT query_id, doc_id, score_bp, rank FROM (
+  SELECT query_id, doc_id, score_bp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT query_id, doc_id, score_bp,
+               ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                  ORDER BY score_bp DESC, doc_id) AS sr
+        FROM bm25_scores_v) r1
+  WHERE sr <= $TopK) r2
+WHERE rank <= $TopK"""))
     ()
   }
 
@@ -327,14 +332,34 @@ $bmTopCte,
 ${anTopCte("ranked")},
 ${fusionSql(d, "bmtop", "antop")}"""
 
-  /** Staged spelling: lexical ranks from the cached scores view, dense
-    * ranks from the cached brute ground-truth stage.
+  /** The two staged top lists as nested-subquery fragments. */
+  private def bmTopSub: String =
+    s"""(SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(rank AS BIGINT) AS rank
+ FROM bm25_rank_v WHERE rank <= $TopK)"""
+
+  private def anTopSub: String =
+    s"""(SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank
+ FROM ann_brute_v WHERE rank <= $AnnTopK)"""
+
+  /** Staged spelling: lexical ranks from the cached rank view, dense
+    * ranks from the cached brute ground-truth stage — nested, no WITH.
     */
   private def hybridStagedSparkSql: String = s"""
-WITH $stagedRankCtes,
-$bmTopCte,
-${anTopCte("ann_brute_v")},
-${fusionSql(SparkSql, "bmtop", "antop")}"""
+SELECT query_id, rank, doc_id, rrf_bp, n_lists FROM (
+  SELECT query_id, doc_id, rrf_bp, n_lists,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_bp DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT query_id, doc_id,
+               CAST(sum(${SparkSql.idiv("10000", s"$RrfK + rank")}) AS BIGINT) AS rrf_bp,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM (SELECT query_id, doc_id, rank FROM $bmTopSub bm
+              UNION ALL
+              SELECT query_id, doc_id, rank FROM $anTopSub an) lists
+        GROUP BY query_id, doc_id) fused) hranked
+WHERE rank <= $TopK
+ORDER BY query_id, rank"""
 
   private[graft] def hybridSparkSqlForTest: String = hybridSql(SparkSql)
   private[graft] def hybridDuckSqlForTest: String = hybridSql(DuckSql)
@@ -437,20 +462,68 @@ ${bm25Ctes(d, "tf", "dl")},
 ${prfCtes(d, "tf", "dl")}
 $prfSelect"""
 
-  private def prfStagedSparkSql: String = s"""
-WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
-            FROM bm25_dl_v),
-df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bm25_tf_v GROUP BY term),
-qterms AS (SELECT query_id, term, df FROM bm25_qt_v),
-$stagedRankCtes,
-${prfCtes(SparkSql, "bm25_tf_v", "bm25_dl_v")}
-$prfSelect"""
-
   private[graft] def prfSparkSqlForTest: String = prfSql(SparkSql)
+
+  /** PRF stages (Spark side, all nested/CTE-free definitions):
+    * `prf_exp_v` — the harvested expansion terms (round-1 top docs'
+    * strongest fresh terms); `prf_scores_v` — the round-2 contribution
+    * join over the expanded workload. The final query is then a thin
+    * two-phase rank over the cached round-2 scores.
+    */
+  private def ensurePrfStages(spark: SparkSession, key: String): Unit = {
+    StageViews.ensureCached(spark, "prf_exp_v", key)(spark.sql(s"""
+SELECT query_id, term FROM (
+  SELECT nw.query_id, nw.term,
+         ROW_NUMBER() OVER (PARTITION BY nw.query_id
+                            ORDER BY nw.tfsum DESC, nw.term) AS er
+  FROM (SELECT c.query_id, c.term, c.tfsum
+        FROM (SELECT p.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS tfsum
+              FROM (SELECT query_id, doc_id FROM bm25_rank_v WHERE rank <= $PrfDocs) p
+              JOIN bm25_tf_v t ON p.doc_id = t.doc_id
+              WHERE NOT t.term IN $Stop
+              GROUP BY p.query_id, t.term) c
+        LEFT JOIN bm25_qt_v q ON c.query_id = q.query_id AND c.term = q.term
+        WHERE q.term IS NULL) nw) e
+WHERE er <= $PrfTerms"""))
+    StageViews.ensureCached(spark, "prf_scores_v", key)(spark.sql(s"""
+SELECT query_id, doc_id, CAST(sum(c_bp) AS BIGINT) AS score_bp FROM (
+  SELECT q.query_id, t.doc_id,
+         ${cBpExpr(SparkSql, "fd.df", "t.tf", "dl.len")} AS c_bp
+  FROM (SELECT query_id, term FROM bm25_qt_v
+        UNION ALL SELECT query_id, term FROM prf_exp_v) q
+  JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM bm25_tf_v GROUP BY term) fd ON q.term = fd.term
+  JOIN bm25_tf_v t ON q.term = t.term
+  JOIN bm25_dl_v dl ON t.doc_id = dl.doc_id
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS tl
+              FROM bm25_dl_v) nn) x
+GROUP BY query_id, doc_id"""))
+    ()
+  }
+
+  private def prfStagedSparkSql: String = s"""
+SELECT r.query_id, r.rank, r.doc_id, r.score_bp, l.exp_term_a, l.exp_term_b
+FROM (SELECT query_id, doc_id, score_bp,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+      FROM (SELECT query_id, doc_id, score_bp,
+                   ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                      ORDER BY score_bp DESC, doc_id) AS sr
+            FROM prf_scores_v) p1
+      WHERE sr <= $TopK) r
+JOIN (SELECT q.query_id,
+             coalesce(min(e.term), '') AS exp_term_a,
+             coalesce(max(e.term), '') AS exp_term_b
+      FROM (SELECT DISTINCT query_id FROM bm25_qt_v) q
+      LEFT JOIN prf_exp_v e ON q.query_id = e.query_id
+      GROUP BY q.query_id) l ON r.query_id = l.query_id
+WHERE r.rank <= $TopK
+ORDER BY r.query_id, r.rank"""
 
   private def runPrf(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
+    ensurePrfStages(spark, dir)
     spark.sql(prfStagedSparkSql)
   }
 
@@ -531,7 +604,26 @@ FROM (${SparkSql.series("doc_id, w", SparkSql.len("w") + " - 1", "i",
 WHERE NOT ${SparkSql.el("w", "i")} IN $Stop
   AND NOT ${SparkSql.el("w", "i + 1")} IN $Stop
 GROUP BY doc_id, ${SparkSql.el("w", "i")}, ${SparkSql.el("w", "i + 1")}"""))
-    spark.sql(phraseSql(SparkSql, Some("phr_dbg_v")))
+    // nested spelling over the cached index (no WITH — substitution)
+    spark.sql(s"""
+SELECT phrase_id, rank, doc_id, cnt AS phrase_tf, ta AS term_a, tb AS term_b
+FROM (SELECT phrase_id, ta, tb, doc_id, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+                                     ORDER BY cnt DESC, doc_id) AS BIGINT) AS rank
+      FROM (SELECT phrase_id, ta, tb, doc_id, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY phrase_id, doc_id % $Salts
+                                      ORDER BY cnt DESC, doc_id) AS sr
+            FROM (SELECT p.phrase_id, p.ta, p.tb, g.doc_id, g.cnt
+                  FROM (SELECT pr AS phrase_id, ta, tb
+                        FROM (SELECT ta, tb,
+                                     CAST(ROW_NUMBER() OVER (ORDER BY total DESC, ta, tb) AS BIGINT) AS pr
+                              FROM (SELECT ta, tb, CAST(sum(cnt) AS BIGINT) AS total
+                                    FROM phr_dbg_v GROUP BY ta, tb) w0) wl
+                        WHERE pr <= $PhraseQueries) p
+                  JOIN phr_dbg_v g ON p.ta = g.ta AND p.tb = g.tb) cand) p1
+      WHERE sr <= $PhraseTopK) p2
+WHERE rank <= $PhraseTopK
+ORDER BY phrase_id, rank""")
   }
 
   val qPhrase = Q("q_phrase_search", runPhrase _, Some(phraseSql(DuckSql, None)))
@@ -596,16 +688,22 @@ ORDER BY query_id, term"""))
 
   // ---- hard-negative mining (BM25 negatives, near-dup-safe) ----
 
-  /** BM25 rank depth mined for negatives (ranks 2..[[HnDepth]]). */
-  val HnDepth = 8
+  /** BM25 rank depth mined for negatives (ranks 2..[[HnDepth]]). Deep
+    * enough to reach PAST a cluster of exact/near duplicates of the
+    * positive: on a corpus with ~10 copies per document (the sf1
+    * replica measures exactly that) a depth-8 pool is copies only and
+    * the dup screen correctly empties it — negatives must come from
+    * the next distinct documents down the ranking.
+    */
+  val HnDepth = 32
   /** Negatives kept per query. */
   val HnK = 3
-  /** Near-dup exclusion threshold, basis points of term-set
-    * containment: a candidate sharing ≥ 80% of the smaller doc's
-    * distinct content terms with the positive is treated as a
-    * duplicate of it, not a negative.
+  /** Near-dup exclusion threshold — [[Dedup.ContainBp]] (7000 bp), the
+    * SAME 5-gram-shingle containment notion and threshold as
+    * q_doc_containment, so "too close to train against" and "corpus
+    * near-dup" are one definition.
     */
-  val NearDupBp = 8000L
+  val NearDupBp: Long = Dedup.ContainBp
 
   /** Hard-negative mining for retriever training — the DPR recipe
     * (Karpukhin et al. 2020): for each query, the positive is the BM25
@@ -615,60 +713,98 @@ ORDER BY query_id, term"""))
     * plain recipe needs on a real (duplicated) corpus: a candidate
     * that is a NEAR-DUPLICATE of the positive is a false negative —
     * training on it teaches the model to separate a document from its
-    * own copy — so candidates are screened by distinct-term-set
+    * own copy — so candidates are screened by word-5-gram SHINGLE
     * containment against the positive (integer basis points,
-    * 10000·|shared| DIV min(|pos terms|, |cand terms|), the same
-    * containment notion as q_doc_containment) and dropped at
-    * ≥ [[NearDupBp]].
+    * 10000·|shared| DIV min(|pos sh|, |cand sh|) — q_doc_containment's
+    * notion; a term-SET screen is useless on a small-vocabulary corpus
+    * where every long document contains most of the vocabulary) and
+    * dropped at ≥ [[NearDupBp]]. Documents too short to have shingles
+    * (< 5 tokens) screen at 0 — un-screenable at this granularity,
+    * never silently dropped. Candidates are also exact-deduped among
+    * THEMSELVES (md5(text), keep the best-scored representative) — a
+    * duplicated corpus otherwise mines k copies of one negative, which
+    * is one negative's worth of training signal.
     *
     * Everything is BIGINT end-to-end (ranks, scores, containment), so
     * both engines agree bit-for-bit; ties break by doc_id ascending.
     *
-    * Scale shape: the ranked list reuses the staged round-1 scores
-    * (two-phase salted top-k, per-salt keep = [[HnDepth]]); every join
-    * after it is WORKLOAD-sized — ≤ queries×[[HnDepth]] keys probing
-    * the postings relation on doc_id (a broadcast-able probe side at
-    * any corpus size), never a corpus×corpus pair join.
+    * Scale shape: the depth-[[HnDepth]] ranked list is ONE cached
+    * narrow stage over the staged round-1 scores (two-phase salted
+    * rank, per-salt keep = [[HnDepth]]) — the CTE chain then re-reads
+    * that ≤ queries×[[HnDepth]]-row cache instead of recomputing the
+    * window pipeline per mention (the WITH-CTE re-inlining lesson; the
+    * un-staged spelling ran 3.5 s at sf0.1, the catalog's slowest
+    * entry). Every join after it probes the shingle relation with
+    * workload-sized key sets — never corpus×corpus.
     */
-  private def hnCtes(d: SqlDialect, scoresRel: String, tfRel: String): String = s"""
-hn_r1 AS (SELECT query_id, doc_id, score_bp,
-                 ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
-                                    ORDER BY score_bp DESC, doc_id) AS sr
-          FROM $scoresRel),
-hn_r2 AS (SELECT query_id, doc_id, score_bp,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
-          FROM hn_r1 WHERE sr <= $HnDepth),
-hn_pos AS (SELECT query_id, CAST(doc_id AS BIGINT) AS pos_doc_id
-           FROM hn_r2 WHERE rank = 1),
-hn_cand AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score_bp
-            FROM hn_r2 WHERE rank > 1 AND rank <= $HnDepth),
-hn_pterms AS (SELECT p.query_id, p.pos_doc_id, t.term
-              FROM hn_pos p JOIN $tfRel t ON p.pos_doc_id = t.doc_id),
+  /** The deduped candidate pool (ranks 2..[[HnDepth]], one
+    * representative per distinct text) — the Spark side caches this
+    * as `hn_cand_v` so the screening chain's three mentions read a
+    * ≤ queries×[[HnDepth]]-row cache instead of re-running the dedup
+    * window AND re-probing `documents` per CTE mention.
+    */
+  private def hnCandSql(rankRel: String, docsRel: String): String = s"""
+SELECT query_id, doc_id, score_bp FROM (
+  SELECT c.query_id, CAST(c.doc_id AS BIGINT) AS doc_id, c.score_bp,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id, md5(dd.text)
+                            ORDER BY c.score_bp DESC, c.doc_id) AS dr
+  FROM $rankRel c JOIN $docsRel dd ON c.doc_id = dd.doc_id
+  WHERE c.rank > 1 AND c.rank <= $HnDepth) du
+WHERE dr = 1"""
+
+  private def hnPosSql(rankRel: String): String = s"""
+SELECT query_id, CAST(doc_id AS BIGINT) AS pos_doc_id
+FROM $rankRel WHERE rank = 1"""
+
+  /** Screening + selection over pre-built pos/cand relations. The
+    * size (nc) and overlap (ov) counts come from ONE aggregation
+    * (candidate shingles LEFT JOIN the positive's shingles; count(*)
+    * vs count(matched)) — half the joins of the two-aggregate
+    * spelling.
+    */
+  private def hnScreenCtes(d: SqlDialect, posRel: String, candRel: String,
+      shRel: String): String = s"""
+hn_psh AS (SELECT p.query_id, s.shingle
+           FROM $posRel p JOIN $shRel s ON p.pos_doc_id = s.doc_id),
 hn_pn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS np
-          FROM hn_pterms GROUP BY query_id),
-hn_cn AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS nc
-          FROM hn_cand c JOIN $tfRel t ON c.doc_id = t.doc_id
-          GROUP BY c.query_id, c.doc_id),
-hn_ov AS (SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS ov
-          FROM hn_cand c JOIN $tfRel t ON c.doc_id = t.doc_id
-          JOIN hn_pterms p ON p.query_id = c.query_id AND p.term = t.term
+          FROM hn_psh GROUP BY query_id),
+hn_co AS (SELECT c.query_id, c.doc_id,
+                 CAST(count(*) AS BIGINT) AS nc,
+                 CAST(count(p.shingle) AS BIGINT) AS ov
+          FROM $candRel c JOIN $shRel s ON c.doc_id = s.doc_id
+          LEFT JOIN hn_psh p
+            ON p.query_id = c.query_id AND p.shingle = s.shingle
           GROUP BY c.query_id, c.doc_id),
 hn_scored AS (SELECT c.query_id, c.doc_id, c.score_bp,
-                     ${d.idiv("10000 * coalesce(o.ov, 0)", "LEAST(pn.np, cn.nc)")} AS containment_bp
-              FROM hn_cand c
-              JOIN hn_pn pn ON c.query_id = pn.query_id
-              JOIN hn_cn cn ON c.query_id = cn.query_id AND c.doc_id = cn.doc_id
-              LEFT JOIN hn_ov o ON c.query_id = o.query_id AND c.doc_id = o.doc_id),
+                     CAST(CASE WHEN pn.np IS NULL OR g.nc IS NULL THEN 0
+                          ELSE ${d.idiv("10000 * g.ov", "LEAST(pn.np, g.nc)")}
+                          END AS BIGINT) AS containment_bp
+              FROM $candRel c
+              LEFT JOIN hn_pn pn ON c.query_id = pn.query_id
+              LEFT JOIN hn_co g ON c.query_id = g.query_id AND c.doc_id = g.doc_id),
 hn_keep AS (SELECT query_id, doc_id, score_bp, containment_bp,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY score_bp DESC, doc_id) AS BIGINT) AS neg_rank
             FROM hn_scored WHERE containment_bp < $NearDupBp)"""
 
-  private def hnSelect: String = s"""
+  /** The depth-[[HnDepth]] two-phase salted rank over a scores
+    * relation — the oracle's CTE form; the Spark side caches the same
+    * relation as `hn_rank_v`.
+    */
+  private def hnRankCtes(scoresRel: String): String = s"""
+hn_r1 AS (SELECT query_id, doc_id, score_bp,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                    ORDER BY score_bp DESC, doc_id) AS sr
+          FROM $scoresRel),
+hn_rank AS (SELECT query_id, doc_id, score_bp,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+            FROM hn_r1 WHERE sr <= $HnDepth)"""
+
+  private def hnSelect(posRel: String): String = s"""
 SELECT k.query_id, k.neg_rank, p.pos_doc_id, k.doc_id AS neg_doc_id,
        CAST(k.score_bp AS BIGINT) AS neg_score_bp, k.containment_bp
-FROM hn_keep k JOIN hn_pos p ON k.query_id = p.query_id
+FROM hn_keep k JOIN $posRel p ON k.query_id = p.query_id
 WHERE k.neg_rank <= $HnK
 ORDER BY k.query_id, k.neg_rank"""
 
@@ -677,17 +813,80 @@ ORDER BY k.query_id, k.neg_rank"""
 WITH tf AS (${tfSql(d)}),
 dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
 ${bm25Ctes(d, "tf", "dl")},
-${hnCtes(d, "scores", "tf")}
-$hnSelect"""
+${hnRankCtes("scores")},
+${Dedup.shingleCore(d)},
+hn_pos AS (${hnPosSql("hn_rank")}),
+hn_cand AS (${hnCandSql("hn_rank", "documents")}),
+${hnScreenCtes(d, "hn_pos", "hn_cand", "sh")}
+${hnSelect("hn_pos")}"""
 
   private[graft] def hnSparkSqlForTest: String = hnSql(SparkSql)
 
   private def runHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
+    Dedup.ensureShingles(spark, dir, graft.Tables.documents(spark, dir))
+    // the ranked pool: ≤ queries×HnDepth narrow rows, cached so every
+    // downstream mention re-reads it instead of re-running the window
+    // pipeline over the scores relation. NO WITH in a cached view's
+    // definition: CTE relation ids are fresh per parse, so a cached
+    // plan containing WithCTE never `sameResult`s the re-resolved view
+    // and substitution silently falls back to full recompute.
+    StageViews.ensureCached(spark, "hn_rank_v", dir)(spark.sql(s"""
+SELECT query_id, doc_id, score_bp, rank FROM (
+  SELECT query_id, doc_id, score_bp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rank
+  FROM (SELECT query_id, doc_id, score_bp,
+               ROW_NUMBER() OVER (PARTITION BY query_id, doc_id % $Salts
+                                  ORDER BY score_bp DESC, doc_id) AS sr
+        FROM bm25_scores_v) r1
+  WHERE sr <= $HnDepth) r2
+WHERE rank <= $HnDepth"""))
+    // the deduped candidate pool: cached so the screening chain's
+    // mentions never re-run the md5-dedup window or re-probe documents
+    StageViews.ensureCached(spark, "hn_cand_v", dir)(
+      spark.sql(hnCandSql("hn_rank_v", "documents")))
+    // NESTED subqueries, not WITH: cache substitution does not reach
+    // inside top-level CTE bodies (StageViews note 2) — the WITH
+    // spelling of this query re-planned the ENTIRE bm25+rank+dedup
+    // chain from parquet at every CTE mention (105 file scans, 11 s at
+    // sf1); this spelling reads the three caches (3 s → 0.3 s).
+    val pos = s"(${hnPosSql("hn_rank_v")})"
+    // positives' shingles: ≤ |queries|·|doc shingles| rows, cached so
+    // the np count and the overlap join scan sh_v once, not twice
+    StageViews.ensureCached(spark, "hn_psh_v", dir)(spark.sql(s"""
+SELECT p.query_id, s.shingle
+FROM $pos p JOIN sh_v s ON p.pos_doc_id = s.doc_id"""))
+    val psh = "hn_psh_v"
     spark.sql(s"""
-WITH ${hnCtes(SparkSql, "bm25_scores_v", "bm25_tf_v")}
-$hnSelect""")
+SELECT k.query_id, k.neg_rank, p.pos_doc_id, k.doc_id AS neg_doc_id,
+       CAST(k.score_bp AS BIGINT) AS neg_score_bp, k.containment_bp
+FROM (
+  SELECT query_id, doc_id, score_bp, containment_bp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_bp DESC, doc_id) AS BIGINT) AS neg_rank
+  FROM (
+    SELECT c.query_id, c.doc_id, c.score_bp,
+           CAST(CASE WHEN pn.np IS NULL OR g.nc IS NULL THEN 0
+                ELSE ${SparkSql.idiv("10000 * g.ov", "LEAST(pn.np, g.nc)")}
+                END AS BIGINT) AS containment_bp
+    FROM hn_cand_v c
+    LEFT JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS np
+               FROM $psh pp GROUP BY query_id) pn
+      ON c.query_id = pn.query_id
+    LEFT JOIN (SELECT c2.query_id, c2.doc_id,
+                      CAST(count(*) AS BIGINT) AS nc,
+                      CAST(count(ps.shingle) AS BIGINT) AS ov
+               FROM hn_cand_v c2 JOIN sh_v s ON c2.doc_id = s.doc_id
+               LEFT JOIN $psh ps
+                 ON ps.query_id = c2.query_id AND ps.shingle = s.shingle
+               GROUP BY c2.query_id, c2.doc_id) g
+      ON c.query_id = g.query_id AND c.doc_id = g.doc_id) sc
+  WHERE containment_bp < $NearDupBp) k
+JOIN $pos p ON k.query_id = p.query_id
+WHERE k.neg_rank <= $HnK
+ORDER BY k.query_id, k.neg_rank""")
   }
 
   val qHardNegatives = Q("q_hard_negatives", runHardNegatives _,
@@ -757,10 +956,39 @@ ${snippetSelect(d)}"""
   private def runSnippet(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
+    // the ≤ |queries| top docs with their token arrays, cached so the
+    // hit chain and the final slice read it without re-probing the
+    // corpus; the whole final is nested (no WITH — substitution)
+    StageViews.ensureCached(spark, "snip_doc_v", dir)(spark.sql(s"""
+SELECT s.query_id, CAST(s.doc_id AS BIGINT) AS doc_id,
+       ${SparkSql.split("dd.text")} AS w
+FROM (SELECT query_id, doc_id FROM bm25_rank_v WHERE rank = 1) s
+JOIN documents dd ON s.doc_id = dd.doc_id"""))
+    val term = SparkSql.el("t.w", "t.i")
     spark.sql(s"""
-WITH $stagedRankCtes,
-${snippetCtes(SparkSql, "r2", "bm25_qt_v", "documents")}
-${snippetSelect(SparkSql)}""")
+SELECT b.query_id, b.doc_id, CAST(b.s AS BIGINT) AS win_start, b.n_terms, b.n_hits,
+       ${SparkSql.joinArr(SparkSql.slice("sd.w", "b.s", SnipW.toString))} AS snippet
+FROM (SELECT query_id, doc_id, s, n_terms, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_terms DESC, n_hits DESC, s) AS br
+      FROM (SELECT query_id, doc_id, s,
+                   CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM (SELECT query_id, doc_id, term, p - j + 1 AS s
+                  FROM (${SparkSql.series("query_id, doc_id, p, term, ln",
+      SnipW.toString, "j", s"""
+                        (SELECT t.query_id, t.doc_id, t.i AS p, $term AS term,
+                                ${SparkSql.len("t.w")} AS ln
+                         FROM (${SparkSql.series("query_id, doc_id, w",
+      SparkSql.len("w"), "i", "snip_doc_v")}) t
+                         JOIN bm25_qt_v q
+                           ON t.query_id = q.query_id AND $term = q.term) hit""")})
+                  WHERE p - j + 1 >= 1
+                    AND p - j + 1 <= GREATEST(1, ln - $SnipW + 1)) sw
+            GROUP BY query_id, doc_id, s) sc) b
+JOIN snip_doc_v sd ON b.query_id = sd.query_id
+WHERE b.br = 1
+ORDER BY b.query_id""")
   }
 
   val qBestSnippet = Q("q_best_snippet", runSnippet _, Some(snippetSql(DuckSql)))
@@ -844,25 +1072,139 @@ ${mrrSelect(d)}"""
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
     Similarity.ensureBruteStage(spark, dir)
+    // nested over the two cached rank views (no WITH — substitution)
     spark.sql(s"""
-WITH $stagedRankCtes,
-$bmTopCte,
-${anTopCte("ann_brute_v")},
-${mrrCtes(SparkSql, "bmtop", "antop")}
-${mrrSelect(SparkSql)}""")
+SELECT query_id, rel_doc, bm25_rank,
+       CAST(CASE WHEN bm25_rank = 0 THEN 0
+            ELSE ${SparkSql.idiv("10000", "bm25_rank")} END AS BIGINT) AS rr_bp
+FROM (SELECT r.query_id, r.rel_doc, CAST(coalesce(b.rank, 0) AS BIGINT) AS bm25_rank
+      FROM (SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS rel_doc
+            FROM ann_brute_v WHERE rank = 1) r
+      LEFT JOIN $bmTopSub b
+        ON r.query_id = b.query_id AND r.rel_doc = b.doc_id) h
+ORDER BY query_id""")
   }
 
   val qMrr = Q("q_retrieval_mrr", runMrr _, Some(mrrSql(DuckSql)))
+
+  // ---- retrieval evaluation: nDCG@k with graded dense labels ----
+
+  /** Graded-relevance depth: dense ranks 1..3 carry gains 7/3/1
+    * (the standard 2^rel − 1 for rel 3/2/1); deeper ranks are 0.
+    */
+  val NdcgGrades = 3
+
+  /** nDCG@[[TopK]] of the BM25 list under graded dense labels — the
+    * second retrieval-eval operator next to q_retrieval_mrr's binary
+    * one: the dense cosine rank-1/2/3 neighbors carry gains 7/3/1
+    * (2^rel − 1), and the BM25 list is scored with the standard
+    * log2-position discount. The discount is [[SqlLog.log2x16]] —
+    * dcg is Σ gain·160000 DIV L16(pos+1), pure BIGINT — and the
+    * normalizer is the full-graded ideal (all three labels at
+    * positions 1..3: 7·160000/16 + 3·160000/25 + 1·160000/32 =
+    * 94200), a CONSTANT, so ndcg_bp = 10000·dcg DIV 94200 is an
+    * absolute score comparable across queries and corpora. Both
+    * engines run identical integer arithmetic.
+    *
+    * Scale shape: workload-sized like the MRR — two ≤ |queries|·k
+    * staged top lists joined and summed.
+    */
+  private def ndcgCtes(d: SqlDialect, bmRel: String, denseRel: String): String = {
+    def disc(pos: String) = SqlLog.log2x16(d, s"$pos + 1")
+    s"""
+nd_rel AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                  CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(CASE rank WHEN 1 THEN 7 WHEN 2 THEN 3 ELSE 1 END AS BIGINT) AS gain
+           FROM $denseRel WHERE rank <= $NdcgGrades),
+nd_hit AS (SELECT b.query_id, CAST(b.rank AS BIGINT) AS pos, r.gain
+           FROM $bmRel b JOIN nd_rel r
+             ON b.query_id = r.query_id AND b.doc_id = r.doc_id),
+nd_dcg AS (SELECT query_id,
+                  CAST(sum(${d.idiv("gain * 160000", disc("pos"))}) AS BIGINT) AS dcg_x,
+                  CAST(count(*) AS BIGINT) AS n_rel_hit
+           FROM nd_hit GROUP BY query_id),
+nd_q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM $denseRel)"""
+  }
+
+  private def ndcgSelect(d: SqlDialect): String = {
+    def disc(i: Int) = SqlLog.log2x16(d, i.toString)
+    // the full-graded ideal: gains 7/3/1 at positions 1/2/3
+    val idcg = s"(${d.idiv("7 * 160000", disc(2))} + ${d.idiv("3 * 160000", disc(3))} + ${d.idiv("1 * 160000", disc(4))})"
+    s"""
+SELECT q.query_id,
+       CAST(coalesce(g.dcg_x, 0) AS BIGINT) AS dcg_x,
+       CAST(coalesce(g.n_rel_hit, 0) AS BIGINT) AS n_rel_hit,
+       CAST(${d.idiv("10000 * coalesce(g.dcg_x, 0)", idcg)} AS BIGINT) AS ndcg_bp
+FROM nd_q q LEFT JOIN nd_dcg g ON q.query_id = g.query_id
+ORDER BY q.query_id"""
+  }
+
+  /** Self-contained spelling — the DuckDB oracle and the spec twin. */
+  private def ndcgSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${Similarity.bruteCtes(d)},
+$bmTopCte,
+${anTopCte("ranked")},
+${ndcgCtes(d, "bmtop", "antop")}
+${ndcgSelect(d)}"""
+
+  private[graft] def ndcgSparkSqlForTest: String = ndcgSql(SparkSql)
+
+  private def runNdcg(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    Similarity.ensureBruteStage(spark, dir)
+    val d = SparkSql
+    val idcg = s"(${d.idiv("7 * 160000", SqlLog.log2x16(d, "2"))} + " +
+      s"${d.idiv("3 * 160000", SqlLog.log2x16(d, "3"))} + " +
+      s"${d.idiv("1 * 160000", SqlLog.log2x16(d, "4"))})"
+    // nested over the two cached rank views (no WITH — substitution)
+    spark.sql(s"""
+SELECT q.query_id,
+       CAST(coalesce(g.dcg_x, 0) AS BIGINT) AS dcg_x,
+       CAST(coalesce(g.n_rel_hit, 0) AS BIGINT) AS n_rel_hit,
+       CAST(${d.idiv("10000 * coalesce(g.dcg_x, 0)", idcg)} AS BIGINT) AS ndcg_bp
+FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM ann_brute_v) q
+LEFT JOIN (SELECT query_id,
+                  CAST(sum(${d.idiv("gain * 160000", SqlLog.log2x16(d, "pos + 1"))}) AS BIGINT) AS dcg_x,
+                  CAST(count(*) AS BIGINT) AS n_rel_hit
+           FROM (SELECT b.query_id, CAST(b.rank AS BIGINT) AS pos, r.gain
+                 FROM $bmTopSub b
+                 JOIN (SELECT CAST(query_id AS BIGINT) AS query_id,
+                              CAST(neighbor_id AS BIGINT) AS doc_id,
+                              CAST(CASE rank WHEN 1 THEN 7 WHEN 2 THEN 3 ELSE 1 END AS BIGINT) AS gain
+                       FROM ann_brute_v WHERE rank <= $NdcgGrades) r
+                   ON b.query_id = r.query_id AND b.doc_id = r.doc_id) h
+           GROUP BY query_id) g ON q.query_id = g.query_id
+ORDER BY q.query_id""")
+  }
+
+  val qNdcg = Q("q_retrieval_ndcg", runNdcg _, Some(ndcgSql(DuckSql)))
 
   private[graft] def facetSparkSqlForTest: String = facetSql(SparkSql)
 
   private def runFacets(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     ensureStages(spark, dir)
+    // the ≤ queries×TopK facet rows, cached so both facet group-bys
+    // read one relation; nested spelling (no WITH — substitution)
+    StageViews.ensureCached(spark, "fc_j_v", dir)(spark.sql(s"""
+SELECT f.query_id, dd.lang, dd.source
+FROM (SELECT query_id, doc_id FROM bm25_rank_v WHERE rank <= $TopK) f
+JOIN documents dd ON f.doc_id = dd.doc_id"""))
     spark.sql(s"""
-WITH $stagedRankCtes,
-${facetCtes(SparkSql, "r2", "documents")}
-$facetSelect""")
+SELECT query_id, facet, val, n_docs FROM (
+  SELECT query_id, 'lang' AS facet, lang AS val,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM fc_j_v GROUP BY query_id, lang
+  UNION ALL
+  SELECT query_id, 'source' AS facet, source AS val,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM fc_j_v GROUP BY query_id, source) u
+ORDER BY query_id, facet, val""")
   }
 
   val qFacetCounts = Q("q_facet_counts", runFacets _, Some(facetSql(DuckSql)))
@@ -877,5 +1219,5 @@ $facetSelect""")
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
   val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase, qIndexStream,
-    qHardNegatives, qBestSnippet, qFacetCounts, qMrr)
+    qHardNegatives, qBestSnippet, qFacetCounts, qMrr, qNdcg)
 }

@@ -81,30 +81,51 @@ class Round18bOpsSpec extends AnyFunSuite {
 
   // ---- hard negatives ----
 
-  test("hard negatives: hand-derived mining with dup/superset exclusion") {
-    // docs (all len 4): N=5, TL=20; tf-ratio bp: tf1→10000, tf2→13750
-    // df: alpha 4, beta 4, gamma 3, delta 3 → query0=(alpha,beta),
-    // query1=(delta,gamma); idf: df4→4000, df3→7500
-    // query0 scores: d0=d1=11000 (tf2 both terms), d4=8000, d2=d3=4000
-    //   positive d0 {alpha,beta}; d1 exact dup (cont 10000, excluded),
-    //   d4 superset (cont 10000, excluded), d2/d3 cont 5000 → kept
-    // query1 scores: d2=d3=17812 (7500 + ⌊7500·13750/10000⌋=10312),
-    //   d4=15000; positive d2 {alpha,gamma,delta};
-    //   d3 ov{gamma,delta} → ⌊20000/3⌋=6666 kept; d4 ov 3/3 → excluded
+  private def runHn(): Seq[(Long, Long, Long, Long, Long, Long)] =
+    spark.sql(Retrieval.hnSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("hard negatives: hand-derived mining with dup exclusion and candidate dedup") {
+    // docs (all len 6): N=6, TL=36; ratio bp (len = avgdl): tf1→10000,
+    // tf2→13750, tf3→15714; df: alpha 5, beta 5, gamma 4, delta 4 →
+    // query0=(alpha,beta), query1=(delta,gamma); idf: df5→3333, df4→6000
+    // q0 scores: d0=d1=10474 (2·⌊3333·15714/10⁴⌋), d4=d5=9164
+    //   (2·⌊3333·13750/10⁴⌋), d2=d3=4582; positive d0; d1 is its exact
+    //   dup (shares both 5-gram shingles → containment 10000 →
+    //   excluded); d5 is d4's copy — the intra-candidate md5 dedup
+    //   keeps d4 only; survivors in score order: d4, d2, d3 (cont 0)
+    // q1 scores: d2=d3=15428 (⌊6000·15714/10⁴⌋+6000), d4=d5=12000;
+    //   positive d2; candidate dedup drops d5; d3/d4 kept (cont 0)
     val got = withDocs(
-      (0L, "alpha beta alpha beta", "en", "s0"),
-      (1L, "alpha beta alpha beta", "en", "s0"),
-      (2L, "alpha gamma delta gamma", "en", "s0"),
-      (3L, "beta delta gamma delta", "en", "s0"),
-      (4L, "alpha beta gamma delta", "en", "s0")) {
-      spark.sql(Retrieval.hnSparkSqlForTest).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))).toSeq
-    }
+      (0L, "alpha beta alpha beta alpha beta", "en", "s0"),
+      (1L, "alpha beta alpha beta alpha beta", "en", "s0"),
+      (2L, "alpha gamma delta gamma alpha gamma", "en", "s0"),
+      (3L, "beta delta gamma delta beta delta", "en", "s0"),
+      (4L, "alpha beta gamma delta alpha beta", "en", "s0"),
+      (5L, "alpha beta gamma delta alpha beta", "en", "s0"))(runHn())
     assert(got == Seq(
-      (0L, 1L, 0L, 2L, 4000L, 5000L),
-      (0L, 2L, 0L, 3L, 4000L, 5000L),
-      (1L, 1L, 2L, 3L, 17812L, 6666L)))
+      (0L, 1L, 0L, 4L, 9164L, 0L),
+      (0L, 2L, 0L, 2L, 4582L, 0L),
+      (0L, 3L, 0L, 3L, 4582L, 0L),
+      (1L, 1L, 2L, 3L, 15428L, 0L),
+      (1L, 2L, 2L, 4L, 12000L, 0L)))
+  }
+
+  test("hard negatives: a non-identical near-dup is excluded; all-dup pool empties") {
+    // p = "x y x y x y x" (shingles {x y x y x, y x y x y}, np=2);
+    // nd = "x y x y x y z" — NOT an exact copy, but contains both of
+    // p's shingles → containment 10000·2/min(2,3) = 10000 → excluded.
+    // q0=(x,y): ranking p(21754) > nd(20948); nd is the ONLY candidate
+    // → query 0 emits no negatives at all (the dup screen correctly
+    // empties an all-near-dup pool).
+    // q1=(z,w): ranking d(34851) > nd(6666); nd shares no shingle with
+    // d → kept → the single output row.
+    val got = withDocs(
+      (0L, "x y x y x y x", "en", "s0"),
+      (1L, "x y x y x y z", "en", "s0"),
+      (2L, "z w z w z w z", "en", "s0"))(runHn())
+    assert(got == Seq((1L, 1L, 2L, 1L, 6666L, 0L)))
   }
 
   // ---- best snippet ----
@@ -171,6 +192,47 @@ class Round18bOpsSpec extends AnyFunSuite {
     }
     spark.catalog.dropTempView("embeddings")
     assert(got == Seq((0L, 1L, 2L, 5000L), (1L, 0L, 0L, 0L)))
+  }
+
+  test("retrieval ndcg: matches a re-derivation from both rankers' own outputs") {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    // 4 embeddings so every query has all three graded labels
+    Seq(
+      (0L, Array.tabulate(64)(d => 1.0f + 0.02f * d)),
+      (1L, Array.tabulate(64)(d => 2.0f - 0.01f * d)),
+      (2L, Array.tabulate(64)(d => 1.5f + 0.03f * ((d * 7) % 5))),
+      (3L, Array.tabulate(64)(d => 0.5f + 0.05f * ((d * 3) % 9))))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val docs = Seq(
+      (0L, "cat cat dog", "en", "s0"),
+      (1L, "dog fish fish fish", "en", "s0"),
+      (2L, "cat dog bird", "en", "s1"),
+      (3L, "bird bird cat", "de", "s1"))
+    val got = withDocs(docs: _*) {
+      // inputs to the re-derivation: each ranker's OWN oracle-gated output
+      val bm = spark.sql(Retrieval.bm25SparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq // (q, rank, doc)
+      val dense = spark.sql(Similarity.bruteSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq // (q, rank, nb)
+      val gains = dense.filter(_._2 <= 3)
+        .map { case (q, rk, nb) => (q, nb) -> (rk match {
+          case 1 => 7L; case 2 => 3L; case _ => 1L }) }.toMap
+      val idcg = 7 * 160000 / l16(2) + 3 * 160000 / l16(3) + 160000 / l16(4)
+      assert(idcg == 94200L, s"ideal-DCG constant drifted: $idcg")
+      val expect = dense.map(_._1).distinct.sorted.map { q =>
+        val hits = bm.filter(b => b._1 == q && b._2 <= 5)
+          .flatMap(b => gains.get((q, b._3)).map(g => (b._2, g)))
+        val dcg = hits.map { case (pos, g) => g * 160000 / l16(pos + 1) }.sum
+        (q, dcg, hits.size.toLong, 10000 * dcg / idcg)
+      }
+      val out = spark.sql(Retrieval.ndcgSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      (out, expect)
+    }
+    spark.catalog.dropTempView("embeddings")
+    assert(got._1 == got._2)
+    assert(got._1.exists(_._4 > 0L), "fixture produced all-zero nDCG — vacuous")
   }
 
   // ---- mutual-kNN graph ----
