@@ -353,6 +353,42 @@ class Round18bOpsSpec extends AnyFunSuite {
     assert(zero.size == docs.size && zero.forall(_._4 == 0L))
   }
 
+  // ---- staged-final substitution gate ----
+
+  test("staged finals: steady-state plans read caches only (zero file scans)") {
+    // Cache substitution does not reach inside WITH-CTE bodies: a
+    // cached stage view referenced from a CTE re-plans as a fresh
+    // FileScan pipeline (the q_hard_negatives 3.8 s → 1.2 s lesson).
+    // Every staged final is therefore spelled as nested subqueries,
+    // and THIS gate keeps it that way: after the stage-building first
+    // run, the re-planned query must contain no parquet scan at all —
+    // collected from the physical TREE (an InMemoryTableScan's cached
+    // child is not among its children, so tree collection counts only
+    // scans that would actually execute).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = "/root/testdata/sf0.001"
+    val staged = Seq("q_bm25_topk", "q_hybrid_retrieval", "q_bm25_prf",
+      "q_phrase_search", "q_hard_negatives", "q_best_snippet",
+      "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
+      "q_dsir_weights", "q_dedup_simhash64")
+    for (n <- staged) {
+      val q = graft.SparkEntry.queries(n)
+      q(spark, dir).count() // first run builds + materializes stages
+      val plan = q(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: FileSourceScanExec => f.nodeName
+        case b: BatchScanExec => b.nodeName
+      }
+      assert(scans.isEmpty,
+        s"$n steady-state plan still reads files (substitution broke): $scans")
+    }
+  }
+
   // ---- k-anonymity / l-diversity ----
 
   private def withCustomers[A](view: String,
