@@ -825,13 +825,42 @@ ORDER BY rank"""
     collocationsSql(DuckSql, None)
 
   private def runCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkSql
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
     StageViews.documents(spark, dir)
     // unigram counts reuse the BM25 postings cache (same stopword set,
     // same tokenization) — the corpus is exploded once for bigrams and
     // zero additional times for unigrams
     StageViews.ensureCached(spark, "bm25_tf_v", dir)(
       spark.sql(Retrieval.tfSql(SparkSql)))
-    spark.sql(collocationsSql(SparkSql, Some("bm25_tf_v")))
+    // staged + NESTED final (no WITH — cache substitution does not
+    // reach CTE bodies; the WITH spelling re-ran the unigram explode
+    // 3× and the bigram explode 2× from parquet): the vocab-sized
+    // unigram totals and the pair counts are cached once each
+    StageViews.ensureCached(spark, "colloc_uni_v", dir)(spark.sql(
+      "SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM bm25_tf_v GROUP BY term"))
+    StageViews.ensureCached(spark, "colloc_pc_v", dir)(spark.sql(s"""
+SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_ab FROM (
+  SELECT ${d.el("w", "i")} AS ta, ${d.el("w", "i + 1")} AS tb
+  FROM (${d.series("doc_id, w", d.len("w") + " - 1", "i",
+      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 2) dw")})
+  WHERE NOT ${d.el("w", "i")} IN $stop
+    AND NOT ${d.el("w", "i + 1")} IN $stop) bg
+GROUP BY ta, tb"""))
+    spark.sql(s"""
+SELECT rank, ta AS term_a, tb AS term_b, n_ab, n_a, n_b, assoc_bp
+FROM (SELECT ta, tb, n_ab, n_a, n_b, assoc_bp,
+             CAST(ROW_NUMBER() OVER (ORDER BY assoc_bp DESC, n_ab DESC, ta, tb) AS BIGINT) AS rank
+      FROM (SELECT pc.ta, pc.tb, pc.n_ab, ua.c AS n_a, ub.c AS n_b,
+                   ${d.idiv(s"(${d.idiv("10000 * pc.n_ab * tot.wt", "tot.b")}) * tot.wt", "ua.c * ub.c")} AS assoc_bp
+            FROM colloc_pc_v pc
+            JOIN colloc_uni_v ua ON pc.ta = ua.term
+            JOIN colloc_uni_v ub ON pc.tb = ub.term
+            CROSS JOIN (SELECT CAST((SELECT sum(c) FROM colloc_uni_v) AS BIGINT) AS wt,
+                               CAST((SELECT sum(n_ab) FROM colloc_pc_v) AS BIGINT) AS b) tot
+            WHERE pc.n_ab >= 3) scored) ranked
+WHERE rank <= 20
+ORDER BY rank""")
   }
 
   val qCollocations = Q(
