@@ -368,6 +368,11 @@ class Round18bOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // earlier tests in this suite re-register `documents` as synthetic
+    // fixtures, which INVALIDATES every dependent cache while the
+    // StageViews registry still holds the entries — reset so the gate
+    // measures a clean build, not fixture pollution
+    StageViews.unpersistAll(spark)
     val dir = "/root/testdata/sf0.001"
     val staged = Seq("q_bm25_topk", "q_hybrid_retrieval", "q_bm25_prf",
       "q_phrase_search", "q_hard_negatives", "q_best_snippet",
