@@ -64,9 +64,13 @@ object DetectionPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = scored(batch, model)
-        if (!out.isEmpty) Sinks.writeNdjson(out, s"$outDir/batch=$batchId")
-        ()
+        // persist before the emptiness probe: foreachBatch hands a
+        // LOGICAL batch, so `isEmpty` + the write would otherwise run
+        // the whole RF-vote projection TWICE per micro-batch
+        // (per-stage attribution: FLOOR_r19_detection.txt)
+        val out = scored(batch, model).persist()
+        try { if (!out.isEmpty) Sinks.writeNdjson(out, s"$outDir/batch=$batchId") }
+        finally { out.unpersist(); () }
       }
       .start()
   }

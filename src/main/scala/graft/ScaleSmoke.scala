@@ -200,8 +200,23 @@ object ScaleSmoke {
         "concat('tok', id % 100000, ' tok', (id + 1) % 100000, ' tok', (id + 2) % 100000) AS text",
         "'en' AS lang")
       val (j1024, m1024, t1024) = jobsDuring(1024, wideCorpus(1))
-      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
-      println(f"[scale] bpe jobs: steps=1024 wide-vocab -> $j1024 jobs, $m1024 merges learned, $t1024%6.2f s (driver heap used ${heapMb}%d MiB)")
+      // Driver-heap gate (r18 VERDICT task 6): the raw used-heap reading
+      // after the trainer includes uncollected garbage (r18 recorded
+      // 3519 MiB raw while the live set was far smaller — and the
+      // MEASUREMENT prose wrongly quoted "under 2 GiB" from the live-set
+      // intuition). Report BOTH, and gate the LIVE set (post-System.gc)
+      // at an explicit bound so the trainer's driver residency cannot
+      // drift silently: the collected (word, cnt, seg) relation is
+      // vocabulary-sized (~100k rows here), which must stay well under
+      // 1 GiB live.
+      val rawHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      System.gc()
+      val liveHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      val LiveHeapBoundMb = 1024L
+      println(f"[scale] bpe jobs: steps=1024 wide-vocab -> $j1024 jobs, $m1024 merges learned, $t1024%6.2f s (driver heap: raw ${rawHeapMb}%d MiB, live ${liveHeapMb}%d MiB, gate $LiveHeapBoundMb MiB)")
+      require(liveHeapMb < LiveHeapBoundMb,
+        s"BPE 1024-merge trainer left $liveHeapMb MiB LIVE on the driver " +
+          s"(bound $LiveHeapBoundMb MiB) — the collect is no longer vocabulary-sized")
       require(j1024 == j8,
         s"BPE Spark job count grew at a 1024-merge budget: $j1024 vs $j8 at 8 steps")
       require(m1024 == 1024,
@@ -292,6 +307,35 @@ object ScaleSmoke {
       }
       require(ivfResults.last._4 >= 0.8,
         f"IVF recall@5 at the top multiple is ${ivfResults.last._4}%.3f < 0.8")
+    }
+
+    // ---- hybrid retrieval over the IVF dense ranker (r18 VERDICT task
+    // 3): the serving-shaped fusion (BM25 ⊕ IVF) must keep overlapping
+    // the exact fusion's (BM25 ⊕ brute) top-5 as the corpus grows — the
+    // q_ann_ivf_recall discipline applied to the fused lists. Bottom and
+    // top multiples only (each runs three full ranker chains).
+    locally {
+      val hyMultiples = Seq(multiples.head, multiples.last).distinct
+      val hyOverlaps = hyMultiples.map { m =>
+        val dcorp = docs.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
+        val ecorp = emb.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("vec_id + rep * 100000000 AS vec_id", "embedding")
+        val t0h = System.nanoTime()
+        val ov = operators.Retrieval.hybridIvfOverlapAt5On(
+          spark, s"scale-hyivf-$m", dcorp, ecorp)
+        val sec = (System.nanoTime() - t0h) / 1e9
+        println(f"[scale] hyivf   x$m%-3d overlap@5=$ov%.3f  $sec%7.2f s")
+        (m, ov)
+      }
+      hyOverlaps.foreach { case (m, ov) =>
+        require(ov >= 0.6,
+          f"IVF-fused top-5 overlap vs the brute fusion collapsed to $ov%.3f at x$m — " +
+            "the serving-shaped hybrid no longer finds what exact fusion finds")
+      }
+      println(s"[scale] hybrid-ivf fusion overlap@5 >= 0.6 at " +
+        s"x${hyMultiples.mkString("/x")} (" +
+        hyOverlaps.map { case (m, ov) => f"x$m=$ov%.3f" }.mkString(" ") + ")")
     }
 
     // ---- embedding near-dup: the adaptive sign-bucket modulus (+

@@ -11,6 +11,11 @@ case class MediaRow(
 /** One sampled video frame (stub content hash). */
 case class FrameRow(doc_id: Long, n_frames: Long, frame_idx: Long, frame_md5: String)
 
+/** One decoded audio clip's integer-exact features. */
+case class AudioRow(
+    doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
+    peak_abs: Long, sum_sq: Long, zero_crossings: Long, decode_ok: Boolean)
+
 /** One fixed-width stub feature vector (8 dims + squared norm). */
 case class FeatureRow(
     doc_id: Long, mime: String,
@@ -329,5 +334,132 @@ SELECT doc_id, width, height, downscale, out_w, out_h,
 FROM p
 ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qDecode, qFrames, qFeatures, qResize)
+  // ---- audio: REAL WAV PCM decode via the JDK (r18 VERDICT task 7) ----
+
+  /** Audio fixture parameters: 8 kHz mono PCM16. The synthesized clip
+    * for doc d has `64 + n_chars % 256` samples with
+    * `s(i) = ((d + i) % 7 − 3) · 3000` — a closed form BOTH sides
+    * share: the Spark path renders it into real RIFF/WAVE bytes and
+    * re-reads them through `javax.sound.sampled.AudioSystem` (true
+    * header parse, true PCM frame decode — the audio twin of the
+    * image family's `javax.imageio` path), while the DuckDB oracle
+    * restates the closed form over a generated series. Any drift in
+    * the synth, the WAV framing, or the decode shows up as an oracle
+    * hash mismatch.
+    */
+  val AudioRate = 8000
+
+  /** Deterministic RIFF/WAVE PCM16LE mono clip for (doc_id, n_chars). */
+  def wavBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val n = (64 + (nChars % 256)).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)                 // PCM, mono
+    bb.putInt(AudioRate); bb.putInt(AudioRate * 2) // sample rate, byte rate
+    bb.putShort(2); bb.putShort(16)                // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId + i) % 7 - 3) * 3000).toShort)
+      i += 1
+    }
+    bb.array
+  }
+
+  def synthWavBatch(batch: Seq[(Long, Long)]): Seq[(Long, Array[Byte])] =
+    batch.map { case (id, nChars) => (id, wavBytes(id, nChars)) }
+
+  /** REAL decode: header + format via `AudioSystem`, features from the
+    * decoded PCM frames. Integer-exact per the [[Q]] determinism
+    * contract: peak |s|, Σs² (BIGINT — ≤ 2³¹ samples of ±2¹⁵ fit with
+    * headroom), sign-change count (0 counts as non-negative), duration
+    * in integer ms. Anything the JDK can't decode as PCM16LE mono —
+    * corrupt header, unexpected channel count or width — reports
+    * `decode_ok = false` with zeroed features, never a fake (the image
+    * decoder's corruption rule).
+    */
+  def decodeAudioBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioRow] =
+    batch.map { case (id, bytes) =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val ok = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian && fmt.getSampleRate > 0
+          if (!ok) AudioRow(id, 0, 0, 0, 0, 0, 0, decode_ok = false)
+          else {
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var peak = 0L; var sumSq = 0L; var zc = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < n) {
+              val s = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += s * s
+              val neg = s < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            val rate = fmt.getSampleRate.toLong
+            AudioRow(id, rate, n, n * 1000L / rate, peak, sumSq, zc, decode_ok = true)
+          }
+        } finally ais.close()
+      } catch {
+        case _: Exception => AudioRow(id, 0, 0, 0, 0, 0, 0, decode_ok = false)
+      }
+    }
+
+  /** The decode stage over a (doc_id, payload binary) frame — same
+    * batched, shuffle-free typed mapPartitions as the image decoder.
+    */
+  def decodeAudio(media: DataFrame): Dataset[AudioRow] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(decodeAudioBatch))
+  }
+
+  private def audioOracle(d: SqlDialect): String = s"""
+WITH a AS (SELECT doc_id, 64 + n_chars % 256 AS n_samples
+           FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+s AS (SELECT doc_id, j,
+             ((doc_id + j - 1) % 7 - 3) * 3000 AS smp,
+             ((doc_id + j - 2) % 7 - 3) * 3000 AS sprev
+      FROM (${d.series("doc_id, n_samples", "n_samples", "j", "a")}) x)
+SELECT doc_id,
+       CAST($AudioRate AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(${d.idiv("count(*) * 1000", AudioRate.toString)} AS BIGINT) AS duration_ms,
+       CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+       CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN j >= 2 AND ((smp < 0) <> (sprev < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       count(*) > 0 AS decode_ok
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+  val qAudio = Q(
+    "q_multimodal_audio",
+    (spark, dir) => {
+      import spark.implicits._
+      val clips = Tables.documents(spark, dir)
+        .filter("CAST(doc_id % 3 AS INT) = 1")
+        .select("doc_id", "n_chars").as[(Long, Long)]
+        .mapPartitions(_.grouped(BatchSize).flatMap(synthWavBatch))
+        .toDF("doc_id", "payload")
+      decodeAudio(clips).orderBy("doc_id").toDF()
+    },
+    Some(audioOracle(DuckSql)))
+
+  val all: Seq[Q] = Seq(qDecode, qFrames, qFeatures, qResize, qAudio)
 }

@@ -313,11 +313,11 @@ bmtop AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
                  CAST(rank AS BIGINT) AS rank
           FROM r2 WHERE rank <= $TopK)"""
 
-  private def anTopCte(denseRel: String): String = s"""
+  private def anTopCte(denseRel: String, depth: Int = AnnTopK): String = s"""
 antop AS (SELECT CAST(query_id AS BIGINT) AS query_id,
                  CAST(neighbor_id AS BIGINT) AS doc_id,
                  CAST(rank AS BIGINT) AS rank
-          FROM $denseRel WHERE rank <= $AnnTopK)"""
+          FROM $denseRel WHERE rank <= $depth)"""
 
   /** Self-contained spelling over `documents` + `embeddings` — the
     * DuckDB oracle (and the spec's Spark twin, which needs
@@ -343,10 +343,21 @@ ${fusionSql(d, "bmtop", "antop")}"""
         CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank
  FROM ann_brute_v WHERE rank <= $AnnTopK)"""
 
-  /** Staged spelling: lexical ranks from the cached rank view, dense
-    * ranks from the cached brute ground-truth stage — nested, no WITH.
+  /** Dense top list from the cached IVF rerank stage (the SERVING-shaped
+    * dense ranker — `ann_ivfr_v` keeps rank ≤ 5, so the IVF fusion's
+    * dense depth is [[IvfAnnTopK]]).
     */
-  private def hybridStagedSparkSql: String = s"""
+  val IvfAnnTopK = 5
+
+  private def anIvfTopSub: String =
+    s"""(SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank
+ FROM ann_ivfr_v WHERE rank <= $IvfAnnTopK)"""
+
+  /** Staged spelling: lexical ranks from the cached rank view, dense
+    * ranks from a cached dense-ranker stage — nested, no WITH.
+    */
+  private def hybridStagedSql(denseSub: String): String = s"""
 SELECT query_id, rank, doc_id, rrf_bp, n_lists FROM (
   SELECT query_id, doc_id, rrf_bp, n_lists,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -356,10 +367,12 @@ SELECT query_id, rank, doc_id, rrf_bp, n_lists FROM (
                CAST(count(*) AS BIGINT) AS n_lists
         FROM (SELECT query_id, doc_id, rank FROM $bmTopSub bm
               UNION ALL
-              SELECT query_id, doc_id, rank FROM $anTopSub an) lists
+              SELECT query_id, doc_id, rank FROM $denseSub an) lists
         GROUP BY query_id, doc_id) fused) hranked
 WHERE rank <= $TopK
 ORDER BY query_id, rank"""
+
+  private def hybridStagedSparkSql: String = hybridStagedSql(anTopSub)
 
   private[graft] def hybridSparkSqlForTest: String = hybridSql(SparkSql)
   private[graft] def hybridDuckSqlForTest: String = hybridSql(DuckSql)
@@ -1218,6 +1231,68 @@ ORDER BY query_id, facet, val""")
 
   val qHybrid = Q("q_hybrid_retrieval", runHybrid _, Some(hybridSql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qBm25, qHybrid, qPrf, qPhrase, qIndexStream,
+  /** Hybrid retrieval over the SERVING dense ranker (r18 VERDICT task
+    * 3): same RRF arithmetic as [[qHybrid]], but the dense list comes
+    * from the two-level IVF index ([[Similarity]] `ann_ivfr_v`) instead
+    * of the brute ground truth — the fusion a 100 TB RAG pipeline
+    * actually runs, where the exact dense ranking is unaffordable and
+    * the index's n^(3/4) probe budget is the whole point. Brute stays
+    * the right GROUND TRUTH (q_retrieval_mrr/ndcg grade against it);
+    * this entry is the production topology, and ScaleSmoke gates its
+    * top-k overlap against the brute fusion (the q_ann_ivf_recall
+    * discipline — the index must keep FINDING what exact fusion finds).
+    *
+    * The IVF index is deterministic (both engines derive every
+    * parameter from count(*); seeds are first-by-id), so the oracle
+    * restates the full chain exactly, as q_ann_ivf already does. Dense
+    * depth is [[IvfAnnTopK]] = 5 (the index stage's retained ranks);
+    * the dominance law still holds at depths (5, 5): worst both-lists
+    * doc scores 2·(10000 DIV 65) = 306 bp > best single-list doc's
+    * 10000 DIV 61 = 163 bp.
+    */
+  private def hybridIvfSql(d: SqlDialect): String = s"""
+${Similarity.ivfRerankCtes(d)},
+tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+$bmTopCte,
+${anTopCte("ranked", IvfAnnTopK)},
+${fusionSql(d, "bmtop", "antop")}"""
+
+  private[graft] def hybridIvfSparkSqlForTest: String = hybridIvfSql(SparkSql)
+
+  private def runHybridIvf(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    Similarity.ensureIvfStages(spark, dir) // registers embeddings + cosine
+    spark.sql(hybridStagedSql(anIvfTopSub))
+  }
+
+  val qHybridIvf = Q("q_hybrid_retrieval_ivf", runHybridIvf _, Some(hybridIvfSql(DuckSql)))
+
+  /** Mean top-[[TopK]] overlap of the IVF fusion against the brute
+    * fusion per probe query — ScaleSmoke's recall gate for
+    * q_hybrid_retrieval_ivf. Self-contained CTE spellings (each probe
+    * multiple is its own corpus key: build, read once, drop); the two
+    * fusions run as separate statements because the brute and IVF
+    * chains share relation names (meta/pairs/scored/ranked).
+    */
+  private[graft] def hybridIvfOverlapAt5On(spark: SparkSession, key: String,
+      docs: => DataFrame, emb: => DataFrame): Double = {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    StageViews.ensure(spark, "embeddings", key)(StageViews.widen(spark, emb, "vec_id"))
+    val ivfFused = spark.sql(hybridIvfSql(SparkSql))
+    val bruteFused = spark.sql(hybridSql(SparkSql))
+    val nq = bruteFused.select("query_id").distinct().count()
+    if (nq == 0) 0.0
+    else {
+      val common = ivfFused.select("query_id", "doc_id")
+        .intersect(bruteFused.select("query_id", "doc_id")).count()
+      common.toDouble / (nq * TopK.toDouble)
+    }
+  }
+
+  val all: Seq[Q] = Seq(qBm25, qHybrid, qHybridIvf, qPrf, qPhrase, qIndexStream,
     qHardNegatives, qBestSnippet, qFacetCounts, qMrr, qNdcg)
 }

@@ -280,7 +280,13 @@ cand AS (SELECT p.query_id, m.vec_id AS neighbor_id
            ON p.c1 = m.c1 AND p.c2 = m.c2 AND m.vec_id <> p.query_id)"""
   }
 
-  private def ivfSql(d: SqlDialect): String = {
+  /** The full IVF chain ending at the exact-reranked relation `ranked`
+    * (starts with WITH — compose further CTEs after it). Shared by the
+    * standalone oracle, the probe helpers, and the IVF hybrid-retrieval
+    * oracle ([[Retrieval]] q_hybrid_retrieval_ivf), which consumes the
+    * ranked relation instead of a finished query.
+    */
+  private[operators] def ivfRerankCtes(d: SqlDialect): String = {
     val (_, cos) = normCos(d)
     ivfCte(d) + s""",
 pairs AS (SELECT c.query_id, c.neighbor_id,
@@ -290,11 +296,14 @@ pairs AS (SELECT c.query_id, c.neighbor_id,
 scored AS (SELECT query_id, neighbor_id, $cos AS cos FROM pairs),
 ranked AS (SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM scored)
+           FROM scored)"""
+  }
+
+  private def ivfSql(d: SqlDialect): String =
+    ivfRerankCtes(d) + s"""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked
 WHERE rank <= 5
 ORDER BY query_id, rank"""
-  }
 
   private def runIvf(spark: SparkSession, dir: String): DataFrame = {
     ensureIvfStages(spark, dir)
@@ -360,6 +369,134 @@ ORDER BY s.query_id""")
   }
 
   val qIvfRecall = Q("q_ann_ivf_recall", runIvfRecall _, Some(ivfRecallSql(DuckSql)))
+
+  // ---- streaming IVF index maintenance (frozen coarse quantizer) ----
+
+  /** The DuckDB restatement of the streamed assignment: every vector's
+    * nearest frozen level-1 centroid (cos DESC, c1 tie-break — the
+    * batch asg1 chain verbatim), collapsed to per-list membership
+    * stats. Shared CTE text with [[ivfStreamSparkSqlForTest]] below.
+    */
+  private def ivfStreamSql(d: SqlDialect): String = {
+    val (norm, cos) = normCos(d)
+    val hint = d match { case SparkSql => "/*+ BROADCAST(c) */ "; case DuckSql => "" }
+    s"""
+WITH meta AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+cent1 AS (SELECT vec_id AS c1, embedding, nrm FROM meta WHERE vec_id < $nl1Sub),
+a1 AS (SELECT ${hint}m.vec_id, c.c1, m.embedding AS qe, c.embedding AS ne,
+              m.nrm AS qn, c.nrm AS nn
+       FROM meta m CROSS JOIN cent1 c),
+a1s AS (SELECT vec_id, c1, $cos AS cos FROM a1),
+asg1 AS (SELECT vec_id, c1,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c1) AS rnk
+         FROM a1s)
+SELECT c1, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(vec_id) AS BIGINT) AS min_vec,
+       CAST(max(vec_id) AS BIGINT) AS max_vec,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec
+FROM asg1 WHERE rnk = 1
+GROUP BY c1
+ORDER BY c1"""
+  }
+
+  /** Spec twin: the batch restatement on the Spark side. */
+  private[graft] def ivfStreamSparkSqlForTest: String = ivfStreamSql(SparkSql)
+
+  /** The per-vector argmax as a single streaming-legal PROJECTION:
+    * greatest over one (cos, −c1, c1) struct per frozen centroid — max
+    * cosine first, then the LOWEST c1 on exact ties (identical total
+    * order to the batch chain's `ORDER BY cos DESC, c1`). No window, no
+    * join: the quantizer rides inside the expression as array<float>
+    * literals, which is what "frozen centroids" means operationally —
+    * the index's coarse level is plan-time metadata, not a relation.
+    */
+  private[graft] def assignToFrozen(
+      cents: Seq[(Long, Array[Float])]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cents.nonEmpty, "frozen-centroid assignment needs >= 1 centroid")
+    val scoredCols = cents.map { case (c1, e) =>
+      struct(
+        graft.functions.CosineSimilarity(col("embedding"), typedLit(e)).as("cos"),
+        lit(-c1).as("negc1"), lit(c1).as("c1"))
+    }
+    val best =
+      if (scoredCols.length == 1) scoredCols.head else greatest(scoredCols: _*)
+    best.getField("c1")
+  }
+
+  /** The frozen level-1 quantizer for `dir`'s corpus, collected to the
+    * driver (≤ 4096 rows × 64 floats ≈ 1 MiB — index metadata, the same
+    * class of driver literal as the incremental-dedup modulus).
+    */
+  private[graft] def frozenCentroids(spark: SparkSession, dir: String): Seq[(Long, Array[Float])] = {
+    ensureEmbeddings(spark, dir)
+    val nl1 = spark.sql(s"SELECT $nl1Sub AS nl1").head().getInt(0)
+    spark.sql(s"SELECT vec_id AS c1, embedding FROM embeddings WHERE vec_id < $nl1")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Streaming ANN index maintenance (r18 VERDICT task 5): new vectors
+    * arrive as a file stream and are assigned to the FROZEN level-1
+    * coarse quantizer — the index-freshness topology every streaming
+    * vector store runs (centroids retrain offline; ingest only routes).
+    * Completes the retrieval family's freshness story next to
+    * q_bm25_index_stream (lexical) and q_dedup_embedding_incr_stream
+    * (dedup verdicts).
+    *
+    * Shape: the assignment is a stateless map-only projection
+    * ([[assignToFrozen]] — the quantizer is broadcast-free plan
+    * metadata); the ONLY stateful operator is the per-list membership
+    * aggregate, whose state is hard-bounded by the key domain — ≤ nl1
+    * rows, one per inverted list, regardless of stream length
+    * (StreamingAnnSpec asserts the bound across micro-batches and
+    * batch-parity of the final table). At 100 TB: same plan, nl1 ≤
+    * 4096 state rows per aggregation, vectors never cross executors
+    * before the tiny keyed shuffle onto ≤ nl1 keys.
+    *
+    * Oracle: the batch asg1 restatement ([[ivfStreamSql]]) — the
+    * streamed complete-mode table must equal the batch assignment
+    * bit-for-bit (cosine parity discipline of the whole ANN family).
+    */
+  val qIvfStream = Q(
+    "q_ann_ivf_stream",
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val cents = frozenCentroids(spark, dir)
+      if (cents.isEmpty) {
+        // empty corpus → no frozen lists, nothing to route; preserve
+        // the output schema (the EmptyCorpusSpec contract)
+        spark.sql(
+          """SELECT CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS n_members,
+                    CAST(0 AS BIGINT) AS min_vec, CAST(0 AS BIGINT) AS max_vec,
+                    CAST(0 AS BIGINT) AS sum_vec""").limit(0)
+      } else {
+        val embSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val stream = graft.Tables.streamTable(spark, dir, "embeddings", embSchema)
+        val sinkName = graft.GraftSession.newSinkName(spark, "ivs")
+        val q = stream
+          .withColumn("c1", assignToFrozen(cents))
+          .groupBy($"c1")
+          .agg(
+            count(lit(1)).as("n_members"),
+            min($"vec_id").as("min_vec"),
+            max($"vec_id").as("max_vec"),
+            sum($"vec_id").as("sum_vec"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(sinkName).orderBy("c1")
+      }
+    },
+    Some(ivfStreamSql(DuckSql)))
 
   // ---- LSH-bucketed ANN (sign-hyperplane tables, hamming-1 multi-probe) ----
 
@@ -947,6 +1084,6 @@ ORDER BY vec_a, vec_b""")
     Some(knnGraphSql(DuckSql)))
 
   val all: Seq[Q] =
-    Seq(qBrute, qIvf, qIvfRecall, qLsh, qLshRecall, qCentroids, qKnn, qMrl,
-      qHofVector, qKnnGraph)
+    Seq(qBrute, qIvf, qIvfRecall, qIvfStream, qLsh, qLshRecall, qCentroids,
+      qKnn, qMrl, qHofVector, qKnnGraph)
 }

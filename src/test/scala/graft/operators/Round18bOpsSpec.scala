@@ -374,8 +374,8 @@ class Round18bOpsSpec extends AnyFunSuite {
     // measures a clean build, not fixture pollution
     StageViews.unpersistAll(spark)
     val dir = "/root/testdata/sf0.001"
-    val staged = Seq("q_bm25_topk", "q_hybrid_retrieval", "q_bm25_prf",
-      "q_phrase_search", "q_hard_negatives", "q_best_snippet",
+    val staged = Seq("q_bm25_topk", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
+      "q_bm25_prf", "q_phrase_search", "q_hard_negatives", "q_best_snippet",
       "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
       "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations")
     for (n <- staged) {

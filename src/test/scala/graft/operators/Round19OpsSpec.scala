@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-19 operator laws: hybrid retrieval over the SERVING dense
+  * ranker (q_hybrid_retrieval_ivf — staged spelling equals the
+  * self-contained one, fused output equals a Scala re-derivation from
+  * the two rankers' own outputs, dominance law at depths (5, 5)) and
+  * the frozen-centroid argmax projection behind q_ann_ivf_stream.
+  */
+class Round19OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val OracleSf = "/root/testdata/sf0.01"
+
+  test("hybrid ivf: catalog query is non-vacuous, totally ordered, law-abiding") {
+    val rows = Retrieval.qHybridIvf.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys == keys.sorted && keys.distinct.length == keys.length,
+      "total ORDER BY (query_id, rank)")
+    assert(rows.groupBy(_._1).values.forall(_.size <= Retrieval.TopK))
+    // dominance at depths (5, 5): worst both-lists 2·(10000 DIV 65) =
+    // 306 bp > best single-list 10000 DIV 61 = 163 bp
+    rows.groupBy(_._1).values.foreach { qs =>
+      val both = qs.filter(_._5 == 2L).map(_._4)
+      val single = qs.filter(_._5 == 1L).map(_._4)
+      if (both.nonEmpty && single.nonEmpty)
+        assert(both.min > single.max, s"dominance law violated: $qs")
+    }
+  }
+
+  test("hybrid ivf: staged spelling equals the self-contained CTE spelling") {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.documents(spark, OracleSf)
+    StageViews.embeddings(spark, OracleSf)
+    val selfContained = spark.sql(Retrieval.hybridIvfSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val staged = Retrieval.qHybridIvf.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(staged == selfContained,
+      "cached-stage fusion must equal the self-contained chain")
+    StageViews.unpersistAll(spark)
+  }
+
+  test("hybrid ivf: fused query equals the Scala re-derivation from both rankers") {
+    // the two ranked lists as the CATALOG rankers themselves emit them
+    val bm = Retrieval.qBm25.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq // (q, doc, rank)
+    val an = Similarity.qIvf.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq
+    assert(bm.nonEmpty && an.nonEmpty)
+    val expected = (bm.filter(_._3 <= Retrieval.TopK) ++
+        an.filter(_._3 <= Retrieval.IvfAnnTopK))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((q, d), ts) =>
+        (q, d, ts.map(t => 10000L / (60L + t._3)).sum, ts.size.toLong)
+      }.toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(Retrieval.TopK).zipWithIndex
+          .map { case ((q, d, s, n), i) => (q, (i + 1).toLong, d, s, n) }
+      }.sortBy(r => (r._1, r._2))
+    val got = Retrieval.qHybridIvf.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, "fused SQL must equal the independent re-derivation")
+    assert(got.exists(_._5 == 2L),
+      "corpus must exercise the both-lists path")
+    StageViews.unpersistAll(spark)
+  }
+
+  // ---- frozen-centroid argmax projection (q_ann_ivf_stream) ----
+
+  test("assignToFrozen: argmax by cosine with lowest-c1 tie-break") {
+    import spark.implicits._
+    // axis-aligned centroids: c0 along dim0, c5 along dim1, c9 = c0's
+    // direction again (duplicate centroid → exact cosine tie with c0)
+    val cents = Seq(
+      0L -> Array(1.0f, 0.0f),
+      5L -> Array(0.0f, 1.0f),
+      9L -> Array(2.0f, 0.0f))
+    val vecs = Seq(
+      (100L, Seq(3.0f, 0.1f)), // nearest c0/c9 (tie on cosine? no: 3,0.1 not collinear — but c0 and c9 ARE collinear, exact tie → pick c0)
+      (101L, Seq(0.1f, 3.0f))) // nearest c5
+    val df = vecs.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val got = df.withColumn("c1", Similarity.assignToFrozen(cents))
+      .select("vec_id", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((100L, 0L), (101L, 5L)),
+      s"argmax must pick max cosine, lowest c1 on exact ties: $got")
+  }
+
+  test("q_ann_ivf_stream: streamed per-list table equals the batch restatement") {
+    graft.functions.CosineSimilarity.register(spark)
+    val streamed = Similarity.qIvfStream.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    StageViews.embeddings(spark, OracleSf)
+    val batch = spark.sql(Similarity.ivfStreamSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-assigned membership stats must equal the batch asg1 chain")
+    StageViews.unpersistAll(spark)
+  }
+}
