@@ -267,15 +267,28 @@ object StreamFloorProbe {
       trig
     }
 
+    // Each variant runs TWICE and the lower-trigger run is reported
+    // (r19: single-shot per-stage deltas were noise-dominated — one
+    // probe run priced the trivial `_TIMEOUT` filter at +4.4 s and the
+    // RF projection at −2.3 s, both physically impossible; the second
+    // attempt collapses one-off state-store/GC stalls exactly like the
+    // bench's min-of-two).
+    def runBest(label: String, mode: String): (Double, Vector[Batch], Option[String]) = {
+      val a = runOnce(s"${label}_a", mode)
+      val b = runOnce(s"${label}_b", mode)
+      def trig(r: (Double, Vector[Batch], Option[String])) =
+        r._2.map(_.dur.getOrElse("triggerExecution", 0L)).sum
+      if (trig(a) <= trig(b)) a else b
+    }
     runOnce("bare_warmup", "bare") // absorb one-time streaming costs
-    val (bw, bb, _) = runOnce("bare", "bare")
+    val (bw, bb, _) = runBest("bare", "bare")
     val bare = report("bare", bw, bb)
-    val (fw, fb, _) = runOnce("filter", "filter")
+    val (fw, fb, _) = runBest("filter", "filter")
     val filterSec = report("filter", fw, fb)
-    val (vw, vb, _) = runOnce("score", "score")
+    val (vw, vb, _) = runBest("score", "score")
     val voteSec = report("score", vw, vb)
     runOnce("scored_warmup", "scored")
-    val (sw, sb, sOut) = runOnce("scored", "scored")
+    val (sw, sb, sOut) = runBest("scored", "scored")
     val scoredSec = report("scored", sw, sb)
     // per-stage attribution of the scored path's extra trigger time
     println(f"[floor] detection stages: featurize=$bare%.2f s " +

@@ -91,5 +91,59 @@ ORDER BY nationkey, mktsegment"""
     run(lDiversitySql(SparkSql, "customer_priv")) _,
     Some(lDiversitySql(DuckSql)))
 
-  val all: Seq[Q] = Seq(qKAnonymity, qLDiversity)
+  /** t-closeness threshold in basis points (t = 0.20). */
+  val TBp = 2000L
+
+  /** `q_t_closeness` completes the release-gate triad (Li, Li,
+    * Venkatasubramanian 2007): a group can be k-anonymous AND
+    * l-diverse yet still leak — if its balance-band DISTRIBUTION skews
+    * far from the corpus-wide one, membership alone shifts an
+    * attacker's posterior. For an ORDERED sensitive attribute the
+    * distance is the Earth Mover's Distance, which over m ordered
+    * bands reduces to Σ|running cumulative difference| / (m−1).
+    *
+    * Integer-exact EMD: with group counts c_i (total n) and global
+    * counts g_i (total N), the per-band probability difference
+    * c_i/n − g_i/N clears denominators as c_i·N − g_i·n — BIGINT.
+    * emd_bp = 10000·Σ|cum_i| DIV ((m−1)·n·N). Headroom: Σ|cum| ≤
+    * (m−1)·n·N, so the dividend needs 10⁴·(m−1)·n·N < 2⁶³ — holds to
+    * n·N ≈ 3×10¹⁴ per group at m ≈ 30; past that, pre-divide N out of
+    * the cumulative sum.
+    *
+    * Scale shape: ONE corpus-sized groupBy builds the (group, band)
+    * counts; everything after — the band domain, the zero-filled
+    * grid (groups × bands), the per-group cumulative window — is
+    * group-sized (broadcastable at any corpus size), and the window
+    * partitions by group, never unbounded.
+    */
+  private[graft] def tClosenessSql(d: SqlDialect, rel: String = "customer"): String = s"""
+WITH ${qidCte(rel)},
+gb AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) AS c
+       FROM q GROUP BY nat, seg, band),
+gn AS (SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n FROM gb GROUP BY nat, seg),
+bd AS (SELECT band, CAST(sum(c) AS BIGINT) AS g FROM gb GROUP BY band),
+nn AS (SELECT CAST(sum(g) AS BIGINT) AS nt,
+              GREATEST(CAST(count(*) AS BIGINT) - 1, 1) AS m1 FROM bd),
+grid AS (SELECT gn.nat, gn.seg, gn.n, bd.band, bd.g,
+                coalesce(gb.c, CAST(0 AS BIGINT)) AS c
+         FROM gn CROSS JOIN bd
+         LEFT JOIN gb ON gn.nat = gb.nat AND gn.seg = gb.seg AND bd.band = gb.band),
+cum AS (SELECT nat, seg, n,
+               SUM(c * nn.nt - g * n) OVER (PARTITION BY nat, seg ORDER BY band
+                                            ROWS UNBOUNDED PRECEDING) AS cd,
+               nn.nt, nn.m1
+        FROM grid CROSS JOIN nn)
+SELECT nat AS nationkey, seg AS mktsegment,
+       CAST(n AS BIGINT) AS n_records,
+       ${d.idiv("10000 * CAST(sum(abs(cd)) AS BIGINT)", "m1 * n * nt")} AS emd_bp,
+       ${d.idiv("10000 * CAST(sum(abs(cd)) AS BIGINT)", "m1 * n * nt")} <= $TBp AS close
+FROM cum
+GROUP BY nat, seg, n, nt, m1
+ORDER BY nationkey, mktsegment"""
+
+  val qTCloseness = Q("q_t_closeness",
+    run(tClosenessSql(SparkSql, "customer_priv")) _,
+    Some(tClosenessSql(DuckSql)))
+
+  val all: Seq[Q] = Seq(qKAnonymity, qLDiversity, qTCloseness)
 }

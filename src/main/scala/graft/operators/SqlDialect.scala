@@ -35,6 +35,11 @@ sealed trait SqlDialect {
     * ulp is libm-implementation-specific across engines
     */
   def floorLog2(x: String): String
+  /** aggregate: string values joined by single spaces in ascending
+    * `orderCol` order — deterministic regardless of input row order
+    * (Spark's collect_list is order-free; the sort pins it)
+    */
+  def orderedConcat(term: String, orderCol: String): String
 }
 
 case object SparkSql extends SqlDialect {
@@ -55,6 +60,8 @@ case object SparkSql extends SqlDialect {
   def joinArr(arr: String) = s"array_join($arr, ' ')"
   def negArr(arr: String) = s"transform($arr, x -> -x)"
   def floorLog2(x: String) = s"(length(bin($x)) - 1)"
+  def orderedConcat(term: String, orderCol: String) =
+    s"array_join(transform(array_sort(collect_list(struct($orderCol AS o, $term AS t))), x -> x.t), ' ')"
 }
 
 /** Cross-engine hashing building block: md5() is the one hash function
@@ -121,4 +128,6 @@ case object DuckSql extends SqlDialect {
   def joinArr(arr: String) = s"array_to_string($arr, ' ')"
   def negArr(arr: String) = s"list_transform($arr, x -> -x)"
   def floorLog2(x: String) = s"(length(format('{:b}', $x)) - 1)"
+  def orderedConcat(term: String, orderCol: String) =
+    s"string_agg($term, ' ' ORDER BY $orderCol)"
 }

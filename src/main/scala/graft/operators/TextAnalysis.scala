@@ -868,8 +868,126 @@ ORDER BY rank""")
     runCollocations _,
     Some(collocationsSql(DuckSql, None)))
 
+  // ---- RAKE keyphrase extraction ----
+
+  /** Keyphrase extraction via RAKE (Rose et al. 2010) — the corpus
+    * statistic a dataset auditor reads for WHAT documents are about
+    * (collocations rank associated PAIRS; RAKE ranks contiguous
+    * multi-word candidate phrases). Candidates are maximal stopword-free
+    * token runs: a per-document running count of stopwords segments the
+    * position series into phrases with no joins (the window partitions
+    * by doc — bounded). Word scores are the classic degree/frequency
+    * ratio in basis points — deg(w) = Σ over w's occurrences of the
+    * containing phrase's length, freq(w) = occurrence count, both
+    * BIGINT, score = 10⁴·deg DIV freq (the float division is the only
+    * non-integer in Rose's formulation and the ratio's ORDER is all
+    * RAKE uses). A phrase scores the sum of its members' word scores;
+    * identical phrase texts collapse with an occurrence count (their
+    * scores are identical by construction — word scores are global).
+    *
+    * Determinism: phrase text is the order-pinned concat
+    * ([[SqlDialect.orderedConcat]]); ties rank by occurrences DESC then
+    * phrase ascending — a total order.
+    *
+    * Scale shape: one explode builds the positional tokens (the only
+    * corpus-sized relation; cached once as `rake_cand_v` on the Spark
+    * side — the WITH spelling would recompute it 3×), word scores are
+    * vocabulary-sized, the distinct-phrase relation is phrase-type-
+    * sized, and the final top-20 window runs over that, never the
+    * corpus.
+    */
+  private def rakeSql(d: SqlDialect, candRel: Option[String]): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val candDef = s"""
+SELECT doc_id, i, term, pid FROM (
+  SELECT doc_id, i, term, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS pid
+  FROM (SELECT doc_id, i, ${d.el("w", "i")} AS term,
+               CASE WHEN ${d.el("w", "i")} IN $stop THEN 1 ELSE 0 END AS is_stop
+        FROM (${d.series("doc_id, w", d.len("w"), "i",
+          s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 1) dw")}) ts) tok) seg
+WHERE is_stop = 0"""
+    val cand = candRel.getOrElse(s"($candDef)")
+    s"""
+WITH plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len
+              FROM $cand c0 GROUP BY doc_id, pid),
+wsc AS (SELECT c.term,
+               CAST(${d.idiv("10000 * sum(p.len)", "count(*)")} AS BIGINT) AS wscore_bp
+        FROM $cand c JOIN plen p ON c.doc_id = p.doc_id AND c.pid = p.pid
+        GROUP BY c.term),
+ph AS (SELECT c.doc_id, c.pid,
+              ${d.orderedConcat("c.term", "c.i")} AS phrase,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(w.wscore_bp) AS BIGINT) AS score_bp
+       FROM $cand c JOIN wsc w ON c.term = w.term
+       GROUP BY c.doc_id, c.pid),
+pg AS (SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_occurrences,
+              CAST(min(score_bp) AS BIGINT) AS score_bp
+       FROM ph GROUP BY phrase)
+SELECT rank, phrase, n_words, n_occurrences, score_bp FROM (
+  SELECT phrase, n_words, n_occurrences, score_bp,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_bp DESC, n_occurrences DESC, phrase) AS BIGINT) AS rank
+  FROM pg) r
+WHERE rank <= 20
+ORDER BY rank"""
+  }
+
+  private[graft] def rakeSparkSqlForTest: String = rakeSql(SparkSql, None)
+  private[graft] def rakeDuckSqlForTest: String = rakeSql(DuckSql, None)
+
+  private def runRake(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    // the positional candidate tokens — the one corpus-sized relation,
+    // read 3× downstream (phrase lengths, word scores, phrase build);
+    // nested definition, no WITH (cache-substitution discipline)
+    val d = SparkSql
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    StageViews.ensureCached(spark, "rake_cand_v", dir)(spark.sql(s"""
+SELECT doc_id, i, term, pid FROM (
+  SELECT doc_id, i, term, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS pid
+  FROM (SELECT doc_id, i, ${d.el("w", "i")} AS term,
+               CASE WHEN ${d.el("w", "i")} IN $stop THEN 1 ELSE 0 END AS is_stop
+        FROM (${d.series("doc_id, w", d.len("w"), "i",
+          s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 1) dw")}) ts) tok) seg
+WHERE is_stop = 0"""))
+    // fully nested staged final — a WITH body would re-plan the cached
+    // view as a fresh FileScan chain (Round18bOpsSpec gates this)
+    spark.sql(s"""
+SELECT rank, phrase, n_words, n_occurrences, score_bp FROM (
+  SELECT phrase, n_words, n_occurrences, score_bp,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_bp DESC, n_occurrences DESC, phrase) AS BIGINT) AS rank
+  FROM (SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(score_bp) AS BIGINT) AS score_bp
+        FROM (SELECT c.doc_id, c.pid,
+                     ${d.orderedConcat("c.term", "c.i")} AS phrase,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(w.wscore_bp) AS BIGINT) AS score_bp
+              FROM rake_cand_v c
+              JOIN (SELECT c2.term,
+                           CAST(${d.idiv("10000 * sum(p.len)", "count(*)")} AS BIGINT) AS wscore_bp
+                    FROM rake_cand_v c2
+                    JOIN (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len
+                          FROM rake_cand_v GROUP BY doc_id, pid) p
+                      ON c2.doc_id = p.doc_id AND c2.pid = p.pid
+                    GROUP BY c2.term) w ON c.term = w.term
+              GROUP BY c.doc_id, c.pid) ph
+        GROUP BY phrase) pg) r
+WHERE rank <= 20
+ORDER BY rank""")
+  }
+
+  val qRake = Q(
+    "q_rake_keyphrases",
+    runRake _,
+    Some(rakeSql(DuckSql, None)))
+
   val all: Seq[Q] =
     Seq(qLangId, qQuality, qTokens, qTokensBpe, qWinnow, qFingerprint,
       qRepetition, qTopTerms, qTfIdf, qSurprisal, qChunks, qNormalize,
-      qBoilerplate, qVocab, qNovelty, qCollocations)
+      qBoilerplate, qVocab, qNovelty, qCollocations, qRake)
 }

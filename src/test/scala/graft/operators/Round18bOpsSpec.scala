@@ -377,7 +377,8 @@ class Round18bOpsSpec extends AnyFunSuite {
     val staged = Seq("q_bm25_topk", "q_hybrid_retrieval", "q_hybrid_retrieval_ivf",
       "q_bm25_prf", "q_phrase_search", "q_hard_negatives", "q_best_snippet",
       "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
-      "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations")
+      "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations",
+      "q_rake_keyphrases")
     for (n <- staged) {
       val q = graft.SparkEntry.queries(n)
       q(spark, dir).count() // first run builds + materializes stages

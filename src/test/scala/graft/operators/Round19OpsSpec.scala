@@ -102,6 +102,86 @@ class Round19OpsSpec extends AnyFunSuite {
       s"argmax must pick max cosine, lowest c1 on exact ties: $got")
   }
 
+  // ---- t-closeness (privacy triad completion) ----
+
+  test("t-closeness: hand-derived integer EMD over ordered bands") {
+    import spark.implicits._
+    // global bands: band0 ×9, band1 ×9 (N = 18, m = 2 → m−1 = 1)
+    // group (1,'A'): 3+3 → matches global → cum = 3·18 − 9·6 = 0 →
+    //                emd 0, close
+    // group (2,'B'): 6 band0 → |cum| = 6·18 − 9·6 = 54 →
+    //                emd_bp = 10000·54 / (1·6·18) = 5000, not close
+    // group (3,'C'): 6 band1 → cum = 0·18 − 9·6 = −54 → 5000, not close
+    val rows =
+      (1 to 3).map(i => (i.toLong, "c", 1, 100.0, "A")) ++
+      (4 to 6).map(i => (i.toLong, "c", 1, 1100.0, "A")) ++
+      (7 to 12).map(i => (i.toLong, "c", 2, 200.0, "B")) ++
+      (13 to 18).map(i => (i.toLong, "c", 3, 1200.0, "C"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("customer_tc")
+    try {
+      val got = spark.sql(Privacy.tClosenessSql(SparkSql, "customer_tc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(got == Seq(
+        (1L, "A", 6L, 0L, true),
+        (2L, "B", 6L, 5000L, false),
+        (3L, "C", 6L, 5000L, false)), s"hand EMD mismatch: $got")
+    } finally spark.catalog.dropTempView("customer_tc")
+  }
+
+  test("t-closeness: catalog query is non-vacuous and totally ordered at the oracle SF") {
+    val rows = Privacy.qTCloseness.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys == keys.sorted && keys.distinct.size == keys.size)
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 10000L),
+      "EMD in basis points must live in [0, 10000]")
+  }
+
+  // ---- RAKE keyphrases ----
+
+  test("rake: hand-derived degree/frequency scores, phrase collapse, tie-breaks") {
+    import spark.implicits._
+    // 'of' is a stopword; phrases are maximal stopword-free runs.
+    // freq: red 2, apple 4, green 1, blue 1, sky 1
+    // deg:  red 2+2=4, apple 2+2+2+1=7, green 2, blue 2, sky 2
+    // wscore_bp: red 20000, apple 17500, green 20000, blue 20000, sky 20000
+    // phrases: "blue sky" 40000×1, "red apple" 37500×2,
+    //          "green apple" 37500×1, "apple" 17500×1
+    val docs = Seq(
+      (0L, "red apple of red apple", "en"),
+      (1L, "green apple", "en"),
+      (2L, "blue sky", "en"),
+      (3L, "apple", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    try {
+      val got = spark.sql(TextAnalysis.rakeSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == Seq(
+        (1L, "blue sky", 2L, 1L, 40000L),
+        (2L, "red apple", 2L, 2L, 37500L),
+        (3L, "green apple", 2L, 1L, 37500L),
+        (4L, "apple", 1L, 1L, 17500L)), s"hand RAKE mismatch: $got")
+    } finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  test("rake: staged catalog query equals the self-contained spelling") {
+    StageViews.documents(spark, OracleSf)
+    val selfContained = spark.sql(TextAnalysis.rakeSparkSqlForTest).collect()
+      .map(_.toSeq).toSeq
+    val staged = TextAnalysis.qRake.run(spark, OracleSf).collect()
+      .map(_.toSeq).toSeq
+    assert(staged.nonEmpty && staged == selfContained)
+    StageViews.unpersistAll(spark)
+  }
+
   test("q_ann_ivf_stream: streamed per-list table equals the batch restatement") {
     graft.functions.CosineSimilarity.register(spark)
     val streamed = Similarity.qIvfStream.run(spark, OracleSf).collect()
