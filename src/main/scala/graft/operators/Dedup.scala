@@ -1771,10 +1771,83 @@ FROM documents GROUP BY source ORDER BY source"""))
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ============ cross-document duplicated-span coverage ============
+
+  /** Span-level dedup audit (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the ExactSubstr notion at
+    * word-5-gram granularity): for each document, how many token
+    * POSITIONS sit inside some 5-gram whose text occurs ≥ 2 times
+    * corpus-wide (intra-doc repeats included, as in the paper). Doc-
+    * and corpus-level dedup keep or drop WHOLE documents; training
+    * pipelines additionally excise repeated SPANS (boilerplate,
+    * licenses, quoted chunks) — this emits the per-doc removable mass
+    * the excision pass would act on, as exact token counts and basis
+    * points.
+    *
+    * Determinism: grams are md5'd joined word windows (the engine-wide
+    * cross-engine hash); coverage is a distinct-position count —
+    * integers end to end.
+    *
+    * Scale shape: one positional explode builds (doc, pos, gram-hash)
+    * — linear, cached as `span_pg_v`, read twice (occurrence counts;
+    * the dup-position join) — the duplicated-gram relation is
+    * gram-TYPE-sized, the coverage explode is ≤ 5× the duplicated
+    * positions, and the distinct + count ride the doc_id partitioning.
+    * No quadratic term at any corpus size.
+    */
+  private def spanSql(d: SqlDialect): String = s"""
+WITH spg AS (SELECT doc_id, i, md5(${d.joinArr(d.slice("w", "i", "5"))}) AS gh
+             FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
+               s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x),
+gc AS (SELECT gh FROM spg GROUP BY gh HAVING count(*) >= 2),
+dup AS (SELECT spg.doc_id, spg.i FROM spg JOIN gc ON spg.gh = gc.gh),
+cov AS (SELECT DISTINCT doc_id, i + j - 1 AS pos
+        FROM (${d.series("doc_id, i", "5", "j", "dup")}) y),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(${d.len(d.split("text"))} AS BIGINT) AS len FROM documents)
+SELECT dl.doc_id, dl.len AS n_tokens,
+       CAST(coalesce(cnt.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       ${d.idiv("10000 * coalesce(cnt.n_dup, 0)", "dl.len")} AS dup_span_bp,
+       coalesce(cnt.n_dup, 0) = 0 AS clean
+FROM dl LEFT JOIN cnt ON dl.doc_id = cnt.doc_id
+ORDER BY dl.doc_id"""
+
+  private[graft] def spanSparkSqlForTest: String = spanSql(SparkSql)
+
+  val qSpans = Q(
+    "q_dedup_spans",
+    (spark, dir) => {
+      val d = SparkSql
+      StageViews.documents(spark, dir)
+      Retrieval.ensureDlStage(spark, dir)
+      // the positional gram hashes — the one corpus-sized relation,
+      // read twice downstream; nested definition, no WITH
+      StageViews.ensureCached(spark, "span_pg_v", dir)(spark.sql(s"""
+SELECT doc_id, i, md5(${d.joinArr(d.slice("w", "i", "5"))}) AS gh
+FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
+        s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x"""))
+      // fully nested staged final (cache-substitution discipline)
+      spark.sql(s"""
+SELECT dl.doc_id, dl.len AS n_tokens,
+       CAST(coalesce(cnt.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       ${d.idiv("10000 * coalesce(cnt.n_dup, 0)", "dl.len")} AS dup_span_bp,
+       coalesce(cnt.n_dup, 0) = 0 AS clean
+FROM bm25_dl_v dl LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
+    SELECT DISTINCT doc_id, i + j - 1 AS pos
+    FROM (${d.series("doc_id, i", "5", "j", s"""(
+      SELECT p.doc_id, p.i FROM span_pg_v p
+      JOIN (SELECT gh FROM span_pg_v GROUP BY gh HAVING count(*) >= 2) g
+        ON p.gh = g.gh) dup""")}) y) cov
+  GROUP BY doc_id) cnt ON dl.doc_id = cnt.doc_id
+ORDER BY dl.doc_id""")
+    },
+    Some(spanSql(DuckSql)))
+
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
       qClusters, qClusterSizes, qDupTransitivity, qHopDistance,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
-      qDedupStreamWindowed, qPageRank)
+      qDedupStreamWindowed, qPageRank, qSpans)
 }

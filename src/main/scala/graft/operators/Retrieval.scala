@@ -168,10 +168,19 @@ ORDER BY r2.query_id, r2.rank"""
     two.replace(s"PARTITION BY query_id, doc_id % $Salts", "PARTITION BY query_id")
   }
 
-  private def ensureStages(spark: SparkSession, key: String): Unit = {
-    StageViews.ensureCached(spark, "bm25_tf_v", key)(spark.sql(tfSql(SparkSql)))
+  /** The cached doc-length relation alone — shared with operators that
+    * need per-doc token counts without the rest of the BM25 stages
+    * (Dedup's span coverage).
+    */
+  private[operators] def ensureDlStage(spark: SparkSession, key: String): Unit = {
     StageViews.ensureCached(spark, "bm25_dl_v", key)(spark.sql(
       s"SELECT doc_id, CAST(${dlen(SparkSql)} AS BIGINT) AS len FROM documents"))
+    ()
+  }
+
+  private def ensureStages(spark: SparkSession, key: String): Unit = {
+    StageViews.ensureCached(spark, "bm25_tf_v", key)(spark.sql(tfSql(SparkSql)))
+    ensureDlStage(spark, key)
     // the 20-query workload (40 rows) — built once from the postings df
     StageViews.ensureCached(spark, "bm25_qt_v", key)(spark.sql(s"""
 SELECT ${SparkSql.idiv("qrank - 1", "2")} AS query_id, term, df FROM (

@@ -80,6 +80,48 @@ class Round19OpsSpec extends AnyFunSuite {
     StageViews.unpersistAll(spark)
   }
 
+  // ---- cross-document duplicated-span coverage ----
+
+  test("dedup spans: hand-derived coverage incl. intra-doc repeats and short docs") {
+    import spark.implicits._
+    // doc0/doc1 share the 5-gram "a b c d e" → positions 1..5 covered
+    // in both (5 of 6 tokens → 8333 bp); doc2 is "z"×7 → its three
+    // 5-gram occurrences share one text (intra-doc repeats count, as
+    // in Lee et al.) → all 7 positions covered (10000 bp); doc3 is
+    // shorter than a gram → clean.
+    val docs = Seq(
+      (0L, "a b c d e f", "en"),
+      (1L, "a b c d e x", "en"),
+      (2L, "z z z z z z z", "en"),
+      (3L, "p q r", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    try {
+      val got = spark.sql(Dedup.spanSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(got == Seq(
+        (0L, 6L, 5L, 8333L, false),
+        (1L, 6L, 5L, 8333L, false),
+        (2L, 7L, 7L, 10000L, false),
+        (3L, 3L, 0L, 0L, true)), s"hand span coverage mismatch: $got")
+    } finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  test("dedup spans: staged catalog query equals the self-contained spelling") {
+    StageViews.documents(spark, OracleSf)
+    val selfContained = spark.sql(Dedup.spanSparkSqlForTest).collect().map(_.toSeq).toSeq
+    val staged = Dedup.qSpans.run(spark, OracleSf).collect().map(_.toSeq).toSeq
+    assert(staged.nonEmpty && staged == selfContained)
+    // non-vacuity: the synthetic corpus contains near-dup documents by
+    // construction, so SOME span coverage must exist at the oracle SF
+    assert(staged.exists(r => r(2).asInstanceOf[Long] > 0L),
+      "corpus has near-dups; span coverage must be non-vacuous")
+    StageViews.unpersistAll(spark)
+  }
+
   // ---- frozen-centroid argmax projection (q_ann_ivf_stream) ----
 
   test("assignToFrozen: argmax by cosine with lowest-c1 tie-break") {
