@@ -1110,6 +1110,59 @@ ORDER BY query_id""")
 
   val qMrr = Q("q_retrieval_mrr", runMrr _, Some(mrrSql(DuckSql)))
 
+  // ---- retrieval evaluation: recall@k against the dense top-k labels ----
+
+  /** Recall@[[TopK]] — the third leg of the evaluation triad
+    * (MRR grades the first hit's position, nDCG the graded ordering,
+    * recall the raw coverage): treating each query's dense cosine
+    * top-[[TopK]] as the relevant set, count how many the BM25
+    * top-[[TopK]] recovers. Every probe query stays a row (zero-recall
+    * included — the q_ann_ivf_recall discipline); recall_bp is the
+    * exact integer ratio. Workload-sized: joins two ≤ |queries|·k
+    * staged lists.
+    */
+  private def recallSql(d: SqlDialect): String = s"""
+WITH tf AS (${tfSql(d)}),
+dl AS (SELECT doc_id, CAST(${dlen(d)} AS BIGINT) AS len FROM documents),
+${bm25Ctes(d, "tf", "dl")},
+${Similarity.bruteCtes(d)},
+$bmTopCte,
+${anTopCte("ranked", TopK)},
+rq AS (SELECT DISTINCT query_id FROM antop),
+ov AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+       FROM antop a JOIN bmtop b
+         ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       GROUP BY a.query_id)
+SELECT rq.query_id,
+       CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common,
+       ${d.idiv("10000 * coalesce(ov.n_common, 0)", TopK.toString)} AS recall_bp
+FROM rq LEFT JOIN ov ON rq.query_id = ov.query_id
+ORDER BY rq.query_id"""
+
+  private[graft] def recallSparkSqlForTest: String = recallSql(SparkSql)
+
+  private def runRecall(spark: SparkSession, dir: String): DataFrame = {
+    StageViews.documents(spark, dir)
+    ensureStages(spark, dir)
+    Similarity.ensureBruteStage(spark, dir)
+    val anSub = s"""(SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(neighbor_id AS BIGINT) AS doc_id
+ FROM ann_brute_v WHERE rank <= $TopK)"""
+    spark.sql(s"""
+SELECT rq.query_id,
+       CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common,
+       ${SparkSql.idiv("10000 * coalesce(ov.n_common, 0)", TopK.toString)} AS recall_bp
+FROM (SELECT DISTINCT query_id FROM $anSub rq0) rq
+LEFT JOIN (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common
+           FROM $anSub a JOIN $bmTopSub b
+             ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           GROUP BY a.query_id) ov
+  ON rq.query_id = ov.query_id
+ORDER BY rq.query_id""")
+  }
+
+  val qRecall = Q("q_retrieval_recall", runRecall _, Some(recallSql(DuckSql)))
+
   // ---- retrieval evaluation: nDCG@k with graded dense labels ----
 
   /** Graded-relevance depth: dense ranks 1..3 carry gains 7/3/1
@@ -1303,5 +1356,5 @@ ${fusionSql(d, "bmtop", "antop")}"""
   }
 
   val all: Seq[Q] = Seq(qBm25, qHybrid, qHybridIvf, qPrf, qPhrase, qIndexStream,
-    qHardNegatives, qBestSnippet, qFacetCounts, qMrr, qNdcg)
+    qHardNegatives, qBestSnippet, qFacetCounts, qMrr, qNdcg, qRecall)
 }

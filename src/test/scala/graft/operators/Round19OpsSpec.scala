@@ -80,6 +80,26 @@ class Round19OpsSpec extends AnyFunSuite {
     StageViews.unpersistAll(spark)
   }
 
+  // ---- retrieval recall@k ----
+
+  test("retrieval recall: staged equals self-contained; spine complete; range law") {
+    graft.functions.CosineSimilarity.register(spark)
+    StageViews.documents(spark, OracleSf)
+    StageViews.embeddings(spark, OracleSf)
+    val selfContained = spark.sql(Retrieval.recallSparkSqlForTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val staged = Retrieval.qRecall.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(staged.nonEmpty && staged == selfContained)
+    // spine: every dense probe query appears exactly once, recall in range
+    assert(staged.map(_._1) == staged.map(_._1).sorted)
+    assert(staged.map(_._1).distinct.size == staged.size)
+    staged.foreach { case (_, n, bp) =>
+      assert(n >= 0 && n <= Retrieval.TopK && bp == 10000 * n / Retrieval.TopK)
+    }
+    StageViews.unpersistAll(spark)
+  }
+
   // ---- cross-document duplicated-span coverage ----
 
   test("dedup spans: hand-derived coverage incl. intra-doc repeats and short docs") {
