@@ -64,13 +64,18 @@ object DetectionPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // persist before the emptiness probe: foreachBatch hands a
-        // LOGICAL batch, so `isEmpty` + the write would otherwise run
-        // the whole RF-vote projection TWICE per micro-batch
-        // (per-stage attribution: FLOOR_r19_detection.txt)
-        val out = scored(batch, model).persist()
-        try { if (!out.isEmpty) Sinks.writeNdjson(out, s"$outDir/batch=$batchId") }
-        finally { out.unpersist(); () }
+        // write UNCONDITIONALLY — exactly one pass per micro-batch.
+        // foreachBatch hands a LOGICAL batch, so any pre-write
+        // emptiness probe is a second evaluation of the whole
+        // decode→score plan: the original `isEmpty`-then-write ran it
+        // twice (r18 floor ratio 1.37), and a persist()+isEmpty still
+        // paid a partial extra pass plus cache churn on every batch
+        // (measured at the 16-file trigger: +11 s over the count-only
+        // variant). Emptiness is decided AFTER the write from the
+        // committed part-file lengths — metadata only — and empty
+        // trigger dirs are removed (FLOOR_r19_detection.txt).
+        Sinks.writeNdjsonNonEmpty(scored(batch, model), s"$outDir/batch=$batchId")
+        ()
       }
       .start()
   }

@@ -174,8 +174,14 @@ object StreamFloorProbe {
     // projection, (scored − score) the sink IO + per-batch overheads.
     def runOnce(label: String, mode: String): (Double, Vector[Batch], Option[String]) = {
       val ckpt = java.nio.file.Files.createTempDirectory(s"floor_ckpt_$label").toString
+      // batch-size lever (SPARK_GRAFT_FLOOR_FILES, default 4 of 32
+      // files): 4 spans ~9 real micro-batches (the sustained multi-batch
+      // floor); larger values amortize the per-batch fixed costs toward
+      // the batch featurizer's rate — the provisioning curve a
+      // deployment tunes with trigger sizing
+      val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILES", "4")
       val raw = spark.readStream.schema("value STRING")
-        .option("maxFilesPerTrigger", "4").parquet(frameDir)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(frameDir)
       // 500 ms session timeout so every flow FINALIZES (timeoutMs = 0
       // maps to NoTimeout — no _TIMEOUT row would ever reach the scored
       // sink and the gate would be vacuous). Trigger is ProcessingTime,
@@ -214,9 +220,11 @@ object StreamFloorProbe {
             .option("checkpointLocation", ckpt)
             .trigger(trig)
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-              val out = DetectionPipeline.scored(batch, model).persist()
-              try { if (!out.isEmpty) sink.Sinks.writeNdjson(out, s"$od/batch=$id") }
-              finally { out.unpersist(); () }
+              // one unconditional pass per batch, metadata-only
+              // emptiness after the write (DetectionPipeline's shape)
+              sink.Sinks.writeNdjsonNonEmpty(
+                DetectionPipeline.scored(batch, model), s"$od/batch=$id")
+              ()
             }.start(), Some(od))
       }
       // stop once the state store drains to 0 live flows AFTER at least

@@ -68,4 +68,21 @@ object Sinks {
     */
   def writeNdjson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** NDJSON writer for per-micro-batch sinks: writes unconditionally
+    * (exactly ONE evaluation of the batch plan — any pre-write
+    * emptiness probe re-runs the whole plan, the r19 floor-probe
+    * lesson), then decides emptiness from the COMMITTED FILES
+    * (metadata-only: sum of part-file lengths) and removes the
+    * directory when the trigger emitted nothing. Returns whether the
+    * directory was kept.
+    */
+  def writeNdjsonNonEmpty(df: DataFrame, path: String): Boolean = {
+    df.write.mode("overwrite").json(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    if (bytes == 0L) { fs.delete(p, true); false } else true
+  }
 }
