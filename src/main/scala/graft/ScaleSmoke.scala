@@ -263,6 +263,61 @@ object ScaleSmoke {
       println(s"[scale] bm25 candidates exactly linear, result rows invariant across x${multiples.mkString("/x")}")
     }
 
+    // ---- span-level dedup (r19): positional-gram rows must grow
+    // EXACTLY linearly, and at any m ≥ 2 every ≥5-token document is
+    // FULLY covered (each of its grams recurs in the replicas) — the
+    // sharpest coverage invariant replication admits.
+    locally {
+      val spanMultiples = Seq(1, multiples.last)
+      val stats = spanMultiples.map { m =>
+        val corpus = docs.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
+        val t0s = System.nanoTime()
+        val (pg, d5, full) = operators.Dedup.spanStatsOn(spark, s"scale-span-$m", corpus)
+        val sec = (System.nanoTime() - t0s) / 1e9
+        println(f"[scale] span    x$m%-3d docs=${nDocs * m}%8d grams=$pg%9d docs5=$d5%7d fullcov=$full%7d  $sec%7.2f s")
+        (m, pg, d5, full)
+      }
+      val (m0s, pg0, _, _) = stats.head
+      for ((m, pg, d5, full) <- stats.tail) {
+        require(pg == pg0 * m / m0s,
+          s"span positional grams not exactly linear: $pg vs ${pg0 * m / m0s} at x$m")
+        require(d5 == full,
+          s"x$m replication must fully cover every >=5-token doc: $full of $d5 covered")
+      }
+      println(s"[scale] span grams exactly linear; full coverage law holds at x${spanMultiples.last}")
+    }
+
+    // ---- RAKE keyphrases (r19): word scores are ratios of two ×m
+    // quantities, so the top-20 phrases, word counts, and scores must
+    // be replication-INVARIANT while occurrence counts are exactly ×m
+    // — corpus-sized state leaking into the vocabulary-sized scorer
+    // would break one of the three.
+    locally {
+      val rakeMultiples = Seq(1, multiples.last)
+      val tops = rakeMultiples.map { m =>
+        val corpus = docs.crossJoin(spark.range(m).toDF("rep"))
+          .selectExpr("doc_id + rep * 100000000 AS doc_id", "text", "lang")
+        val t0r = System.nanoTime()
+        val rows = operators.TextAnalysis.rakeOn(spark, s"scale-rake-$m", corpus)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+        val sec = (System.nanoTime() - t0r) / 1e9
+        println(f"[scale] rake    x$m%-3d docs=${nDocs * m}%8d top=${rows.size}%3d  $sec%7.2f s")
+        (m, rows)
+      }
+      val (m0r, top0) = tops.head
+      for ((m, top) <- tops.tail) {
+        require(top.map(t => (t._1, t._2, t._3, t._5)) ==
+            top0.map(t => (t._1, t._2, t._3, t._5)),
+          s"RAKE ranking/scores changed under x$m replication")
+        require(top.map(_._4) == top0.map(_._4 * m / m0r),
+          s"RAKE occurrence counts not exactly x$m under replication")
+      }
+      println(s"[scale] rake top-20 invariant, occurrences exactly linear at x${rakeMultiples.last}")
+    }
+
     // ---- IVF ANN: two-level quantizer (T ≈ √n lists = nl1×nl2) with
     // multi-probe at both levels, so probed candidate rows must grow
     // ~n^(3/4) — SUB-linearly. We assert it: probed(×mN)/probed(×m1)

@@ -1814,6 +1814,29 @@ ORDER BY dl.doc_id"""
 
   private[graft] def spanSparkSqlForTest: String = spanSql(SparkSql)
 
+  /** ScaleSmoke probe: (positional-gram rows, docs with ≥5 tokens,
+    * docs with ≥5 tokens fully covered) over an arbitrary corpus.
+    * Laws under ×m replication (doc_ids shifted, texts identical):
+    * gram rows exactly ×m (linear build), and at m ≥ 2 EVERY ≥5-token
+    * doc is fully covered — each of its grams recurs in the replicas,
+    * the sharpest possible coverage invariant.
+    */
+  private[graft] def spanStatsOn(spark: SparkSession, key: String,
+      docs: => DataFrame): (Long, Long, Long) = {
+    val d = SparkSql
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    val pgRows = spark.sql(s"""
+SELECT count(*) AS c
+FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
+      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x""")
+      .head().getLong(0)
+    val r = spark.sql(spanSql(SparkSql)).selectExpr(
+      "CAST(sum(CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5",
+      "CAST(sum(CASE WHEN n_tokens >= 5 AND dup_span_bp = 10000 THEN 1 ELSE 0 END) AS BIGINT) AS fullcov")
+      .head()
+    (pgRows, r.getLong(0), r.getLong(1))
+  }
+
   val qSpans = Q(
     "q_dedup_spans",
     (spark, dir) => {

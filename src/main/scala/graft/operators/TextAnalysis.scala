@@ -937,6 +937,19 @@ ORDER BY rank"""
   private[graft] def rakeSparkSqlForTest: String = rakeSql(SparkSql, None)
   private[graft] def rakeDuckSqlForTest: String = rakeSql(DuckSql, None)
 
+  /** ScaleSmoke probe: the RAKE top-20 over an arbitrary corpus.
+    * Replication laws: word scores are ratios of two ×m quantities
+    * (deg, freq), so the phrase ranking, scores, and word counts are
+    * replication-INVARIANT while each phrase's occurrence count is
+    * exactly ×m — the gate that the scorer never leaked corpus-sized
+    * state into the vocabulary-sized relations.
+    */
+  private[graft] def rakeOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    spark.sql(rakeSql(SparkSql, None))
+  }
+
   private def runRake(spark: SparkSession, dir: String): DataFrame = {
     StageViews.documents(spark, dir)
     // the positional candidate tokens — the one corpus-sized relation,
