@@ -205,12 +205,17 @@ object Bench {
     // never poison the sweep's failure flag.
     def canaryOn(s: SparkSession, names: Seq[String], label: String): Seq[(String, Double)] =
       names.flatMap { name =>
+        // drop only flags THIS canary run added: under sharding, later
+        // shards' mini-canaries run AFTER earlier shards' sweeps, and
+        // an unconditional erase would silently clear a ShardCanary
+        // member's REAL sweep failure from the artifact's failed list
+        val wasFailed = failures.contains(name)
         val attempts = (1 to 3).flatMap { _ =>
           val sec = timeOnce(s, name, s"$label:$name", SparkEntry.queries(name))
           GraftSession.dropStreamSinks(s)
           sec
         }
-        failures -= name
+        if (!wasFailed) failures -= name
         if (attempts.isEmpty) None
         else Some(name -> attempts.sorted.apply(attempts.size / 2))
       }

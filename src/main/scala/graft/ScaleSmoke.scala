@@ -210,13 +210,22 @@ object ScaleSmoke {
       // vocabulary-sized (~100k rows here), which must stay well under
       // 1 GiB live.
       val rawHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
-      System.gc()
+      // two GC passes: a single System.gc() is advisory and an
+      // incomplete collection leaves floating garbage above the bound
+      System.gc(); System.gc()
       val liveHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
       val LiveHeapBoundMb = 1024L
       println(f"[scale] bpe jobs: steps=1024 wide-vocab -> $j1024 jobs, $m1024 merges learned, $t1024%6.2f s (driver heap: raw ${rawHeapMb}%d MiB, live ${liveHeapMb}%d MiB, gate $LiveHeapBoundMb MiB)")
+      // the bound is the WHOLE-JVM live set — local mode keeps the
+      // smoke's own resident caches (packets/docs) in this JVM, so at
+      // a much larger sfDir the gate would trip on them, not on the
+      // trainer; the message names both candidates rather than blaming
+      // the collect unconditionally
       require(liveHeapMb < LiveHeapBoundMb,
-        s"BPE 1024-merge trainer left $liveHeapMb MiB LIVE on the driver " +
-          s"(bound $LiveHeapBoundMb MiB) — the collect is no longer vocabulary-sized")
+        s"live JVM heap after the BPE 1024-merge trainer is $liveHeapMb MiB " +
+          s"(bound $LiveHeapBoundMb MiB) — either the trainer's collect is no " +
+          "longer vocabulary-sized, or this run's resident smoke caches " +
+          "(packets/docs at a larger-than-default sfDir) exceed the bound")
       require(j1024 == j8,
         s"BPE Spark job count grew at a 1024-merge budget: $j1024 vs $j8 at 8 steps")
       require(m1024 == 1024,

@@ -1825,15 +1825,29 @@ ORDER BY dl.doc_id"""
       docs: => DataFrame): (Long, Long, Long) = {
     val d = SparkSql
     StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
-    val pgRows = spark.sql(s"""
-SELECT count(*) AS c
+    // the probe characterizes the CATALOG plan shape: one cached
+    // positional-gram stage (the self-contained CTE spelling would
+    // inline the corpus-sized explode at every mention — three builds
+    // per multiple) plus the cached doc-length stage
+    StageViews.ensureCached(spark, "span_pg_v", key)(spark.sql(s"""
+SELECT doc_id, i, md5(${d.joinArr(d.slice("w", "i", "5"))}) AS gh
 FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
-      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x""")
-      .head().getLong(0)
-    val r = spark.sql(spanSql(SparkSql)).selectExpr(
-      "CAST(sum(CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5",
-      "CAST(sum(CASE WHEN n_tokens >= 5 AND dup_span_bp = 10000 THEN 1 ELSE 0 END) AS BIGINT) AS fullcov")
-      .head()
+      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x"""))
+    Retrieval.ensureDlStage(spark, key)
+    val pgRows = spark.sql("SELECT count(*) AS c FROM span_pg_v").head().getLong(0)
+    val r = spark.sql(s"""
+SELECT CAST(sum(CASE WHEN dl.len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+       CAST(sum(CASE WHEN dl.len >= 5 AND
+                          ${d.idiv("10000 * coalesce(cnt.n_dup, 0)", "dl.len")} = 10000
+                THEN 1 ELSE 0 END) AS BIGINT) AS fullcov
+FROM bm25_dl_v dl LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM (
+    SELECT DISTINCT doc_id, i + j - 1 AS pos
+    FROM (${d.series("doc_id, i", "5", "j", s"""(
+      SELECT p.doc_id, p.i FROM span_pg_v p
+      JOIN (SELECT gh FROM span_pg_v GROUP BY gh HAVING count(*) >= 2) g
+        ON p.gh = g.gh) dup""")}) y) cov
+  GROUP BY doc_id) cnt ON dl.doc_id = cnt.doc_id""").head()
     (pgRows, r.getLong(0), r.getLong(1))
   }
 

@@ -378,7 +378,7 @@ class Round18bOpsSpec extends AnyFunSuite {
       "q_bm25_prf", "q_phrase_search", "q_hard_negatives", "q_best_snippet",
       "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
       "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations",
-      "q_rake_keyphrases", "q_dedup_spans")
+      "q_rake_keyphrases", "q_dedup_spans", "q_retrieval_recall")
     for (n <- staged) {
       val q = graft.SparkEntry.queries(n)
       q(spark, dir).count() // first run builds + materializes stages
