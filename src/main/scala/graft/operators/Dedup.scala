@@ -1204,14 +1204,22 @@ SELECT doc_id, ${pack32("l")} AS sim_lo, ${pack32("h")} AS sim_hi FROM (
   GROUP BY doc_id)"""))
     // nested spelling over the cached fingerprints (no WITH: cache
     // substitution does not reach CTE bodies — the WITH spelling
-    // recomputed the corpus-wide bit-sum per band-relation mention)
-    spark.sql(simhash64TailNested("sim64_v"))
+    // recomputed the corpus-wide bit-sum per band-relation mention).
+    // The verified pair relation is itself a cached stage (r20): its
+    // derivation is an 8-stage AQE pipeline over the fingerprint cache,
+    // and the ~0.1 s/stage local launch floor — not plan-time, not
+    // recompute (MEASUREMENT_r20.md) — dominated the 1.3 s steady
+    // state; pairs are tiny, so the staged final is cache-read + sort.
+    StageViews.ensureCached(spark, "sim64_pairs_v", dir)(
+      spark.sql(simhash64TailNested("sim64_v", ordered = false)))
+    spark.sql(
+      "SELECT doc_a, doc_b, hamming FROM sim64_pairs_v ORDER BY doc_a, doc_b")
   }
 
   /** [[simhash64Tail]] restated as nested subqueries over a
     * fingerprint relation — the cache-substitutable Spark spelling.
     */
-  private def simhash64TailNested(rel: String): String = {
+  private def simhash64TailNested(rel: String, ordered: Boolean = true): String = {
     val d = SparkSql
     val ham = s"CAST(bit_count(${d.xor("la", "lb")}) + bit_count(${d.xor("ha", "hb")}) AS BIGINT)"
     val bb4 = s"""(SELECT doc_id, sim_lo, sim_hi, bseq - 1 AS band,
@@ -1228,8 +1236,7 @@ FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sim_lo AS la, a.sim_hi AS ha, b.sim_lo AS lb, b.sim_hi AS hb
       FROM $bbf4 a JOIN $bbf4 b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) cand4
-WHERE $ham <= 3
-ORDER BY doc_a, doc_b"""
+WHERE $ham <= 3${if (ordered) "\nORDER BY doc_a, doc_b" else ""}"""
   }
 
   /** SimHash-64 fingerprints over an arbitrary documents frame
@@ -1391,18 +1398,28 @@ FROM (SELECT vec_id, embedding FROM embeddings
       WHERE f.nmem <= $EmbedBucketCap)"""
 
   /** Verified (cos ≥ 0.995) pairs, unordered — the relation the pair
-    * query sorts and the embedding cluster query feeds into CC.
+    * query sorts and the embedding cluster query feeds into CC. Cached
+    * as its own stage (`emb_pairs_v`, r20): the pair relation is tiny
+    * (near-dup pairs only) but its derivation is a 5-stage AQE pipeline
+    * (bucket freq agg + capped self-join + cosine verify), and at
+    * local[32] each AQE stage carries a ~0.1 s launch floor that is
+    * SF-invariant — the r19 bench adjudication measured q_dedup_embedding
+    * steady-state at 1.3 s with plan-time ≤ 0.15 s and ALL leaves cache
+    * hits (MEASUREMENT_r20.md). Persisting the verified pairs is the
+    * 100 TB shape anyway (the pair index is the multi-consumer
+    * intermediate both the audit sort and the cluster CC solve read),
+    * and it cuts the steady-state final to cache-read + sort.
     */
   private[graft] def embedPairsOn(spark: SparkSession, key: String,
       emb: => DataFrame): DataFrame = {
     ensureEmbedBuckets(spark, key, emb)
-    spark.sql(s"""
+    StageViews.ensureCached(spark, "emb_pairs_v", key)(spark.sql(s"""
 SELECT vec_a, vec_b FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          cosine_similarity(a.embedding, b.embedding) AS cs
   FROM $cappedBuckets a JOIN $cappedBuckets b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-WHERE cs >= 0.995""")
+WHERE cs >= 0.995"""))
   }
 
   private[graft] def embedOn(spark: SparkSession, key: String,
