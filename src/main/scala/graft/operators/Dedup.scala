@@ -1898,10 +1898,143 @@ ORDER BY dl.doc_id""")
     },
     Some(spanSql(DuckSql)))
 
+  // ============ duplicated-span EXCISION (audit → action) ============
+
+  /** The pipeline ACTION the span audit ([[qSpans]]) prices: emit each
+    * document's kept text after removing every duplicated span.
+    * Overlapping-or-contiguous dup 5-gram windows [i, i+4] are merged
+    * into maximal excision regions by a running-max window over the
+    * sorted dup start positions (new region iff the start opens a gap:
+    * i > max(prev ends) + 1), covered token positions are dropped, and
+    * the survivors reassemble in position order.
+    *
+    * Output per doc: token count, merged region count, excised token
+    * mass (== [[qSpans]]' n_dup_tokens — region lengths sum to exactly
+    * the distinct covered positions, the Round20OpsSpec law), kept
+    * token count, and the reassembled kept text ('' when fully
+    * excised; docs shorter than a gram or with no dup grams keep their
+    * full text). Both engines reassemble from the SPLIT tokens, so the
+    * strings agree by construction.
+    *
+    * Scale shape: dup detection rides the cached `span_pg_v` positional
+    * gram stage (one linear build, shared with [[qSpans]]); the merged
+    * regions are cached as `span_iv_v` (dup-region-sized, read twice:
+    * the mass aggregate and the kept-position anti-join); the only
+    * corpus-sized work is the one positional word explode the
+    * output itself requires, and the anti-join is doc_id-keyed (a
+    * position matches at most ONE disjoint region). Window work is
+    * partitioned by doc_id — no global sort anywhere before the final
+    * ORDER BY.
+    */
+  private def spanExciseSql(d: SqlDialect): String = {
+    val agg = d match {
+      case SparkSql =>
+        "array_join(transform(array_sort(collect_list(struct(i, wd))), x -> x.wd), ' ')"
+      case DuckSql => "string_agg(wd, ' ' ORDER BY i)"
+    }
+    s"""
+WITH spg AS (SELECT doc_id, i, md5(${d.joinArr(d.slice("w", "i", "5"))}) AS gh
+             FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
+               s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x),
+gc AS (SELECT gh FROM spg GROUP BY gh HAVING count(*) >= 2),
+dup AS (SELECT spg.doc_id, spg.i FROM spg JOIN gc ON spg.gh = gc.gh),
+ord AS (SELECT doc_id, i,
+               max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dup),
+sid AS (SELECT doc_id, i,
+               sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM ord),
+spans AS (SELECT doc_id, span_id, min(i) AS s, max(i) + 4 AS e
+          FROM sid GROUP BY doc_id, span_id),
+sag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS n_dup
+        FROM spans GROUP BY doc_id),
+pos AS (SELECT doc_id, i, ${d.el("w", "i")} AS wd
+        FROM (${d.series("doc_id, w", d.len("w"), "i",
+          s"(SELECT doc_id, ${d.split("text")} AS w FROM documents) aw")}) px),
+kp AS (SELECT p.doc_id, p.i, p.wd
+       FROM pos p LEFT JOIN spans sp
+         ON p.doc_id = sp.doc_id AND p.i >= sp.s AND p.i <= sp.e
+       WHERE sp.s IS NULL),
+kt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens, $agg AS kept_text
+       FROM kp GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(${d.len(d.split("text"))} AS BIGINT) AS len FROM documents)
+SELECT dl.doc_id, dl.len AS n_tokens,
+       CAST(coalesce(sag.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sag.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(coalesce(kt.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(kt.kept_text, '') AS kept_text
+FROM dl LEFT JOIN sag ON dl.doc_id = sag.doc_id
+        LEFT JOIN kt ON dl.doc_id = kt.doc_id
+ORDER BY dl.doc_id"""
+  }
+
+  private[graft] def spanExciseSparkSqlForTest: String = spanExciseSql(SparkSql)
+
+  /** Register the cached merged excision regions for `dir` (assumes
+    * `span_pg_v` is already ensured for the same key).
+    */
+  private def ensureSpanIntervals(spark: SparkSession, dir: String): Unit = {
+    StageViews.ensureCached(spark, "span_iv_v", dir)(spark.sql(s"""
+SELECT doc_id, span_id, min(i) AS s, max(i) + 4 AS e
+FROM (SELECT doc_id, i,
+             sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM (SELECT doc_id, i,
+                   max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM (SELECT p.doc_id, p.i FROM span_pg_v p
+                  JOIN (SELECT gh FROM span_pg_v GROUP BY gh HAVING count(*) >= 2) g
+                    ON p.gh = g.gh) dup) o) si
+GROUP BY doc_id, span_id"""))
+    ()
+  }
+
+  private def runSpanExcise(spark: SparkSession, dir: String): DataFrame = {
+    val d = SparkSql
+    StageViews.documents(spark, dir)
+    Retrieval.ensureDlStage(spark, dir)
+    StageViews.ensureCached(spark, "span_pg_v", dir)(spark.sql(s"""
+SELECT doc_id, i, md5(${d.joinArr(d.slice("w", "i", "5"))}) AS gh
+FROM (${d.series("doc_id, w", d.len("w") + " - 4", "i",
+      s"(SELECT doc_id, ${d.split("text")} AS w FROM documents WHERE ${d.len(d.split("text"))} >= 5) dw")}) x"""))
+    ensureSpanIntervals(spark, dir)
+    // fully nested staged final (cache-substitution discipline):
+    // mass/count agg + kept-position anti-join both read span_iv_v
+    spark.sql(s"""
+SELECT dl.doc_id, dl.len AS n_tokens,
+       CAST(coalesce(sag.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sag.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(coalesce(kt.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(kt.kept_text, '') AS kept_text
+FROM bm25_dl_v dl
+LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS n_dup
+           FROM span_iv_v GROUP BY doc_id) sag ON dl.doc_id = sag.doc_id
+LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                  array_join(transform(array_sort(collect_list(struct(i, wd))), x -> x.wd), ' ') AS kept_text
+           FROM (SELECT p.doc_id, p.i, p.wd
+                 FROM (SELECT doc_id, i, ${d.el("w", "i")} AS wd
+                       FROM (${d.series("doc_id, w", d.len("w"), "i",
+                         s"(SELECT doc_id, ${d.split("text")} AS w FROM documents) aw")}) px) p
+                 LEFT JOIN span_iv_v sp
+                   ON p.doc_id = sp.doc_id AND p.i >= sp.s AND p.i <= sp.e
+                 WHERE sp.s IS NULL) kp
+           GROUP BY doc_id) kt ON dl.doc_id = kt.doc_id
+ORDER BY dl.doc_id""")
+  }
+
+  val qSpanExcise = Q(
+    "q_dedup_span_excise", runSpanExcise _, Some(spanExciseSql(DuckSql)))
+
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
       qClusters, qClusterSizes, qDupTransitivity, qHopDistance,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
-      qDedupStreamWindowed, qPageRank, qSpans)
+      qDedupStreamWindowed, qPageRank, qSpans, qSpanExcise)
 }

@@ -379,6 +379,11 @@ class Round18bOpsSpec extends AnyFunSuite {
       "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
       "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations",
       "q_rake_keyphrases", "q_dedup_spans", "q_retrieval_recall")
+    // q_dedup_span_excise is deliberately NOT gated: its output is
+    // corpus-sized (every doc's kept text), so the steady state MUST
+    // re-read (doc_id, text) from the source store once per run — the
+    // right 100 TB plan — while its dup-region inputs (span_pg_v,
+    // span_iv_v) are cached like every gated stage.
     for (n <- staged) {
       val q = graft.SparkEntry.queries(n)
       q(spark, dir).count() // first run builds + materializes stages

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 operator laws: duplicated-span EXCISION
+  * (q_dedup_span_excise) — hand-derived fixture covering overlap
+  * merge, adjacency merge, intra-doc repeats, multi-region docs, full
+  * excision and clean docs; the conservation law against the span
+  * audit (excised mass == q_dedup_spans' n_dup_tokens per doc); and
+  * staged-vs-self-contained equality on the oracle corpus.
+  */
+class Round20OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val OracleSf = "/root/testdata/sf0.001"
+
+  // ---- duplicated-span excision ----
+
+  test("span excise: hand-derived regions, merge semantics, kept text") {
+    import spark.implicits._
+    // doc0 "a b c d e f": dup starts {1 ("a b c d e" ×3 with doc1,
+    //   doc4), 2 ("b c d e f" ×2 with doc4)} → overlap-merge to one
+    //   region [1,6] → fully excised.
+    // doc1 "a b c d e x": dup start {1} only ("b c d e x" is unique)
+    //   → region [1,5], kept "x".
+    // doc2 "z z z z z z z": intra-doc repeats — all three 5-gram
+    //   occurrences share one text → starts {1,2,3} merge to [1,7],
+    //   fully excised.
+    // doc3 "p q r": shorter than a gram → clean, full text kept.
+    // doc4 "a b c d e u1 u2 b c d e f": dup starts {1, 8}; 8 > 5+1
+    //   opens a gap → TWO regions [1,5], [8,12]; kept "u1 u2".
+    // doc5 "q w e r t y u i o p": dup starts {1 (with doc6), 6 (with
+    //   doc7)}; 6 == 5+1 is ADJACENT → one region [1,10], fully
+    //   excised (the adjacency-merge law).
+    // doc6 "q w e r t" / doc7 "y u i o p": single all-covering gram
+    //   each → fully excised.
+    val docs = Seq(
+      (0L, "a b c d e f", "en"),
+      (1L, "a b c d e x", "en"),
+      (2L, "z z z z z z z", "en"),
+      (3L, "p q r", "en"),
+      (4L, "a b c d e u1 u2 b c d e f", "en"),
+      (5L, "q w e r t y u i o p", "en"),
+      (6L, "q w e r t", "en"),
+      (7L, "y u i o p", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    try {
+      val got = spark.sql(Dedup.spanExciseSparkSqlForTest).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toSeq
+      assert(got == Seq(
+        (0L, 6L, 1L, 6L, 0L, ""),
+        (1L, 6L, 1L, 5L, 1L, "x"),
+        (2L, 7L, 1L, 7L, 0L, ""),
+        (3L, 3L, 0L, 0L, 3L, "p q r"),
+        (4L, 12L, 2L, 10L, 2L, "u1 u2"),
+        (5L, 10L, 1L, 10L, 0L, ""),
+        (6L, 5L, 1L, 5L, 0L, ""),
+        (7L, 5L, 1L, 5L, 0L, "")), s"hand span excision mismatch: $got")
+    } finally {
+      spark.catalog.dropTempView("documents")
+      StageViews.unpersistAll(spark)
+    }
+  }
+
+  test("span excise: staged catalog query equals the self-contained spelling") {
+    StageViews.documents(spark, OracleSf)
+    val selfContained =
+      spark.sql(Dedup.spanExciseSparkSqlForTest).collect().map(_.toSeq).toSeq
+    val staged = Dedup.qSpanExcise.run(spark, OracleSf).collect().map(_.toSeq).toSeq
+    assert(staged.nonEmpty && staged == selfContained)
+    StageViews.unpersistAll(spark)
+  }
+
+  test("span excise: conservation laws against the span audit") {
+    StageViews.documents(spark, OracleSf)
+    val audit = Dedup.qSpans.run(spark, OracleSf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    val excised = Dedup.qSpanExcise.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(excised.size == audit.size, "both queries emit the full doc spine")
+    // non-vacuity: the synthetic corpus must exercise excision AND keeps
+    assert(excised.exists(_._4 > 0L), "corpus has dup spans by construction")
+    assert(excised.exists(r => r._4 > 0L && r._5 > 0L),
+      "some doc must be PARTIALLY excised for the laws to bite")
+    excised.foreach { case (id, nTok, nSpans, nDup, nKept, keptText) =>
+      val (aTok, aDup, aClean) = audit(id)
+      assert(nTok == aTok, s"doc $id token count disagrees with audit")
+      // the merged-region mass IS the audit's distinct covered positions
+      assert(nDup == aDup, s"doc $id excised mass != audit n_dup_tokens")
+      assert(nKept == nTok - nDup, s"doc $id kept+excised != total")
+      assert((nSpans == 0L) == aClean, s"doc $id clean flag vs region count")
+      // the reassembled text has exactly the kept tokens
+      val reTok = if (keptText.isEmpty) 0L else keptText.split(" ").length.toLong
+      assert(reTok == nKept, s"doc $id kept_text token count != kept_tokens")
+    }
+    StageViews.unpersistAll(spark)
+  }
+}
