@@ -29,9 +29,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Max catalog queries per fresh-session shard (the Sf1Probe value:
+  /** Shard sizing TARGET: the shard count is ⌈catalog/ShardSize⌉ and
+    * boundaries are cost-balanced ([[costBalancedShards]], r19 VERDICT
+    * task 1) with a hard cap of 1.5× this many queries per shard —
     * an order of magnitude less accumulated cache/heap pressure than
-    * the old full sweep, ~8 extra session bring-ups per run — wall
+    * the old full sweep, ~8 extra session bring-ups per run (wall
     * cost only, never per-query cost).
     */
   val ShardSize = 30
@@ -132,6 +134,104 @@ object Bench {
     "q_mg_heavy_hitters" -> 0.34,
     "q_cidr_block_match" -> 0.67,
     "q_rate_window_stream" -> 1.86)
+
+  /** Per-query cost model from the LATEST committed round record
+    * (`<prefix>_r<N>.json` at the repo root, highest N wins): swept
+    * seconds per query plus stage-build seconds charged to it. Used to
+    * cut cost-BALANCED contiguous shards (r19 VERDICT task 1: the
+    * alphabetical fixed-size cuts left SF1_r19's shard 6 at 122 s vs
+    * shard 7's 49 s, re-creating intra-shard sweep pressure for
+    * whichever families landed together). Absent/unparseable records
+    * degrade to fixed-size grouping — never a crash.
+    */
+  private[graft] def latestRoundCosts(prefix: String): (String, Map[String, Double], Map[String, Double]) = {
+    val re = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
+    val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .toSeq.flatMap { f =>
+        f.getName match {
+          case re(n) => Some(n.toInt -> f)
+          case _ => None
+        }
+      }
+    candidates.sortBy(-_._1).headOption.map { case (_, f) =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+        val qs = scala.collection.mutable.Map.empty[String, Double]
+        val qNode = root.get("queries")
+        if (qNode != null && qNode.isObject) {
+          val it = qNode.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue
+            // BENCH_FULL records hold plain seconds; SF1 records hold
+            // {"sec":..., "rows":...} objects
+            if (v.isNumber) qs(e.getKey) = v.asDouble()
+            else if (v.isObject && v.get("sec") != null) qs(e.getKey) = v.get("sec").asDouble()
+          }
+        }
+        val builds = scala.collection.mutable.Map.empty[String, Double]
+        val bNode = root.get("stage_builds")
+        if (bNode != null && bNode.isArray) {
+          val it = bNode.elements()
+          while (it.hasNext) {
+            val b = it.next()
+            if (b.get("charged_to") != null && b.get("sec") != null) {
+              val k = b.get("charged_to").asText()
+              builds(k) = builds.getOrElse(k, 0.0) + b.get("sec").asDouble()
+            }
+          }
+        }
+        (f.getName, qs.toMap, builds.toMap)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] WARN: cost record ${f.getName} unparseable (${e.getMessage}) — fixed-size shards")
+          ("", Map.empty[String, Double], Map.empty[String, Double])
+      }
+    }.getOrElse(("", Map.empty, Map.empty))
+  }
+
+  /** Contiguous cost-balanced shard cuts over the SORTED catalog:
+    * same shard count as the fixed-size grouping (K = ⌈n/maxPerShard⌉)
+    * and the same contiguity (operator families stay co-located with
+    * their shared stage views, exactly as before), but boundaries fall
+    * where measured cost equalizes — cut when the running shard cost
+    * crosses the remaining-average. A query's modeled cost is
+    * 2·swept_sec (min-of-two runs both attempts) + its charged stage
+    * builds; queries absent from the record (new this round) cost the
+    * known median. Hard cap 1.5·maxPerShard queries per shard bounds
+    * pressure if the cost record is badly stale. Simulated on SF1_r19:
+    * max/min shard cost 2.5 → 1.06.
+    */
+  private[graft] def costBalancedShards[T](items: Seq[(String, T)],
+      costs: Map[String, Double], buildCosts: Map[String, Double],
+      maxPerShard: Int): Seq[Seq[(String, T)]] = {
+    if (costs.isEmpty) return items.grouped(maxPerShard).toSeq
+    val known = costs.values.toSeq.sorted
+    val fallback = known(known.size / 2)
+    def cost(n: String): Double =
+      2 * costs.getOrElse(n, fallback) + buildCosts.getOrElse(n, 0.0)
+    val k = math.max(1, math.ceil(items.size.toDouble / maxPerShard).toInt)
+    val hardCap = maxPerShard + maxPerShard / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, T)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, T)]
+    var acc = 0.0
+    var remTotal = items.map(i => cost(i._1)).sum
+    var remShards = k
+    items.zipWithIndex.foreach { case (item, i) =>
+      val c = cost(item._1)
+      val target = remTotal / remShards
+      if (cur.nonEmpty && remShards > 1 &&
+          (acc + c / 2 > target || cur.size >= hardCap) &&
+          items.size - i >= remShards - 1) {
+        out += cur.toVector; remTotal -= acc; remShards -= 1
+        cur = scala.collection.mutable.ArrayBuffer.empty; acc = 0.0
+      }
+      cur += item; acc += c
+    }
+    if (cur.nonEmpty) out += cur.toVector
+    out.toVector
+  }
 
   // explicit root locale: a comma-decimal default locale would render
   // the metric line as invalid JSON (r5 ADVICE)
@@ -239,16 +339,42 @@ object Bench {
     // sustained-pressure inflation stays attributable. Phase-0's
     // 9-query frozen canary runs at the top of shard 0 — a fresh
     // pre-pressure session, the exact basis the baseline was frozen on.
+    // `warm` documents the mini-canary warm-basis asymmetry (r19
+    // ADVICE): a ShardCanary member swept inside its home shard ran
+    // median-of-3 in this same session moments earlier, so its swept
+    // number carries a warm page-cache/codegen basis the other queries
+    // don't — itemized in the record instead of silently biasing it.
     case class ShardMeta(idx: Int, first: String, last: String, sec: Double,
-        canary: Seq[(String, Double)])
+        canary: Seq[(String, Double)], warm: Seq[String])
     val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var canarySec: Seq[(String, Double)] = Nil
-    val shards = SparkEntry.queries.toSeq.sortBy(_._1).grouped(ShardSize).toSeq
+    // cost-balanced contiguous cuts from the last committed round
+    // record (r19 VERDICT task 1); fixed-size grouping when none exists
+    val (costSrc, qCosts, bCosts) = latestRoundCosts("BENCH_FULL")
+    val shards = costBalancedShards(
+      SparkEntry.queries.toSeq.sortBy(_._1), qCosts, bCosts, ShardSize)
+    System.err.println(s"[bench] shard plan: ${shards.size} shards, " +
+      (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))
     val perShard = shards.zipWithIndex.map { case (qs, i) =>
       val s = newSession(cpus)
       Tables.lineitem(s, sfDir).limit(1).collect()
       streamingWarmup(s, s"shard${i}_warmup")
       if (i == 0) canarySec = canaryOn(s, canary, "canary")
+      if (i == 0) {
+        // shard 0 is the only FIRST-JVM session: one discarded rep of
+        // each mini-canary member after the frozen basket (so the
+        // frozen baseline's basis is untouched) burns off residual
+        // first-session JIT/page-cache cost that r19 left in the one
+        // cross-round-comparable shard canary (r19 VERDICT task 2;
+        // sf1: q_weighted_median 8.38 s on shard 0 vs 1.7–2.6 s
+        // everywhere else)
+        ShardCanary.foreach { name =>
+          currentQuery = s"canary0_warmup:$name"
+          try SparkEntry.queries(name)(s, sfDir).count()
+          catch { case _: Throwable => () }
+          GraftSession.dropStreamSinks(s)
+        }
+      }
       val shardCanary = canaryOn(s, ShardCanary, s"canary$i")
       val t0 = System.nanoTime()
       val res = qs.flatMap { case (name, fn) =>
@@ -271,7 +397,8 @@ object Bench {
       SparkSession.clearDefaultSession()
       System.err.println(f"[bench] shard $i done: ${res.size}/${qs.size} queries " +
         f"in $shardSec%.1f s (${qs.head._1} .. ${qs.last._1})")
-      (res, ShardMeta(i, qs.head._1, qs.last._1, shardSec, shardCanary))
+      (res, ShardMeta(i, qs.head._1, qs.last._1, shardSec, shardCanary,
+        qs.map(_._1).filter(ShardCanary.contains)))
     }
     val results = perShard.flatMap(_._1)
     val shardMeta = perShard.map(_._2)
@@ -344,7 +471,8 @@ object Bench {
     // boundaries, measured seconds, and each shard's own mini-canary
     val shardsJson = shardMeta.map { m =>
       val c = m.canary.map { case (n, s) => s""""$n":${fmt(s)}""" }.mkString("{", ",", "}")
-      s"""{"idx":${m.idx},"first":"${m.first}","last":"${m.last}","sec":${fmt2(m.sec)},"canary":$c}"""
+      val w = m.warm.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"idx":${m.idx},"first":"${m.first}","last":"${m.last}","sec":${fmt2(m.sec)},"canary":$c,"warm_basis":$w}"""
     }.mkString("[", ",", "]")
     def jsonLine(entries: Seq[(String, Double)], full: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + (if (full) fmt(v) else fmt2(v)) }

@@ -220,8 +220,20 @@ object ScaleSmoke {
       // smoke's own resident caches (packets/docs) in this JVM, so at
       // a much larger sfDir the gate would trip on them, not on the
       // trainer; the message names both candidates rather than blaming
-      // the collect unconditionally
-      require(liveHeapMb < LiveHeapBoundMb,
+      // the collect unconditionally.
+      // System.gc() is ADVISORY: under -XX:+DisableExplicitGC (or a
+      // collector that ignores the hint) the post-gc reading stays at
+      // the raw value and the gate would fail on uncollected garbage
+      // rather than the trainer's live set (r19 ADVICE). Detect the
+      // ineffective collection — reading above the bound AND barely
+      // below raw — and skip with a warning instead; the vocabRows
+      // gate below still binds the collect's actual size either way.
+      val gcEffective = liveHeapMb < LiveHeapBoundMb || liveHeapMb < rawHeapMb * 9 / 10
+      if (!gcEffective)
+        println(s"[scale] WARN: explicit GC ineffective (raw $rawHeapMb MiB -> " +
+          s"post-gc $liveHeapMb MiB) — live-heap gate SKIPPED this run; the " +
+          "vocabulary-rows gate below still bounds the trainer's collect")
+      else require(liveHeapMb < LiveHeapBoundMb,
         s"live JVM heap after the BPE 1024-merge trainer is $liveHeapMb MiB " +
           s"(bound $LiveHeapBoundMb MiB) — either the trainer's collect is no " +
           "longer vocabulary-sized, or this run's resident smoke caches " +
@@ -371,6 +383,81 @@ object ScaleSmoke {
       }
       require(ivfResults.last._4 >= 0.8,
         f"IVF recall@5 at the top multiple is ${ivfResults.last._4}%.3f < 0.8")
+    }
+
+    // ---- frozen-quantizer routing cost vs nl1 (r19 VERDICT task 5) ----
+    // q_ann_ivf_stream's router carries the quantizer as an nl1-way
+    // greatest() chain of array<float> literals. Measured r20: the
+    // chain stays inside whole-stage codegen up to nl1 = 512
+    // (FrozenLiteralCap); at 1024 Janino's 64 KB method limit bails
+    // codegen and the interpreted chain goes pathological (2000 vecs:
+    // 2.7 s at 1024, 17–36 s at 4096 — vs a flat ~0.3 s for the
+    // broadcast argmax). This probe re-measures every round: literal
+    // plan+exec at nl1 ∈ {64, 512} must stay ~flat (codegen'd), the
+    // above-cap broadcast path at nl1 = 4096 must stay flat, and the
+    // two paths must assign identically at the cap.
+    locally {
+      val dims = 64
+      def synthCents(nl1: Int): Seq[(Long, Array[Float])] =
+        (0 until nl1).map(c =>
+          c.toLong -> Array.tabulate(dims)(d => (((c * 131 + d * 17) % 97) - 48).toFloat / 48f))
+      val vecs = spark.range(2000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), d -> CAST((CAST(pmod(id * 37 + d * 13, 89) AS DOUBLE) - 44.0) / 44.0 AS FLOAT)) AS embedding")
+        .cache()
+      vecs.count()
+      // min-of-two per point: the first execution pays one-time Janino
+      // compiles the steady state never sees
+      def minOf2(work: () => Double): Double = math.min(work(), work())
+      val lit = Seq(64, operators.Similarity.FrozenLiteralCap).map { nl1 =>
+        val cents = synthCents(nl1)
+        def once(): (Double, Double) = {
+          val t0p = System.nanoTime()
+          val routed = vecs
+            .withColumn("c1", operators.Similarity.assignToFrozen(cents))
+            .groupBy("c1").count()
+          routed.queryExecution.executedPlan
+          val planSec = (System.nanoTime() - t0p) / 1e9
+          val t0e = System.nanoTime()
+          routed.count()
+          (planSec, (System.nanoTime() - t0e) / 1e9)
+        }
+        val (a, b) = (once(), once())
+        val (planSec, exec) = (math.min(a._1, b._1), math.min(a._2, b._2))
+        println(f"[scale] frozenq literal  nl1=$nl1%-5d plan=$planSec%5.2f s exec=$exec%5.2f s (2000 vecs)")
+        (nl1, planSec, exec)
+      }
+      val bSec = minOf2(() => {
+        val t0b = System.nanoTime()
+        operators.Similarity.assignToFrozenBroadcast(spark, synthCents(4096), vecs.toDF())
+          .groupBy("c1").count().count()
+        (System.nanoTime() - t0b) / 1e9
+      })
+      println(f"[scale] frozenq broadcast nl1=4096  total=$bSec%5.2f s (above-cap path, 2000 vecs)")
+      // codegen'd literal path: going 64 → 512 centroids is 8× the
+      // per-row flops on a ~fixed 2000×nl1×64 ≈ 66 MFLOP budget that
+      // the local floor dominates — a codegen bail or interpreted
+      // fallback would blow these bounds immediately (1024 already
+      // measures 4–6× the 512 exec)
+      val (_, p0, e0) = lit.head
+      val (capN, pC, eC) = lit.last
+      require(pC <= 4.0 * math.max(p0, 0.15),
+        f"frozen-quantizer literal plan time grew $pC%.2f s at nl1=$capN (x${pC / math.max(p0, 0.15)}%.1f vs nl1=64) — plan no longer ~flat in nl1")
+      require(eC <= 4.0 * math.max(e0, 0.3),
+        f"frozen-quantizer literal exec grew $eC%.2f s at nl1=$capN — whole-stage codegen likely bailed below FrozenLiteralCap")
+      require(bSec <= 2.0,
+        f"above-cap broadcast routing took $bSec%.2f s at nl1=4096 — the flat O(nl1·dims)/row path regressed")
+      // path parity at the cap (the total-order law Round20OpsSpec pins
+      // with a hand tie; here: the full 2000-vector assignment map)
+      val cents = synthCents(operators.Similarity.FrozenLiteralCap)
+      val viaLit = vecs.withColumn("c1", operators.Similarity.assignToFrozen(cents))
+        .groupBy("c1").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaBc = operators.Similarity.assignToFrozenBroadcast(spark, cents, vecs.toDF())
+        .groupBy("c1").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(viaLit == viaBc,
+        s"literal and broadcast frozen-quantizer paths disagree at the cap: $viaLit vs $viaBc")
+      println(s"[scale] frozenq paths agree at nl1=${operators.Similarity.FrozenLiteralCap} (${viaLit.size} lists)")
+      vecs.unpersist()
     }
 
     // ---- hybrid retrieval over the IVF dense ranker (r18 VERDICT task

@@ -39,10 +39,11 @@ object Sf1Probe {
 
   private val Reps = 10
 
-  /** Max catalog queries per fresh-session shard. ~30 keeps a shard's
-    * accumulated cache/heap pressure an order of magnitude under the
-    * old full-sweep's while bounding session bring-up overhead to K ≈ 7
-    * extra warmups per probe run.
+  /** Shard sizing target: shard count = ⌈catalog/ShardSize⌉ with
+    * cost-balanced boundaries ([[Bench.costBalancedShards]], hard cap
+    * 1.5×). ~30 keeps a shard's accumulated cache/heap pressure an
+    * order of magnitude under the old full-sweep's while bounding
+    * session bring-up overhead to K ≈ 8 extra warmups per probe run.
     */
   private val ShardSize = 30
 
@@ -222,9 +223,12 @@ object Sf1Probe {
 
     val sorted = SparkEntry.catalog.sortBy(_.name)
       .filter(q => only.isEmpty || only(q.name))
-    // shard = (index, firstName, lastName, canary, shardSec)
+    // shard = (index, firstName, lastName, canary, shardSec, warm);
+    // `warm` itemizes mini-canary members swept in their home shard —
+    // those queries' swept numbers carry a warm basis from the canary's
+    // median-of-3 moments earlier (r19 ADVICE: document, don't hide)
     case class ShardMeta(idx: Int, first: String, last: String,
-        canary: Seq[(String, Double)], sec: Double)
+        canary: Seq[(String, Double)], sec: Double, warm: Seq[String])
     val (results, shardMeta): (Seq[(String, Double, Either[String, Long])], Seq[ShardMeta]) =
       if (only.nonEmpty) {
         // targeted profiling path: one session, no shards/canaries
@@ -237,7 +241,15 @@ object Sf1Probe {
         SparkSession.clearDefaultSession()
         (r, Nil)
       } else {
-        val shards = sorted.grouped(ShardSize).toSeq
+        // cost-balanced contiguous cuts from the last committed SF1
+        // record (r19 VERDICT task 1: alphabetical fixed-size cuts left
+        // shard 6 at 122 s vs shard 7's 49 s); fixed-size when absent
+        val (costSrc, qCosts, bCosts) = Bench.latestRoundCosts("SF1")
+        val shards = Bench.costBalancedShards(
+          sorted.map(q => q.name -> q), qCosts, bCosts, ShardSize)
+          .map(_.map(_._2))
+        println(s"[sf1] shard plan: ${shards.size} shards, " +
+          (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))
         val out2 = shards.zipWithIndex.map { case (qs, i) =>
           val s = newSession()
           s.range(1000000).selectExpr("sum(id)").collect()
@@ -250,6 +262,19 @@ object Sf1Probe {
             .get.run(s, out).count()
           catch { case _: Throwable => () }
           GraftSession.dropStreamSinks(s)
+          if (i == 0) {
+            // one discarded rep of each mini-canary member: shard 0 is
+            // the only FIRST-JVM session, and r19's shard-0 canary read
+            // q_weighted_median at 8.38 s vs 1.7–2.6 s on every later
+            // shard — first-session JIT + cold page cache contaminating
+            // the one cross-round-comparable canary (r19 VERDICT task 2)
+            ShardCanary.foreach { name =>
+              currentQuery = s"canary0_warmup:$name"
+              try SparkEntry.catalog.find(_.name == name).get.run(s, out).count()
+              catch { case _: Throwable => () }
+              GraftSession.dropStreamSinks(s)
+            }
+          }
           val canary = shardCanaryOn(s, i)
           val t0 = System.nanoTime()
           val res = qs.map(runQuery(s, _))
@@ -260,7 +285,8 @@ object Sf1Probe {
           SparkSession.clearDefaultSession()
           println(f"[sf1] shard $i done: ${qs.size} queries in $shardSec%.1f s " +
             f"(${qs.head.name} .. ${qs.last.name})")
-          (res, ShardMeta(i, qs.head.name, qs.last.name, canary, shardSec))
+          (res, ShardMeta(i, qs.head.name, qs.last.name, canary, shardSec,
+            qs.map(_.name).filter(ShardCanary.contains)))
         }
         (out2.flatMap(_._1), out2.map(_._2))
       }
@@ -349,7 +375,7 @@ object Sf1Probe {
     val cjson = canarySec.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
     val shjson = shardMeta.map { m =>
       val c = m.canary.map { case (n, s) => s""""$n":${num(s, 3)}""" }.mkString("{", ",", "}")
-      s"""{"idx":${m.idx},"first":"${esc(m.first)}","last":"${esc(m.last)}","sec":${num(m.sec, 1)},"canary":$c}"""
+      s"""{"idx":${m.idx},"first":"${esc(m.first)}","last":"${esc(m.last)}","sec":${num(m.sec, 1)},"canary":$c,"warm_basis":${m.warm.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/sf1_probe.json"),

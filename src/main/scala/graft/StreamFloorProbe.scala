@@ -282,20 +282,23 @@ object StreamFloorProbe {
     // attempt collapses one-off state-store/GC stalls exactly like the
     // bench's min-of-two).
     def runBest(label: String, mode: String): (Double, Vector[Batch], Option[String]) = {
+      // one untimed warmup PER MODE (r19 ADVICE: only bare/scored had
+      // one, so 'score' charged its first-use costs — RF model
+      // broadcast, sink codegen — to the timed channel and the
+      // (score − filter) delta could over-price the RF projection)
+      runOnce(s"${label}_warmup", mode)
       val a = runOnce(s"${label}_a", mode)
       val b = runOnce(s"${label}_b", mode)
       def trig(r: (Double, Vector[Batch], Option[String])) =
         r._2.map(_.dur.getOrElse("triggerExecution", 0L)).sum
       if (trig(a) <= trig(b)) a else b
     }
-    runOnce("bare_warmup", "bare") // absorb one-time streaming costs
     val (bw, bb, _) = runBest("bare", "bare")
     val bare = report("bare", bw, bb)
     val (fw, fb, _) = runBest("filter", "filter")
     val filterSec = report("filter", fw, fb)
     val (vw, vb, _) = runBest("score", "score")
     val voteSec = report("score", vw, vb)
-    runOnce("scored_warmup", "scored")
     val (sw, sb, sOut) = runBest("scored", "scored")
     val scoredSec = report("scored", sw, sb)
     // per-stage attribution of the scored path's extra trigger time

@@ -402,6 +402,22 @@ ORDER BY c1"""
   /** Spec twin: the batch restatement on the Spark side. */
   private[graft] def ivfStreamSparkSqlForTest: String = ivfStreamSql(SparkSql)
 
+  /** Ceiling on the literal-expression spelling of the frozen
+    * quantizer ([[assignToFrozen]]) — the MEASURED codegen crossover,
+    * not the 4096 metadata cap. The nl1-way `greatest()` chain of
+    * array<float> literals stays inside whole-stage codegen up to
+    * nl1 = 512; at 1024 the generated compare chain trips Janino's
+    * 64 KB method limit, whole-stage codegen bails, and the
+    * INTERPRETED greatest() goes pathological — measured on 2000
+    * synthetic 64-dim vectors: exec 0.4–0.9 s at nl1 ≤ 512 vs 2.7 s at
+    * 1024 and 17–36 s at 4096, while [[assignToFrozenBroadcast]] holds
+    * a flat ~0.3 s at every nl1 (r20; gated each round by the
+    * ScaleSmoke `frozenq` lines). Above this cap the broadcast argmax
+    * routes instead — same total order, O(1) plan size, and the path
+    * a real 100 TB index (nl1 ≈ √n ≫ any literal tree) uses anyway.
+    */
+  private[graft] final val FrozenLiteralCap = 512
+
   /** The per-vector argmax as a single streaming-legal PROJECTION:
     * greatest over one (cos, −c1, c1) struct per frozen centroid — max
     * cosine first, then the LOWEST c1 on exact ties (identical total
@@ -409,6 +425,11 @@ ORDER BY c1"""
     * join: the quantizer rides inside the expression as array<float>
     * literals, which is what "frozen centroids" means operationally —
     * the index's coarse level is plan-time metadata, not a relation.
+    * Crossover: use only up to [[FrozenLiteralCap]] = 512 centroids —
+    * the measured whole-stage-codegen limit (see the cap's scaladoc
+    * for the r20 numbers); above it [[assignToFrozenBroadcast]] is
+    * strictly better (the 64 KB codegen bail makes the interpreted
+    * literal chain ~100× slower than the broadcast argmax at 4096).
     */
   private[graft] def assignToFrozen(
       cents: Seq[(Long, Array[Float])]): org.apache.spark.sql.Column = {
@@ -422,6 +443,70 @@ ORDER BY c1"""
     val best =
       if (scoredCols.length == 1) scoredCols.head else greatest(scoredCols: _*)
     best.getField("c1")
+  }
+
+  /** Exact double-precision cosine mirroring
+    * [[graft.functions.CosineSimilarity]]'s eval bit-for-bit (min
+    * length, per-element float→double casts, sequential left-to-right
+    * sums, IEEE sqrt·sqrt denominator, 0.0 on zero norm) — the
+    * broadcast routing path must rank by the IDENTICAL doubles the
+    * literal path's expression produces, or the two paths could
+    * disagree on near-tie assignments.
+    */
+  private def cosineExact(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** The above-[[FrozenLiteralCap]] routing path: the frozen quantizer
+    * ships as ONE broadcast variable (nl1 × dims floats) and each
+    * vector routes in a stateless mapPartitions argmax — max cosine,
+    * lowest c1 on exact ties, the same total order as
+    * [[assignToFrozen]] (Round20OpsSpec pins path parity, ties
+    * included). No literal tree, so plan cost is O(1) in nl1; per-row
+    * work is the same O(nl1·dims) both paths pay. Streaming-legal
+    * (stateless, no shuffle). The price vs the literal path is leaving
+    * whole-stage codegen — which is why the literal spelling remains
+    * the default below the cap. A null/absent embedding routes like an
+    * empty array (all cosines 0.0 → lowest c1), deterministically.
+    */
+  private[graft] def assignToFrozenBroadcast(spark: SparkSession,
+      cents: Seq[(Long, Array[Float])], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    require(cents.nonEmpty, "frozen-centroid assignment needs >= 1 centroid")
+    val sorted = cents.sortBy(_._1).toArray
+    val bc = df.sparkSession.sparkContext.broadcast(sorted)
+    val embIdx = df.schema.fieldIndex("embedding")
+    val outSchema = df.schema.add("c1", LongType)
+    df.mapPartitions { it =>
+      val cs = bc.value
+      it.map { row =>
+        val emb: Array[Float] =
+          if (row.isNullAt(embIdx)) Array.emptyFloatArray
+          else row.getSeq[Float](embIdx).toArray
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var k = 0
+        while (k < cs.length) {
+          val cos = cosineExact(emb, cs(k)._2)
+          // strict > keeps the FIRST maximum — centroids are sorted by
+          // c1 ascending, so ties resolve to the lowest c1, matching
+          // the literal path's (cos, −c1) struct order
+          if (cos > bestCos) { bestCos = cos; best = k }
+          k += 1
+        }
+        Row.fromSeq(row.toSeq :+ cs(best)._1)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** The frozen level-1 quantizer for `dir`'s corpus, collected to the
@@ -480,8 +565,17 @@ ORDER BY c1"""
           StructField("label", IntegerType)))
         val stream = graft.Tables.streamTable(spark, dir, "embeddings", embSchema)
         val sinkName = graft.GraftSession.newSinkName(spark, "ivs")
-        val q = stream
-          .withColumn("c1", assignToFrozen(cents))
+        // literal-expression routing up to FrozenLiteralCap = 512 (the
+        // measured codegen crossover — the catalog's nl1 = min(4096,
+        // ceil(sqrt(T))) reaches 512 only past ~7e10 vectors); above
+        // it the broadcast argmax routes, which is also the 100 TB
+        // path where nl1 ≈ √n outgrows any literal tree
+        // (Round20OpsSpec pins path parity, ties included)
+        val routed =
+          if (cents.size <= FrozenLiteralCap)
+            stream.withColumn("c1", assignToFrozen(cents))
+          else assignToFrozenBroadcast(spark, cents, stream)
+        val q = routed
           .groupBy($"c1")
           .agg(
             count(lit(1)).as("n_members"),

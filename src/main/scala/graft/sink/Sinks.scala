@@ -78,7 +78,12 @@ object Sinks {
     * directory was kept.
     */
   def writeNdjsonNonEmpty(df: DataFrame, path: String): Boolean = {
-    df.write.mode("overwrite").json(path)
+    // compression pinned off: the emptiness heuristic below reads
+    // "no rows" as zero part-file bytes, which only holds for plain
+    // JSON — a codec configured session-wide would write nonzero-length
+    // headers for empty triggers and silently keep every empty dir
+    // (r19 ADVICE)
+    df.write.mode("overwrite").option("compression", "none").json(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val bytes = fs.listStatus(p)

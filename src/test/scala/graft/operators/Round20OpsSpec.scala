@@ -105,4 +105,33 @@ class Round20OpsSpec extends AnyFunSuite {
     }
     StageViews.unpersistAll(spark)
   }
+
+  // ---- frozen-quantizer routing: literal vs broadcast path parity ----
+
+  test("assignToFrozenBroadcast equals the literal greatest() path, ties included") {
+    import spark.implicits._
+    // deterministic synthetic quantizer + vectors; centroid 7 is a
+    // bit-identical COPY of centroid 2 (a scaled copy would perturb
+    // float rounding and break the tie), so every vector nearest that
+    // direction is an exact cosine tie the lowest-c1 rule must break
+    // identically on both paths
+    val dims = 8
+    def unit(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => (((seed * 131 + d * 17) % 97) - 48).toFloat / 48f)
+    val cents: Seq[(Long, Array[Float])] =
+      (0L until 7L).map(c => c -> unit(c.toInt)) :+ (7L -> unit(2))
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => (((i * 37 + d * 13) % 89) - 44).toFloat / 44f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val viaLiteral = vecs.withColumn("c1", Similarity.assignToFrozen(cents))
+      .select("vec_id", "c1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = Similarity.assignToFrozenBroadcast(spark, cents, vecs)
+      .select("vec_id", "c1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBroadcast == viaLiteral, "routing paths disagree")
+    // the tie trap must actually bite: some vector routes to c1=2 and
+    // NONE to the duplicate direction c1=7 (lowest-c1 tie-break)
+    assert(viaLiteral.values.exists(_ == 2L), "tie fixture vacuous — no vector near the shared direction")
+    assert(!viaLiteral.values.exists(_ == 7L), "tie-break failed: duplicate-direction centroid won")
+  }
 }
