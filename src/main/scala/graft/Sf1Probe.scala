@@ -241,6 +241,36 @@ object Sf1Probe {
         SparkSession.clearDefaultSession()
         (r, Nil)
       } else {
+        // Throwaway JVM-warmup SESSION (r19 VERDICT task 2, adjudicated
+        // r20): the slowness of shard 0's canary is scoped to the
+        // JVM's FIRST SparkContext, not to JIT rep counts — with THREE
+        // discarded in-session reps of every canary member, the 6th
+        // wm execution of context #1 still read 7.2 s while context
+        // #2's first read 2.2 s (r19 baseline: 8.38 s with no warmup,
+        // 7.54 s with one rep). Same class as the r11 lesson above
+        // (never measure in the replica-BUILD context): context #1 is
+        // structurally slow at sf1 scale, so burn it on warmup work
+        // and measure only in contexts #2+ — shard 0 then starts
+        // exactly as hot as shards 1–7.
+        locally {
+          val s = newSession()
+          s.range(1000000).selectExpr("sum(id)").collect()
+          currentQuery = "jvm_warmup"
+          try SparkEntry.catalog.find(_.name == "q_rate_window_stream")
+            .get.run(s, out).count()
+          catch { case _: Throwable => () }
+          GraftSession.dropStreamSinks(s)
+          for (name <- ShardCanary) {
+            try SparkEntry.catalog.find(_.name == name).get.run(s, out).count()
+            catch { case _: Throwable => () }
+            GraftSession.dropStreamSinks(s)
+          }
+          operators.StageViews.unpersistAll(s)
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          println("[sf1] jvm warmup context retired (measurement starts at context #2)")
+        }
         // cost-balanced contiguous cuts from the last committed SF1
         // record (r19 VERDICT task 1: alphabetical fixed-size cuts left
         // shard 6 at 122 s vs shard 7's 49 s); fixed-size when absent
@@ -262,19 +292,8 @@ object Sf1Probe {
             .get.run(s, out).count()
           catch { case _: Throwable => () }
           GraftSession.dropStreamSinks(s)
-          if (i == 0) {
-            // one discarded rep of each mini-canary member: shard 0 is
-            // the only FIRST-JVM session, and r19's shard-0 canary read
-            // q_weighted_median at 8.38 s vs 1.7–2.6 s on every later
-            // shard — first-session JIT + cold page cache contaminating
-            // the one cross-round-comparable canary (r19 VERDICT task 2)
-            ShardCanary.foreach { name =>
-              currentQuery = s"canary0_warmup:$name"
-              try SparkEntry.catalog.find(_.name == name).get.run(s, out).count()
-              catch { case _: Throwable => () }
-              GraftSession.dropStreamSinks(s)
-            }
-          }
+          // (shard-0 cold-start handled by the throwaway warmup
+          // SESSION before this loop — see its comment)
           val canary = shardCanaryOn(s, i)
           val t0 = System.nanoTime()
           val res = qs.map(runQuery(s, _))
