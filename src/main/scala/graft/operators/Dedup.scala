@@ -714,6 +714,80 @@ ORDER BY cluster_size"""
     },
     Some(clusterSizesSql(DuckSql)))
 
+  // ============ quality-aware canonicalization (keep BEST, not min-id) ============
+
+  /** The dup-cluster ACTION a real training pipeline runs: keep the
+    * highest-QUALITY member of each duplicate cluster, not the min-id
+    * one. [[qClusters]]' min-id canonical is the graph-theoretic
+    * convention; when near-dups differ (a truncated mirror vs the full
+    * article), the keep decision should prefer the better copy. Rank
+    * inside each cluster by token count DESC (keep the longest — the
+    * standard completeness heuristic), then stopword mass DESC (the
+    * [[TextAnalysis.qQuality]] naturalness signal), then doc_id ASC —
+    * all integers, so the order is bit-identical across engines.
+    * Output: every doc with its cluster, metrics, keep verdict, and
+    * `best_doc` (the cluster's chosen canonical — the join spine a
+    * keep-filter or redirect table needs).
+    *
+    * Scale shape: rides the cached `cc_comp_v` assignment stage (zero
+    * new candidate generation); the metric relation is one narrow
+    * map-side scan of documents (size/filter HOFs, no explode); the
+    * rank windows partition by cluster_rep — cluster-sized, never
+    * corpus-wide. first_value's default running frame is correct
+    * because the best row sorts FIRST in its partition.
+    */
+  private def keepBestSql(d: SqlDialect): String = {
+    val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+    val order = "ORDER BY m.n_words DESC, m.n_stop DESC, c.doc_id"
+    s"""
+WITH RECURSIVE ${clusterCtes(d)},
+dw2 AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+sw2 AS (${d.series("doc_id, w", d.len("w"), "i", "dw2")}),
+met AS (SELECT dw2.doc_id, CAST(${d.len("w")} AS BIGINT) AS n_words,
+               CAST(coalesce(sc.n_stop, 0) AS BIGINT) AS n_stop
+        FROM dw2 LEFT JOIN (
+          SELECT doc_id, sum(CASE WHEN ${d.el("w", "i")} IN $stop THEN 1 ELSE 0 END) AS n_stop
+          FROM sw2 GROUP BY doc_id) sc ON dw2.doc_id = sc.doc_id),
+rnk AS (SELECT c.doc_id, c.cluster_rep, m.n_words, m.n_stop,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_rep $order) AS r,
+               first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep $order) AS best_doc
+        FROM comp c JOIN met m ON c.doc_id = m.doc_id)
+SELECT doc_id, cluster_rep, n_words, n_stop, r = 1 AS keep,
+       CAST(best_doc AS BIGINT) AS best_doc
+FROM rnk
+ORDER BY doc_id"""
+  }
+
+  val qKeepBest = Q(
+    "q_dedup_keep_best",
+    (spark, dir) => {
+      val stop = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+      clusterAssignments(spark, dir, Tables.documents(spark, dir))
+      val order = "ORDER BY m.n_words DESC, m.n_stop DESC, c.doc_id"
+      spark.sql(s"""
+SELECT doc_id, cluster_rep, n_words, n_stop, r = 1 AS keep,
+       CAST(best_doc AS BIGINT) AS best_doc
+FROM (SELECT c.doc_id, c.cluster_rep, m.n_words, m.n_stop,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_rep $order) AS r,
+             first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep $order) AS best_doc
+      FROM cc_comp_v c
+      JOIN (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(size(filter(split(text, ' '), x -> x IN $stop)) AS BIGINT) AS n_stop
+            FROM documents) m
+        ON c.doc_id = m.doc_id)
+ORDER BY doc_id""")
+    },
+    Some(keepBestSql(DuckSql)))
+
+  /** Keep-best verdicts over an arbitrary corpus (spec entry point:
+    * the fixture proves the quality choice DIFFERS from min-id).
+    */
+  private[graft] def keepBestOn(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    StageViews.ensure(spark, "documents", key)(StageViews.widen(spark, docs, "doc_id"))
+    qKeepBest.run(spark, key)
+  }
+
   // ================= transitivity audit over the dup graph =================
 
   /** Global clustering coefficient of the verified-pair graph — the
@@ -2033,7 +2107,7 @@ ORDER BY dl.doc_id""")
 
   val all: Seq[Q] =
     Seq(qExact, qNgram, qContainment, qMinhash, qEditDist, qMinhashEstErr,
-      qClusters, qClusterSizes, qDupTransitivity, qHopDistance,
+      qClusters, qClusterSizes, qKeepBest, qDupTransitivity, qHopDistance,
       qIncremental, qSimhash, qSimhash64, qEmbed, qEmbedClusters,
       qEmbedIncremental, qEmbedIncrStream, qDedupStreamExact,
       qDedupStreamWindowed, qPageRank, qSpans, qSpanExcise)

@@ -106,6 +106,66 @@ class Round20OpsSpec extends AnyFunSuite {
     StageViews.unpersistAll(spark)
   }
 
+  // ---- quality-aware canonicalization (keep best, not min-id) ----
+
+  test("keep-best: longest wins, stopword tie-break, identical-pair id tie, singletons") {
+    import spark.implicits._
+    val base = (1 to 60).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (10L, base, "en"),                                         // 60 words
+      (11L, base + " " + (1 to 5).map("e" + _).mkString(" "), "en"), // 65 words, superset near-dup
+      (13L, (1 to 30).map("v" + _).mkString(" "), "en"),         // identical pair
+      (14L, (1 to 30).map("v" + _).mkString(" "), "en"),
+      // one-word difference (jaccard 55/57 ≈ 0.965 — a 0.89 variant
+      // lost the deterministic banding draw): equal length, doc16
+      // carries the one stopword
+      (15L, (1 to 58).map("u" + _).mkString(" ") + " qq zz", "en"),
+      (16L, (1 to 58).map("u" + _).mkString(" ") + " qq the", "en"),
+      (17L, (1 to 10).map("x" + _).mkString(" "), "en"))         // singleton
+    val got = Dedup.keepBestOn(spark, "r20-keepbest",
+        docs.toDF("doc_id", "text", "lang")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5))).toMap
+    try {
+      // {10, 11}: the LONGER doc wins — the keep verdict DIFFERS from
+      // the min-id canonical (cluster_rep is still 10)
+      assert(got(10L) == ((10L, 60L, 0L, false, 11L)), s"doc10: ${got(10L)}")
+      assert(got(11L) == ((10L, 65L, 0L, true, 11L)), s"doc11: ${got(11L)}")
+      // {13, 14}: identical metrics → lowest doc_id keeps
+      assert(got(13L) == ((13L, 30L, 0L, true, 13L)))
+      assert(got(14L) == ((13L, 30L, 0L, false, 13L)))
+      // {15, 16}: equal length → stopword mass breaks the tie AGAINST min-id
+      assert(got(15L) == ((15L, 60L, 0L, false, 16L)), s"doc15: ${got(15L)}")
+      assert(got(16L) == ((15L, 60L, 1L, true, 16L)), s"doc16: ${got(16L)}")
+      // singleton keeps itself
+      assert(got(17L) == ((17L, 10L, 0L, true, 17L)))
+    } finally StageViews.unpersistAll(spark)
+  }
+
+  test("keep-best laws vs q_dedup_clusters on the oracle corpus") {
+    StageViews.documents(spark, OracleSf)
+    val clusters = Dedup.qClusters.run(spark, OracleSf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kb = Dedup.qKeepBest.run(spark, OracleSf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5))).toSeq
+    assert(kb.size == clusters.size, "full doc spine")
+    // identical cluster assignment (both ride cc_comp_v)
+    kb.foreach { case (id, rep, _, _, _, _) => assert(clusters(id) == rep) }
+    // exactly ONE keep per cluster, and it is the best_doc every
+    // member agrees on
+    kb.groupBy(_._2).foreach { case (rep, members) =>
+      val keeps = members.filter(_._5)
+      assert(keeps.size == 1, s"cluster $rep keeps ${keeps.size}")
+      assert(members.map(_._6).distinct == Seq(keeps.head._1),
+        s"cluster $rep best_doc disagrees")
+      // the keep is maximal under (n_words DESC, n_stop DESC, id ASC)
+      val best = members.minBy(m => (-m._3, -m._4, m._1))
+      assert(keeps.head._1 == best._1, s"cluster $rep kept ${keeps.head._1}, best is ${best._1}")
+    }
+    StageViews.unpersistAll(spark)
+  }
+
   // ---- frozen-quantizer routing: literal vs broadcast path parity ----
 
   test("assignToFrozenBroadcast equals the literal greatest() path, ties included") {
