@@ -307,6 +307,26 @@ object ScaleSmoke {
           s"x$m replication must fully cover every >=5-token doc: $full of $d5 covered")
       }
       println(s"[scale] span grams exactly linear; full coverage law holds at x${spanMultiples.last}")
+      // EXCISION law (r20) at the top multiple, over the same ensured
+      // stages: full coverage means every ≥5-token doc merges to
+      // exactly ONE excision region spanning the whole doc (kept 0,
+      // excised == all), and every <5-token doc keeps everything with
+      // zero regions — integer-exact per doc, checked as corpus-wide
+      // violation counts so nothing collects to the driver.
+      locally {
+        val m = spanMultiples.last
+        val t0e = System.nanoTime()
+        val bad = operators.Dedup.qSpanExcise.run(spark, s"scale-span-$m")
+          .selectExpr(
+            "sum(CASE WHEN n_tokens >= 5 AND NOT (kept_tokens = 0 AND n_spans = 1 AND n_dup_tokens = n_tokens) THEN 1 ELSE 0 END) AS bad5",
+            "sum(CASE WHEN n_tokens < 5 AND NOT (kept_tokens = n_tokens AND n_spans = 0) THEN 1 ELSE 0 END) AS bad_s",
+            "count(*) AS n").head()
+        val sec = (System.nanoTime() - t0e) / 1e9
+        println(f"[scale] spanexc x$m%-3d docs=${bad.getLong(2)}%8d bad5=${bad.getLong(0)} badshort=${bad.getLong(1)}  $sec%7.2f s")
+        require(bad.getLong(0) == 0L && bad.getLong(1) == 0L,
+          s"span excision laws violated at x$m: ${bad.getLong(0)} covered docs " +
+            s"not fully excised as one region, ${bad.getLong(1)} short docs not kept whole")
+      }
     }
 
     // ---- RAKE keyphrases (r19): word scores are ratios of two ×m
