@@ -203,14 +203,21 @@ object Bench {
     * pressure if the cost record is badly stale. Simulated on SF1_r19:
     * max/min shard cost 2.5 → 1.06.
     */
+  /** @param repMult how many timed executions each query's swept
+    *   seconds stand for in the cost model — 2 for Bench (min-of-two)
+    *   and the probe's rep count for Sf1Probe, so query seconds and
+    *   stage-build seconds are weighted on the same wall-clock scale
+    *   (r20 ADVICE: reusing 2 under Reps=10 underweighted query time
+    *   ~5x and skewed boundaries toward build-heavy families).
+    */
   private[graft] def costBalancedShards[T](items: Seq[(String, T)],
       costs: Map[String, Double], buildCosts: Map[String, Double],
-      maxPerShard: Int): Seq[Seq[(String, T)]] = {
+      maxPerShard: Int, repMult: Double = 2.0): Seq[Seq[(String, T)]] = {
     if (costs.isEmpty) return items.grouped(maxPerShard).toSeq
     val known = costs.values.toSeq.sorted
     val fallback = known(known.size / 2)
     def cost(n: String): Double =
-      2 * costs.getOrElse(n, fallback) + buildCosts.getOrElse(n, 0.0)
+      repMult * costs.getOrElse(n, fallback) + buildCosts.getOrElse(n, 0.0)
     val k = math.max(1, math.ceil(items.size.toDouble / maxPerShard).toInt)
     val hardCap = maxPerShard + maxPerShard / 2
     val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, T)]]
@@ -221,10 +228,17 @@ object Bench {
     items.zipWithIndex.foreach { case (item, i) =>
       val c = cost(item._1)
       val target = remTotal / remShards
-      if (cur.nonEmpty && remShards > 1 &&
-          (acc + c / 2 > target || cur.size >= hardCap) &&
-          items.size - i >= remShards - 1) {
-        out += cur.toVector; remTotal -= acc; remShards -= 1
+      // The hard cap binds even on the LAST planned shard (r20 ADVICE:
+      // the old remShards > 1 guard let a stale cost record pile every
+      // remaining query into the final shard unbounded, re-creating
+      // exactly the accumulated cache/heap pressure the cap bounds).
+      // Cutting past k shards is fine — pressure isolation is the goal,
+      // the shard count is only a target.
+      val capCut = cur.size >= hardCap
+      val costCut = remShards > 1 && acc + c / 2 > target &&
+        items.size - i >= remShards - 1
+      if (cur.nonEmpty && (capCut || costCut)) {
+        out += cur.toVector; remTotal -= acc; remShards = math.max(1, remShards - 1)
         cur = scala.collection.mutable.ArrayBuffer.empty; acc = 0.0
       }
       cur += item; acc += c
@@ -355,26 +369,35 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1), qCosts, bCosts, ShardSize)
     System.err.println(s"[bench] shard plan: ${shards.size} shards, " +
       (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))
+    // Throwaway JVM-warmup SESSION (r20 ADVICE, the proven Sf1Probe
+    // fix): the JVM's FIRST SparkContext is structurally slow — the r20
+    // sf1 adjudication showed discarded in-context reps do NOT repair it
+    // (the 6th execution in context #1 still read 7.2 s vs 2.2 s for
+    // context #2's first) — so context #1 burns representative work and
+    // every MEASURED session, including shard 0's, is context #2+.
+    // This moves the frozen canary basket onto a context-#2 basis
+    // (documented in OPTIMIZATION_r21.md): shard 0's ~30 swept queries
+    // previously carried first-context inflation no other shard paid.
+    locally {
+      val s = newSession(cpus)
+      Tables.lineitem(s, sfDir).limit(1).collect()
+      currentQuery = "jvm_warmup"
+      (Seq("q_rate_window_stream") ++ ShardCanary).foreach { name =>
+        try SparkEntry.queries(name)(s, sfDir).count()
+        catch { case _: Throwable => () }
+        GraftSession.dropStreamSinks(s)
+      }
+      operators.StageViews.unpersistAll(s)
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.err.println("[bench] jvm warmup context retired (measurement starts at context #2)")
+    }
     val perShard = shards.zipWithIndex.map { case (qs, i) =>
       val s = newSession(cpus)
       Tables.lineitem(s, sfDir).limit(1).collect()
       streamingWarmup(s, s"shard${i}_warmup")
       if (i == 0) canarySec = canaryOn(s, canary, "canary")
-      if (i == 0) {
-        // shard 0 is the only FIRST-JVM session: one discarded rep of
-        // each mini-canary member after the frozen basket (so the
-        // frozen baseline's basis is untouched) burns off residual
-        // first-session JIT/page-cache cost that r19 left in the one
-        // cross-round-comparable shard canary (r19 VERDICT task 2;
-        // sf1: q_weighted_median 8.38 s on shard 0 vs 1.7–2.6 s
-        // everywhere else)
-        ShardCanary.foreach { name =>
-          currentQuery = s"canary0_warmup:$name"
-          try SparkEntry.queries(name)(s, sfDir).count()
-          catch { case _: Throwable => () }
-          GraftSession.dropStreamSinks(s)
-        }
-      }
       val shardCanary = canaryOn(s, ShardCanary, s"canary$i")
       val t0 = System.nanoTime()
       val res = qs.flatMap { case (name, fn) =>
@@ -436,7 +459,29 @@ object Bench {
     operators.StageViews.unpersistAll(spark2)
     spark2.stop()
 
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Stall repair (r20 VERDICT task 1): a machine stall that hits BOTH
+    // min-of-two attempts poisons the committed swept number, and the
+    // record's own iso channel flags it (swept/iso >= StallRatio) without
+    // the primary total being able to self-repair — BENCH_r20 carried
+    // ~30 s of visible stall on five queries this way. The iso run IS
+    // the bounded fresh-session retry: for flagged movers commit
+    // min(swept, iso) and itemize the original as `stalled`, so every
+    // committed per-query second is <= 1.5x its isolated cost or carries
+    // the annotation. The `iso` array keeps the ORIGINAL swept seconds.
+    val StallRatio = 1.5
+    val sweptRaw = results.toMap
+    val stalledRepairs = isolated.filter { case (n, iso) =>
+      iso > 0 && sweptRaw(n) >= StallRatio * iso
+    }
+    val committedByName = sweptRaw ++ stalledRepairs.map { case (n, iso) =>
+      n -> math.min(sweptRaw(n), iso)
+    }
+    if (stalledRepairs.nonEmpty)
+      System.err.println("[bench] stall repair: " + stalledRepairs.map { case (n, iso) =>
+        f"$n ${sweptRaw(n)}%.2f->${iso}%.2f" }.mkString(", "))
+    val committed = results.map { case (n, _) => n -> committedByName(n) }
+
+    val total = if (committed.nonEmpty) committed.map(_._2).sum else 0.0
     // Per-query min-of-two excludes one-time stage builds (attempt 2
     // hits the cache); stage_sec reports that excluded build cost, and
     // the file sink carries the full per-build attribution array.
@@ -451,11 +496,24 @@ object Bench {
     val stageTopJson = topStages.map(b =>
       s"""["${b.view}","${b.chargedTo}",${fmt2(b.sec)}]""").mkString("[", ",", "]")
     val stageOther = stageSec - topStages.map(_.sec).sum
-    val sweptByName = results.toMap
     // [name, swept_sec, isolated_sec] triples — the sweep-pressure
-    // delta the r12 inversions needed measured, not inferred
+    // delta the r12 inversions needed measured, not inferred. Carries
+    // the ORIGINAL swept seconds even when the stall repair above
+    // committed the iso number, so the repair is auditable in-record.
     val isoJson = isolated.map { case (n, s) =>
-      s"""["$n",${fmt2(sweptByName(n))},${fmt2(s)}]""" }.mkString("[", ",", "]")
+      s"""["$n",${fmt2(sweptRaw(n))},${fmt2(s)}]""" }.mkString("[", ",", "]")
+    // [name, original_swept_sec] pairs whose committed value came from
+    // the fresh-session retry (the VERDICT-r20 `stalled` annotation)
+    val stalledJson = stalledRepairs.map { case (n, _) =>
+      s"""["$n",${fmt2(sweptRaw(n))}]""" }.mkString("[", ",", "]")
+    // per-shard q_weighted_median mini-canary on the PARSED stdout line
+    // (r20 VERDICT task 1: the driver-parsed record, not just
+    // BENCH_FULL, must be able to adjudicate intra-run machine drift)
+    val shardWmJson = shardMeta.map { m =>
+      val wm = m.canary.collectFirst { case ("q_weighted_median", s) => fmt2(s) }
+        .getOrElse("-1")
+      wm
+    }.mkString("[", ",", "]")
     val gcJson = gcMs.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
     val canaryJson = canarySec.map { case (n, s) => s""""$n":${fmt2(s)}""" }
       .mkString("{", ",", "}")
@@ -480,7 +538,7 @@ object Bench {
       val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson,"shards":$shardsJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)},"n_shards":${shardMeta.size}$builds,"canary":$canaryJson,"canary_ratio":${fmt(canaryRatio)},"normalized_total":${fmt(normalizedTotal)},"iso":$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)},"n_shards":${shardMeta.size}$builds,"canary":$canaryJson,"canary_ratio":${fmt(canaryRatio)},"normalized_total":${fmt(normalizedTotal)},"iso":$isoJson,"stalled":$stalledJson,"shard_wm":$shardWmJson,"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).
@@ -489,11 +547,11 @@ object Bench {
     val outPath = java.nio.file.Paths.get(out)
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
-      (jsonLine(results, full = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonLine(committed, full = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full per-query record: $out")
     // Compact headline subset → stdout: the driver parses a bounded tail
     // of stdout, so this line must stay well under 2000 chars.
-    val line = jsonLine(headline.flatMap(h => sweptByName.get(h).map(h -> _)), full = false)
+    val line = jsonLine(headline.flatMap(h => committedByName.get(h).map(h -> _)), full = false)
     if (line.length > 1900)
       System.err.println(s"[bench] WARN stdout line ${line.length} chars — trim headline")
     println(line)

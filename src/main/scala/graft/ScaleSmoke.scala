@@ -210,9 +210,26 @@ object ScaleSmoke {
       // vocabulary-sized (~100k rows here), which must stay well under
       // 1 GiB live.
       val rawHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      // System.gc() is ADVISORY: under -XX:+DisableExplicitGC (or a
+      // collector that ignores the hint) the post-gc reading stays at
+      // the raw value and the gate would fail on uncollected garbage
+      // rather than the trainer's live set (r19 ADVICE). Detect the
+      // ineffective hint DIRECTLY from the collector MXBeans' collection
+      // counts (r20 ADVICE: the old heap-ratio heuristic could not
+      // distinguish a disabled System.gc() from a genuinely mostly-live
+      // heap, silently skipping the gate in exactly the regression case
+      // it guards): if no collector ran a single collection across two
+      // explicit System.gc() calls, the hint was ignored.
+      def gcCount(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionCount)).sum
+      }
+      val gcCountBefore = gcCount()
       // two GC passes: a single System.gc() is advisory and an
       // incomplete collection leaves floating garbage above the bound
       System.gc(); System.gc()
+      val gcEffective = gcCount() > gcCountBefore
       val liveHeapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
       val LiveHeapBoundMb = 1024L
       println(f"[scale] bpe jobs: steps=1024 wide-vocab -> $j1024 jobs, $m1024 merges learned, $t1024%6.2f s (driver heap: raw ${rawHeapMb}%d MiB, live ${liveHeapMb}%d MiB, gate $LiveHeapBoundMb MiB)")
@@ -221,14 +238,6 @@ object ScaleSmoke {
       // a much larger sfDir the gate would trip on them, not on the
       // trainer; the message names both candidates rather than blaming
       // the collect unconditionally.
-      // System.gc() is ADVISORY: under -XX:+DisableExplicitGC (or a
-      // collector that ignores the hint) the post-gc reading stays at
-      // the raw value and the gate would fail on uncollected garbage
-      // rather than the trainer's live set (r19 ADVICE). Detect the
-      // ineffective collection — reading above the bound AND barely
-      // below raw — and skip with a warning instead; the vocabRows
-      // gate below still binds the collect's actual size either way.
-      val gcEffective = liveHeapMb < LiveHeapBoundMb || liveHeapMb < rawHeapMb * 9 / 10
       if (!gcEffective)
         println(s"[scale] WARN: explicit GC ineffective (raw $rawHeapMb MiB -> " +
           s"post-gc $liveHeapMb MiB) — live-heap gate SKIPPED this run; the " +

@@ -275,8 +275,11 @@ object Sf1Probe {
         // record (r19 VERDICT task 1: alphabetical fixed-size cuts left
         // shard 6 at 122 s vs shard 7's 49 s); fixed-size when absent
         val (costSrc, qCosts, bCosts) = Bench.latestRoundCosts("SF1")
+        // repMult = Reps: this probe sweeps each query Reps times, so
+        // query seconds must be weighted Reps x (not Bench's 2 x) to sit
+        // on the same wall-clock scale as stage-build seconds (r20 ADVICE)
         val shards = Bench.costBalancedShards(
-          sorted.map(q => q.name -> q), qCosts, bCosts, ShardSize)
+          sorted.map(q => q.name -> q), qCosts, bCosts, ShardSize, Reps.toDouble)
           .map(_.map(_._2))
         println(s"[sf1] shard plan: ${shards.size} shards, " +
           (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function laws of the bench shard cutter (no Spark session).
+  * r20 ADVICE: the 1.5x hard cap must bind on the LAST planned shard
+  * too — with a stale cost record that prices alphabetically-early
+  * queries expensive, the old remShards > 1 guard cut the first k-1
+  * shards small and piled everything else into the final shard.
+  */
+class BenchShardSpec extends AnyFunSuite {
+
+  private def items(n: Int): Seq[(String, Int)] =
+    (0 until n).map(i => f"q$i%03d" -> i)
+
+  test("hard cap binds on every shard, including past the planned count") {
+    // stale record: the first 10 queries look enormous, the rest cheap
+    val costs = items(100).map { case (n, i) =>
+      n -> (if (i < 10) 100.0 else 0.01)
+    }.toMap
+    val shards = Bench.costBalancedShards(items(100), costs, Map.empty, 30)
+    val hardCap = 30 + 30 / 2
+    assert(shards.forall(_.size <= hardCap),
+      s"shard over cap: sizes ${shards.map(_.size)}")
+    assert(shards.flatten == items(100), "order/coverage must be preserved")
+  }
+
+  test("balanced costs cut near the target count with no empty shards") {
+    val costs = items(90).map { case (n, _) => n -> 1.0 }.toMap
+    val shards = Bench.costBalancedShards(items(90), costs, Map.empty, 30)
+    assert(shards.nonEmpty && shards.forall(_.nonEmpty))
+    assert(shards.flatten == items(90))
+    assert(shards.size >= 3 && shards.size <= 4)
+  }
+
+  test("no cost record degrades to fixed-size grouping") {
+    val shards = Bench.costBalancedShards(items(65), Map.empty, Map.empty, 30)
+    assert(shards.map(_.size) == Seq(30, 30, 5))
+  }
+
+  test("repMult reweights query seconds against build seconds") {
+    // two expensive-query regions; under repMult=10 the query seconds
+    // dominate the single big build and boundaries shift accordingly
+    val base = items(60)
+    val costs = base.map { case (n, i) => n -> (if (i < 30) 2.0 else 0.1) }.toMap
+    val builds = Map("q045" -> 60.0)
+    val s2 = Bench.costBalancedShards(base, costs, builds, 30, 2.0)
+    val s10 = Bench.costBalancedShards(base, costs, builds, 30, 10.0)
+    assert(s2.flatten == base && s10.flatten == base)
+    // first-shard size shrinks when query cost is weighted 5x higher
+    assert(s10.head.size <= s2.head.size)
+  }
+}
