@@ -40,10 +40,18 @@ object GraftSession {
     *   cluster the flag flips back on for liveness; it is a
     *   terminating-run (AvailableNow) economy.
     */
-  def withStreamingShuffle[A](spark: SparkSession, n: Int = 8,
+  /** Default streaming state-partition count; overridable for probe
+    * experiments via SPARK_GRAFT_STREAM_PARTS (callers passing an
+    * explicit `n` are untouched).
+    */
+  private val DefaultStreamParts: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
+
+  def withStreamingShuffle[A](spark: SparkSession, n: Int = -1,
       noDataBatch: Boolean = true)(body: => A): A = {
+    val parts = if (n > 0) n else DefaultStreamParts
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       if (noDataBatch) body
       else withConf(spark,

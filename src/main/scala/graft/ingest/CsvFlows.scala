@@ -76,8 +76,23 @@ object CsvFlows {
       // xml needs its record-framing tag on both legs (csv's `header`
       // is ignored by the other writers, rowTag by the non-xml ones)
       val fmtOpts = if (fmt == "xml") Map("rowTag" -> "event") else Map.empty[String, String]
-      graft.Tables.events(spark, dir)
+      // XML only: the StAX encode is CPU-bound per row, and the small-SF
+      // events table arrives as ONE parquet split, so the encode leg ran
+      // as a single task while every other core idled (guide §2.5's
+      // unsplittable-input shape). Round-robin repartition to the
+      // session's parallelism moves 5 narrow columns once; same-window
+      // A/B at sf0.1: xml 1.46 -> 0.97 s, but csv 0.67 -> 0.97 and
+      // orc 0.57 -> 0.82 — for cheap encoders the exchange plus
+      // many-small-files overhead LOSES at this volume (guide §6 sizes
+      // output files by bytes, and 2 MB is correctly one file), so only
+      // the CPU-heavy format pays for parallelism. Aggregation output
+      // is partition-order invariant (BIGINT sums/min/max).
+      val src = graft.Tables.events(spark, dir)
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      val writeSrc =
+        if (fmt == "xml") src.repartition(spark.sparkContext.defaultParallelism)
+        else src
+      writeSrc
         .write.mode("overwrite").option("header", "true").options(fmtOpts).format(fmt).save(tmp)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),

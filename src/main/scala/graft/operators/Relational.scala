@@ -493,27 +493,34 @@ FROM events GROUP BY user_id ORDER BY user_id""")
     * runaway recursion at spark.sql.cteRecursionLevelLimit (default
     * 100), which a log-depth tree never approaches.
     */
-  private def hierarchySql(d: SqlDialect): String = s"""
+  private def hierarchySql(d: SqlDialect, rel: String = "customer"): String = s"""
 WITH RECURSIVE anc AS (
   SELECT c_custkey AS id, 0 AS depth
-  FROM customer WHERE c_custkey = 1
+  FROM $rel WHERE c_custkey = 1
   UNION ALL
   SELECT c.c_custkey AS id, a.depth + 1 AS depth
-  FROM customer c JOIN anc a ON ${d.idiv("c.c_custkey", "2")} = a.id
+  FROM $rel c JOIN anc a ON ${d.idiv("c.c_custkey", "2")} = a.id
   WHERE c.c_custkey > 1)
 SELECT CAST(a.depth AS BIGINT) AS depth, count(*) AS n_nodes,
        CAST(min(a.id) AS BIGINT) AS min_id,
        CAST(max(a.id) AS BIGINT) AS max_id,
        CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
-FROM anc a JOIN customer c ON a.id = c.c_custkey
+FROM anc a JOIN $rel c ON a.id = c.c_custkey
 GROUP BY a.depth
 ORDER BY depth"""
 
   val qHierarchy = Q(
     "q_hierarchy_rollup",
     (spark, dir) => {
-      StageViews.ensure(spark, "customer", dir)(Tables.customer(spark, dir))
-      spark.sql(hierarchySql(SparkSql))
+      // Cached relation for the RECURSION (r21): UnionLoopExec re-plans
+      // and re-executes the step per level, so an uncached view re-reads
+      // the parquet O(depth) times per run — with a cached relation each
+      // level is an InMemoryTableScan (measured 2.8 -> 2.0 s at sf0.1;
+      // AQE-off was also tried and LOST, 3.5 s). A private view name,
+      // not the shared `customer`: Sketches re-registers that name
+      // bare, which would invalidate this cache mid-session.
+      StageViews.ensureCached(spark, "customer_c", dir)(Tables.customer(spark, dir))
+      spark.sql(hierarchySql(SparkSql, "customer_c"))
     },
     Some(hierarchySql(DuckSql)))
 

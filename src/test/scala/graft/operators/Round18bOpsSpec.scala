@@ -378,7 +378,10 @@ class Round18bOpsSpec extends AnyFunSuite {
       "q_bm25_prf", "q_phrase_search", "q_hard_negatives", "q_best_snippet",
       "q_facet_counts", "q_retrieval_mrr", "q_retrieval_ndcg",
       "q_dsir_weights", "q_dedup_simhash64", "q_text_collocations",
-      "q_rake_keyphrases", "q_dedup_spans", "q_retrieval_recall")
+      "q_rake_keyphrases", "q_dedup_spans", "q_retrieval_recall",
+      // r21 staged finals: sim_pairs_v / ngp_v (Round21OpsSpec pins
+      // staged == self-contained; this gate pins the substitution)
+      "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_doc_containment")
     // q_dedup_span_excise is deliberately NOT gated: its output is
     // corpus-sized (every doc's kept text), so the steady state MUST
     // re-read (doc_id, text) from the source store once per run — the
