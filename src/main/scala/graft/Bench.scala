@@ -491,7 +491,9 @@ object Bench {
     // Compact itemization for the bounded stdout line: the top stages
     // by cost as [view, charged_to, sec] triples, remainder folded into
     // stage_other_sec so the fields still sum to stage_sec.
-    val TopStages = 6
+    // 6 -> 4 (r21): the compact line gained stalled/shard_wm/n_stalled
+    // and must stay under the driver's 2000-char stdout tail
+    val TopStages = 4
     val topStages = stageBuilds.sortBy(-_.sec).take(TopStages)
     val stageTopJson = topStages.map(b =>
       s"""["${b.view}","${b.chargedTo}",${fmt2(b.sec)}]""").mkString("[", ",", "]")
@@ -500,19 +502,24 @@ object Bench {
     // delta the r12 inversions needed measured, not inferred. Carries
     // the ORIGINAL swept seconds even when the stall repair above
     // committed the iso number, so the repair is auditable in-record.
-    val isoJson = isolated.map { case (n, s) =>
+    def isoJsonN(maxN: Int): String = isolated.take(maxN).map { case (n, s) =>
       s"""["$n",${fmt2(sweptRaw(n))},${fmt2(s)}]""" }.mkString("[", ",", "]")
     // [name, original_swept_sec] pairs whose committed value came from
-    // the fresh-session retry (the VERDICT-r20 `stalled` annotation)
-    val stalledJson = stalledRepairs.map { case (n, _) =>
+    // the fresh-session retry (the VERDICT-r20 `stalled` annotation).
+    // The COMPACT stdout line caps the itemization at 3 entries plus a
+    // count — a 10-stall worst case would push the bounded line past
+    // the driver's 2000-char stdout tail and truncate the whole record
+    // (run-1 measurement: 1977 chars with 3 stalls, pre-trim).
+    def stalledJsonN(maxN: Int): String = stalledRepairs.take(maxN).map { case (n, _) =>
       s"""["$n",${fmt2(sweptRaw(n))}]""" }.mkString("[", ",", "]")
     // per-shard q_weighted_median mini-canary on the PARSED stdout line
     // (r20 VERDICT task 1: the driver-parsed record, not just
-    // BENCH_FULL, must be able to adjudicate intra-run machine drift)
-    val shardWmJson = shardMeta.map { m =>
-      val wm = m.canary.collectFirst { case ("q_weighted_median", s) => fmt2(s) }
-        .getOrElse("-1")
-      wm
+    // BENCH_FULL, must be able to adjudicate intra-run machine drift);
+    // one decimal on the compact line, three in the full record
+    def shardWmJson(full: Boolean): String = shardMeta.map { m =>
+      m.canary.collectFirst { case ("q_weighted_median", s) =>
+        if (full) fmt(s) else String.format(java.util.Locale.ROOT, "%.1f", Double.box(s))
+      }.getOrElse("-1")
     }.mkString("[", ",", "]")
     val gcJson = gcMs.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
     val canaryJson = canarySec.map { case (n, s) => s""""$n":${fmt2(s)}""" }
@@ -538,7 +545,11 @@ object Bench {
       val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson,"shards":$shardsJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)},"n_shards":${shardMeta.size}$builds,"canary":$canaryJson,"canary_ratio":${fmt(canaryRatio)},"normalized_total":${fmt(normalizedTotal)},"iso":$isoJson,"stalled":$stalledJson,"shard_wm":$shardWmJson,"sf":"$sfDir"}"""
+      val stalledPart =
+        if (full) s""""stalled":${stalledJsonN(Int.MaxValue)}"""
+        else s""""stalled":${stalledJsonN(3)},"n_stalled":${stalledRepairs.size}"""
+      val iso = if (full) isoJsonN(Int.MaxValue) else isoJsonN(8)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failures.size},"failed":$failed,"wall_sec":${fmt(wallSec)},"stage_sec":${fmt(stageSec)},"n_shards":${shardMeta.size}$builds,"canary":$canaryJson,"canary_ratio":${fmt(canaryRatio)},"normalized_total":${fmt(normalizedTotal)},"iso":$iso,$stalledPart,"shard_wm":${shardWmJson(full)},"sf":"$sfDir"}"""
     }
     // Full per-query map → a RUN-SCOPED file sink (authoritative record;
     // never clobbers a tracked ./bench.json — r5 ADVICE/VERDICT #5).
