@@ -47,6 +47,80 @@ object GraftSession {
   private val DefaultStreamParts: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
+  /** Floor for stream-stream JOIN state partitions: their measured
+    * local optimum (r15 StreamFloorProbe: 8 partitions 2.9 s total, 2:
+    * 1.9 s, 1 REGRESSED to 2.3 s — a join opens 4 stores per partition
+    * and loses all parallelism below 2).
+    */
+  val MinStreamParts = 2
+
+  /** Streamed-input bytes one state partition should own once the
+    * input outgrows the floor. 8 MiB of micro-batch input per store
+    * instance keeps per-partition commit cost amortized; below the
+    * floor×8 MiB knee the floor binds, so at local test scale the rule
+    * resolves to exactly the measured-optimal constants.
+    */
+  val StreamBytesPerPartition: Long = 8L << 20
+
+  /** Probe/test hook: when set, [[adaptiveStreamParts]] returns this
+    * value — lets one session interleave partition-count variants
+    * (R21PartsProbe) so machine drift hits both sides of an A/B.
+    * Callers passing an explicit `n` to [[withStreamingShuffle]] are
+    * deliberately NOT affected.
+    */
+  @volatile var streamPartsOverride: Option[Int] = None
+
+  private val streamBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Input-size-ADAPTIVE streaming state-partition count (r21; the
+    * optimization-round rule "derive partitioning from input size
+    * rather than a constant tuned for either local mode or the
+    * cluster"):
+    *
+    *   parts = max(floor, min(ceil(bytes / (8 MiB × storesPerPartition)),
+    *                          defaultParallelism))
+    *
+    * The FLOOR is the measured local optimum, not a guess: the r21
+    * three-point interleaved probe (R21PartsProbe, MEASUREMENT_r21)
+    * read the 8-vs-4-vs-2 curve as flat within noise for most of the
+    * streaming family but MONOTONICALLY WORSE below 8 for the
+    * compute-per-key-heavy RocksDB queries (q_tws_top_event_type
+    * 1.04/1.13/1.39 s at 8/4/2 — parallelism of per-key work, not
+    * store commit count, is the binding cost), refuting the r20
+    * degraded-window reading that fewer partitions win 0.3–1.0 s. So
+    * locally the rule resolves to the incumbent constants at EVERY
+    * core count and scale factor up to ~sf3 (the floor dominates the
+    * cap too — low-core bench bases are unchanged), and the count
+    * grows with the stream beyond that, capped at defaultParallelism.
+    * `storesPerPartition` weights operators that open several stores
+    * per partition (stream-stream joins: 4). Resolution order:
+    * [[streamPartsOverride]] (in-session probe hook) >
+    * SPARK_GRAFT_STREAM_PARTS (cluster-operator pin) > the size rule.
+    * The table's byte size is one driver-side FS call, cached per
+    * path. Results are unaffected — state-partition count only
+    * changes layout (every streaming query is oracle-gated).
+    */
+  def adaptiveStreamParts(spark: SparkSession, sfDir: String,
+      table: String = "events", storesPerPartition: Int = 1,
+      floor: Int = -1): Int =
+    streamPartsOverride.getOrElse {
+      sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+        val path = s"$sfDir/$table.parquet"
+        val bytes: Long = streamBytes.computeIfAbsent(path, { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+          } catch { case _: Exception => 0L }
+        })
+        val raw = math.ceil(
+          bytes.toDouble / (StreamBytesPerPartition.toDouble * storesPerPartition)).toInt
+        val f = if (floor > 0) floor else DefaultStreamParts
+        math.max(f, math.min(raw, spark.sparkContext.defaultParallelism))
+      }
+    }
+
   def withStreamingShuffle[A](spark: SparkSession, n: Int = -1,
       noDataBatch: Boolean = true)(body: => A): A = {
     val parts = if (n > 0) n else DefaultStreamParts

@@ -232,7 +232,8 @@ object FlowFeaturizer {
 
   val qFlowFeaturesStream = Q(
     "q_flow_features_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir)) {
       runFileStream(spark, dir)
     },
     // single-batch update rows == batch featurizer output, sans suffix

@@ -345,7 +345,8 @@ ORDER BY pfx, hour_idx""")
     */
   val qCusumStream = Q(
     "q_cusum_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "cusum_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))

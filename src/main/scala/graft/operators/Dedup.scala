@@ -1775,7 +1775,8 @@ ORDER BY n.vec_id""")
     */
   val qEmbedIncrStream = Q(
     "q_dedup_embedding_incr_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir, "embeddings"), noDataBatch = false) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
       import spark.implicits._
@@ -1846,7 +1847,8 @@ WHERE f.nmem <= $EmbedBucketCap""")
     */
   val qDedupStreamExact = Q(
     "q_dedup_stream_exact",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir, "documents"), noDataBatch = false) {
       import org.apache.spark.sql.functions.{count, lit}
       import org.apache.spark.sql.types._
       import spark.implicits._
@@ -1896,7 +1898,8 @@ FROM documents GROUP BY source ORDER BY source"""))
     */
   val qDedupStreamWindowed = Q(
     "q_dedup_stream_windowed",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import org.apache.spark.sql.functions.{count, lit}
       import spark.implicits._
       val events = graft.Tables.eventsStream(spark, dir)

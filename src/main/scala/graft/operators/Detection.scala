@@ -192,7 +192,8 @@ ORDER BY window_start_us"""
 
   val qSrcEntropyStream = Q(
     "q_src_entropy_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "entropy_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))

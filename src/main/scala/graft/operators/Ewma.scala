@@ -139,7 +139,8 @@ ORDER BY pfx, hour_idx""")
     */
   val qEwmaBurstStream = Q(
     "q_ewma_burst_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "ewma_stream")
       val q = BatchFlowFeaturizer.packetsFromEvents(Tables.eventsStream(spark, dir))

@@ -186,7 +186,8 @@ object HllStream {
         // the [[MgStream]] rationale verbatim. Timers emit nothing, so
         // the report and oracle are unchanged; only state LIFETIME is
         // affected (closed windows are GC'd in the terminating batch).
-        graft.GraftSession.withStreamingShuffle(spark, 8) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir)) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .withColumn("pt", timestamp_micros($"ts_us"))

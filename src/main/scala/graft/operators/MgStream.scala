@@ -180,7 +180,8 @@ object MgStream {
         // max-stamp report — and therefore the oracle — is unchanged
         // from the TimeMode.None spelling: no watermark horizon
         // applies to the output, only to state lifetime.
-        graft.GraftSession.withStreamingShuffle(spark, 8) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir)) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .withColumn("pt", timestamp_micros($"ts_us"))

@@ -293,7 +293,8 @@ ORDER BY n_both""")
     */
   val qSessionWindowStream = Q(
     "q_session_window_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
       val sinkName = graft.GraftSession.newSinkName(spark, "session_stream")

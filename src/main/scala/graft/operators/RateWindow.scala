@@ -80,6 +80,14 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowStream = Q(
     "q_rate_window_stream",
+    // Deliberately NOT on the r21 adaptive state-partition rule: this
+    // query is the frozen canary basket's one streaming member
+    // (Bench.canary). The rule's floor resolves to the same 8 at local
+    // scale today, but tying the canary to a rule whose value moves
+    // with input bytes/cores would let a future rule change silently
+    // re-base the machine-drift signal every cross-round comparison
+    // depends on (MEASUREMENT_r21 canary-member policy). The sibling
+    // sliding query below IS adaptive.
     (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
@@ -207,7 +215,8 @@ ORDER BY src_ip, window_start_us"""
     */
   val qRateWindowSlidingStream = Q(
     "q_rate_window_sliding_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
       import spark.implicits._
       val events = Tables.eventsStream(spark, dir)
       val sinkName = graft.GraftSession.newSinkName(spark, "slide_stream")

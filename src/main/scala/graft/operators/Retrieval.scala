@@ -669,7 +669,8 @@ ORDER BY phrase_id, rank""")
     */
   val qIndexStream = Q(
     "q_bm25_index_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir, "documents"), noDataBatch = false) {
       import org.apache.spark.sql.functions.{col, count, lit, row_number}
       import org.apache.spark.sql.types._
       val docSchema = StructType(Seq(

@@ -546,7 +546,8 @@ ORDER BY c1"""
     */
   val qIvfStream = Q(
     "q_ann_ivf_stream",
-    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+    (spark, dir) => graft.GraftSession.withStreamingShuffle(spark,
+      graft.GraftSession.adaptiveStreamParts(spark, dir, "embeddings"), noDataBatch = false) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
       import spark.implicits._

@@ -93,7 +93,8 @@ object StatefulTotals {
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "tws")
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "CAST(round(value * 100, 0) AS BIGINT) AS cents")
@@ -173,7 +174,8 @@ ORDER BY user_id"""))
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "twsm")
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .select($"user_id", $"event_type")
             .as[TypedEvent]
@@ -307,7 +309,8 @@ ORDER BY r.user_id"""))
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "twst")
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir)) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS event_time")
@@ -407,7 +410,8 @@ ORDER BY user_id, start_us"""))
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "tws_chain")
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "event_type",
               "CAST(ts DIV 1000 AS BIGINT) AS ts_us", "event_id")
@@ -525,7 +529,8 @@ ORDER BY event_type""")
       import spark.implicits._
       val sinkName = graft.GraftSession.newSinkName(spark, "tws_bucket")
       withRocksDb(spark) {
-        graft.GraftSession.withStreamingShuffle(spark, noDataBatch = false) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir), noDataBatch = false) {
           val q = graft.Tables.eventsStream(spark, dir)
             .selectExpr("user_id", "CAST(ts DIV 1000 AS BIGINT) AS ts_us",
               "event_id")

@@ -55,13 +55,16 @@ ORDER BY c.user_id, click_id, error_id""")
       // commits for ZERO rows — and an INNER interval join's emissions
       // are complete without it (it only evicts state), so it is
       // skipped; the left join below keeps it (null emissions NEED the
-      // final watermark advance). 2 partitions, not 8: state here is a
-      // few thousand buffered rows and per-partition store open/commit
-      // is the cost driver at this size (8 partitions: 2.9 s total;
-      // 2: 1.9 s; 1 regresses to 2.3 s — the join loses parallelism).
-      // On a cluster with real volume both knobs flip back: partitions
-      // to the job default, no-data batches on for liveness.
-      graft.GraftSession.withStreamingShuffle(spark, 2, noDataBatch = false) {
+      // final watermark advance). Partition count is the adaptive
+      // input-size rule with storesPerPartition = 4, which reproduces
+      // the measured local optimum (8 partitions: 2.9 s total; 2:
+      // 1.9 s; 1 regresses to 2.3 s — the join loses parallelism) and
+      // grows with the stream instead of staying a local constant.
+      // On a cluster with real volume the no-data batch flips back on
+      // for liveness.
+      graft.GraftSession.withStreamingShuffle(spark,
+        graft.GraftSession.adaptiveStreamParts(spark, dir, storesPerPartition = 4, floor = graft.GraftSession.MinStreamParts),
+        noDataBatch = false) {
         val q = side("click", "c")
           .join(side("error", "e"),
             expr(s"""c_user = e_user AND
@@ -145,9 +148,11 @@ ORDER BY c.user_id, click_id, error_id""")
             timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as(s"${prefix}_time"))
           .withWatermark(s"${prefix}_time", "10 minutes")
       val sinkName = graft.GraftSession.newSinkName(spark, "ssjl")
-      // 2 partitions like the inner join; the no-data batch STAYS — the
-      // final watermark advance is what emits the expired-click nulls
-      graft.GraftSession.withStreamingShuffle(spark, 2) {
+      // adaptive partitions like the inner join (4 stores/partition);
+      // the no-data batch STAYS — the final watermark advance is what
+      // emits the expired-click nulls
+      graft.GraftSession.withStreamingShuffle(spark,
+        graft.GraftSession.adaptiveStreamParts(spark, dir, storesPerPartition = 4, floor = graft.GraftSession.MinStreamParts)) {
         val q = side("click", "c")
           .join(side("error", "e"),
             expr(s"""c_user = e_user AND

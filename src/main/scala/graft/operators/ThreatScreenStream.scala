@@ -225,7 +225,8 @@ object ThreatScreenStream {
       StatefulTotals.withRocksDb(spark) {
         // the close timers fire in the terminating watermark batch —
         // the no-data batch MUST stay (the left-join rule)
-        graft.GraftSession.withStreamingShuffle(spark, 8) {
+        graft.GraftSession.withStreamingShuffle(spark,
+            graft.GraftSession.adaptiveStreamParts(spark, dir)) {
           val q = graft.flow.BatchFlowFeaturizer
             .packetsFromEvents(Tables.eventsStream(spark, dir))
             .withColumn("pt", timestamp_micros($"ts_us"))
