@@ -191,6 +191,103 @@ object Bench {
     }.getOrElse(("", Map.empty, Map.empty))
   }
 
+  /** Stage-affinity pairs (view → touching query) from the latest
+    * committed round record: the `stage_touches` map (complete signal,
+    * r21+), falling back to the build log's (view, charged_to) pairs
+    * for records that predate it — those name exactly the consumers
+    * whose shard placement caused rebuilds, which is the bootstrap
+    * that matters. Absent/unparseable records degrade to no affinity
+    * (identity order) — never a crash.
+    */
+  private[graft] def latestRoundTouches(prefix: String): Seq[(String, String)] = {
+    val re = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
+    val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .toSeq.flatMap { f =>
+        f.getName match {
+          case re(n) => Some(n.toInt -> f)
+          case _ => None
+        }
+      }
+    candidates.sortBy(-_._1).headOption.map { case (_, f) =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val tNode = root.get("stage_touches")
+        if (tNode != null && tNode.isObject) {
+          val it = tNode.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val qs = e.getValue
+            if (qs.isArray) {
+              val qit = qs.elements()
+              while (qit.hasNext) out += (e.getKey -> qit.next().asText())
+            }
+          }
+        } else {
+          val bNode = root.get("stage_builds")
+          if (bNode != null && bNode.isArray) {
+            val it = bNode.elements()
+            while (it.hasNext) {
+              val b = it.next()
+              if (b.get("view") != null && b.get("charged_to") != null)
+                out += (b.get("view").asText() -> b.get("charged_to").asText())
+            }
+          }
+        }
+        out.toVector
+      } catch { case _: Exception => Seq.empty[(String, String)] }
+    }.getOrElse(Seq.empty)
+  }
+
+  /** Reorder the sorted catalog so queries sharing cached/stored stage
+    * views are CONTIGUOUS (r21): alphabetical contiguity does NOT
+    * deliver the "operator families stay with their shared stage
+    * views" property the shard design assumes — BENCH_FULL_r21
+    * (pre-clustering) rebuilt the same views 3–6× across shards,
+    * 39.4 s of an 86.5 s stage channel (mb_* split across
+    * q_basket_rules / q_item_cooccurrence / q_kcore_copurchase /
+    * q_triangle_count shards; ipairs_v built in four). Union-find over
+    * the affinity pairs; each cluster keeps its members in sorted
+    * order and clusters are emitted in order of their first member, so
+    * the permutation is deterministic and degrades to the identity
+    * when no affinity data exists. Cost balancing and the hard cap run
+    * over the reordered list unchanged — a cluster larger than a shard
+    * is cut at the cap like any other run of queries.
+    */
+  private[graft] def affinityOrder[T](items: Seq[(String, T)],
+      touches: Seq[(String, String)]): Seq[(String, T)] =
+    affinityPlan(items, touches)._1
+
+  /** [[affinityOrder]] plus the cluster id of every query, so the
+    * shard cutter can prefer cluster boundaries (same-cluster cuts are
+    * exactly the cross-shard rebuilds the ordering exists to remove).
+    */
+  private[graft] def affinityPlan[T](items: Seq[(String, T)],
+      touches: Seq[(String, String)]): (Seq[(String, T)], Map[String, Int]) = {
+    val idx = items.map(_._1).zipWithIndex.toMap
+    val parent = Array.tabulate(items.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // union by SMALLEST index so a cluster's root is its first member
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    touches.groupBy(_._1).values.foreach { ps =>
+      val qs = ps.map(_._2).distinct.flatMap(idx.get)
+      qs.zip(qs.drop(1)).foreach { case (a, b) => union(a, b) }
+    }
+    val ordered = items.indices.groupBy(find).toSeq.sortBy(_._1)
+      .flatMap(_._2.sorted).map(items).toVector
+    (ordered, items.indices.map(i => items(i)._1 -> find(i)).toMap)
+  }
+
   /** Contiguous cost-balanced shard cuts over the SORTED catalog:
     * same shard count as the fixed-size grouping (K = ⌈n/maxPerShard⌉)
     * and the same contiguity (operator families stay co-located with
@@ -210,9 +307,19 @@ object Bench {
     *   (r20 ADVICE: reusing 2 under Reps=10 underweighted query time
     *   ~5x and skewed boundaries toward build-heavy families).
     */
+  /** @param clusters stage-affinity cluster id per query name
+    *   ([[affinityPlan]]): a cost cut between two queries of the SAME
+    *   cluster is deferred to the next cluster boundary — a same-
+    *   cluster cut is precisely a cross-shard stage rebuild — UNLESS
+    *   the cluster is bigger than the hard cap (it cannot fit one
+    *   shard, so deferring would only move the cut, not save the
+    *   rebuild). The hard cap itself always binds: pressure isolation
+    *   outranks rebuild avoidance, per its r20 rationale.
+    */
   private[graft] def costBalancedShards[T](items: Seq[(String, T)],
       costs: Map[String, Double], buildCosts: Map[String, Double],
-      maxPerShard: Int, repMult: Double = 2.0): Seq[Seq[(String, T)]] = {
+      maxPerShard: Int, repMult: Double = 2.0,
+      clusters: Map[String, Int] = Map.empty): Seq[Seq[(String, T)]] = {
     if (costs.isEmpty) return items.grouped(maxPerShard).toSeq
     val known = costs.values.toSeq.sorted
     val fallback = known(known.size / 2)
@@ -220,6 +327,13 @@ object Bench {
       repMult * costs.getOrElse(n, fallback) + buildCosts.getOrElse(n, 0.0)
     val k = math.max(1, math.ceil(items.size.toDouble / maxPerShard).toInt)
     val hardCap = maxPerShard + maxPerShard / 2
+    val clusterSize: Map[Int, Int] =
+      clusters.values.groupBy(identity).map { case (id, v) => id -> v.size }
+    def cuttableBetween(prev: String, next: String): Boolean =
+      (clusters.get(prev), clusters.get(next)) match {
+        case (Some(a), Some(b)) if a == b => clusterSize(a) > hardCap
+        case _ => true
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, T)]]
     var cur = scala.collection.mutable.ArrayBuffer.empty[(String, T)]
     var acc = 0.0
@@ -236,7 +350,8 @@ object Bench {
       // the shard count is only a target.
       val capCut = cur.size >= hardCap
       val costCut = remShards > 1 && acc + c / 2 > target &&
-        items.size - i >= remShards - 1
+        items.size - i >= remShards - 1 &&
+        cur.lastOption.forall(p => cuttableBetween(p._1, item._1))
       if (cur.nonEmpty && (capCut || costCut)) {
         out += cur.toVector; remTotal -= acc; remShards = math.max(1, remShards - 1)
         cur = scala.collection.mutable.ArrayBuffer.empty; acc = 0.0
@@ -365,8 +480,14 @@ object Bench {
     // cost-balanced contiguous cuts from the last committed round
     // record (r19 VERDICT task 1); fixed-size grouping when none exists
     val (costSrc, qCosts, bCosts) = latestRoundCosts("BENCH_FULL")
-    val shards = costBalancedShards(
-      SparkEntry.queries.toSeq.sortBy(_._1), qCosts, bCosts, ShardSize)
+    // affinity-clustered order (r21): co-locate queries that share
+    // cached/stored stage views so the stage channel stops rebuilding
+    // the same relations once per consuming shard; cuts prefer cluster
+    // boundaries for the same reason
+    val (ordered, clusterIds) = affinityPlan(
+      SparkEntry.queries.toSeq.sortBy(_._1), latestRoundTouches("BENCH_FULL"))
+    val shards = costBalancedShards(ordered, qCosts, bCosts, ShardSize,
+      clusters = clusterIds)
     System.err.println(s"[bench] shard plan: ${shards.size} shards, " +
       (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))
     // Throwaway JVM-warmup SESSION (r20 ADVICE, the proven Sf1Probe
@@ -521,6 +642,17 @@ object Bench {
         if (full) fmt(s) else String.format(java.util.Locale.ROOT, "%.1f", Double.box(s))
       }.getOrElse("-1")
     }.mkString("[", ",", "]")
+    // Complete stage-affinity signal for the next run's shard planner
+    // (FULL record only): view → every catalog query that touched it
+    // this run, hits included. Without this the build log would list
+    // only each shard's first consumer, and a co-located family's
+    // affinity edges would vanish from the very record that co-located
+    // it. Canary/warmup/iso labels are not catalog names and drop out.
+    val touchesJson = operators.StageViews.touchLog
+      .filter { case (_, q) => SparkEntry.queries.contains(q) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, ps) =>
+        s""""$v":${ps.map(_._2).distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
     val gcJson = gcMs.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
     val canaryJson = canarySec.map { case (n, s) => s""""$n":${fmt2(s)}""" }
       .mkString("{", ",", "}")
@@ -542,7 +674,7 @@ object Bench {
     def jsonLine(entries: Seq[(String, Double)], full: Boolean): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + (if (full) fmt(v) else fmt2(v)) }
         .mkString("{", ",", "}")
-      val builds = if (full) s""","stage_builds":$stageJson,"gc_ms":$gcJson,"shards":$shardsJson"""
+      val builds = if (full) s""","stage_builds":$stageJson,"stage_touches":$touchesJson,"gc_ms":$gcJson,"shards":$shardsJson"""
         else s""","stage_builds":$stageTopJson,"stage_other_sec":${fmt2(stageOther)}"""
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
       val stalledPart =

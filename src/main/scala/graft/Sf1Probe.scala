@@ -277,9 +277,15 @@ object Sf1Probe {
         val (costSrc, qCosts, bCosts) = Bench.latestRoundCosts("SF1")
         // repMult = Reps: this probe sweeps each query Reps times, so
         // query seconds must be weighted Reps x (not Bench's 2 x) to sit
-        // on the same wall-clock scale as stage-build seconds (r20 ADVICE)
+        // on the same wall-clock scale as stage-build seconds (r20 ADVICE).
+        // Affinity order (r21): co-locate stage-sharing families like
+        // Bench, reusing the bench channel's touch signal (the view
+        // consumer sets are scale-independent); cuts prefer cluster
+        // boundaries.
+        val (ordered, clusterIds) = Bench.affinityPlan(
+          sorted.map(q => q.name -> q), Bench.latestRoundTouches("BENCH_FULL"))
         val shards = Bench.costBalancedShards(
-          sorted.map(q => q.name -> q), qCosts, bCosts, ShardSize, Reps.toDouble)
+          ordered, qCosts, bCosts, ShardSize, Reps.toDouble, clusterIds)
           .map(_.map(_._2))
         println(s"[sf1] shard plan: ${shards.size} shards, " +
           (if (costSrc.nonEmpty) s"cost-balanced from $costSrc" else "fixed-size (no prior record)"))

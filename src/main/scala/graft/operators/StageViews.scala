@@ -83,11 +83,28 @@ private[graft] object StageViews {
     */
   def enableBuildAttribution(currentLabel: () => String): Unit = {
     builds.synchronized(builds.clear())
+    touches.synchronized(touches.clear())
     attributionLabel = Some(currentLabel)
   }
 
   /** Builds recorded since [[enableBuildAttribution]], in build order. */
   def buildLog: Seq[Build] = builds.synchronized(builds.toVector)
+
+  // (view, query) touch pairs for every attributed ensureCached /
+  // ensureStored / ensureSideEffect call — HITS included, plain lazy
+  // `ensure` excluded (documents/embeddings cost nothing to re-register
+  // and would union half the catalog into one cluster). This is the
+  // stage-AFFINITY signal Bench's shard planner clusters on (r21): the
+  // build log alone lists only the FIRST consumer per shard, so once a
+  // family is co-located its affinity edges would vanish from the next
+  // record and a later re-plan would scatter it again.
+  private val touches = mutable.LinkedHashSet.empty[(String, String)]
+
+  /** (view, touching query) pairs since [[enableBuildAttribution]]. */
+  def touchLog: Seq[(String, String)] = touches.synchronized(touches.toVector)
+
+  private def recordTouch(name: String): Unit =
+    attributionLabel.foreach(l => touches.synchronized(touches += (name -> l())))
 
   /** Back to lazy, unattributed registration (spec teardown). */
   def disableBuildAttribution(): Unit = attributionLabel = None
@@ -111,6 +128,7 @@ private[graft] object StageViews {
 
   private def ensure0(spark: SparkSession, name: String, key: String, cache: Boolean)(
       build: => DataFrame): DataFrame = {
+    if (cache) recordTouch(name)
     val reg = registry(spark)
     reg.synchronized {
       reg.get(name) match {
@@ -184,6 +202,7 @@ private[graft] object StageViews {
     */
   def ensureStored(spark: SparkSession, name: String, key: String)(
       build: => DataFrame): DataFrame = {
+    recordTouch(name)
     val reg = registry(spark)
     val hit = reg.synchronized(reg.get(name).exists(_.key == key))
     if (!hit) {
@@ -241,6 +260,7 @@ private[graft] object StageViews {
     * corpus key re-runs the work.
     */
   def ensureSideEffect(spark: SparkSession, name: String, key: String)(work: => Unit): Unit = {
+    recordTouch(name)
     val reg = registry(spark)
     reg.synchronized {
       reg.get(name) match {

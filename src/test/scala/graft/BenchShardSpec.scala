@@ -38,6 +38,64 @@ class BenchShardSpec extends AnyFunSuite {
     assert(shards.map(_.size) == Seq(30, 30, 5))
   }
 
+  test("affinity order: no touch data is the identity permutation") {
+    assert(Bench.affinityOrder(items(20), Seq.empty) == items(20))
+  }
+
+  test("affinity order: stage-sharing queries become contiguous, rest stable") {
+    val base = items(8) // q000..q007
+    val touches = Seq("mb_v" -> "q001", "mb_v" -> "q006")
+    val got = Bench.affinityOrder(base, touches).map(_._1)
+    // cluster {q001, q006} anchors at q001's position; everything else
+    // keeps sorted order
+    assert(got == Seq("q000", "q001", "q006", "q002", "q003", "q004", "q005", "q007"))
+  }
+
+  test("affinity order: transitive union across shared views") {
+    val base = items(8)
+    val touches = Seq(
+      "v1" -> "q002", "v1" -> "q005",
+      "v2" -> "q005", "v2" -> "q007")
+    val got = Bench.affinityOrder(base, touches).map(_._1)
+    assert(got == Seq("q000", "q001", "q002", "q005", "q007", "q003", "q004", "q006"))
+  }
+
+  test("affinity order: unknown query names are ignored, coverage preserved") {
+    val base = items(6)
+    val touches = Seq("v" -> "q001", "v" -> "q_not_in_catalog", "v" -> "q004")
+    val got = Bench.affinityOrder(base, touches)
+    assert(got.map(_._1).sorted == base.map(_._1))
+    assert(got.map(_._1) == Seq("q000", "q001", "q004", "q002", "q003", "q005"))
+  }
+
+  test("cost cuts defer to cluster boundaries") {
+    // uniform costs would cut 30|30 — but q029/q030 share a cluster,
+    // so the cut slides to the next boundary and the cluster stays
+    // whole in one shard
+    val base = items(60)
+    val costs = base.map { case (n, _) => n -> 1.0 }.toMap
+    val clusters = base.map { case (n, i) =>
+      n -> (if (i >= 28 && i <= 33) 1000 else i)
+    }.toMap
+    val shards = Bench.costBalancedShards(base, costs, Map.empty, 30,
+      2.0, clusters)
+    assert(shards.flatten == base)
+    val cl = shards.map(_.map(_._1).filter(n => clusters(n) == 1000))
+    assert(cl.count(_.nonEmpty) == 1,
+      s"cluster split across shards: ${cl.filter(_.nonEmpty)}")
+  }
+
+  test("hard cap still cuts inside a cluster bigger than the cap") {
+    val base = items(100)
+    val costs = base.map { case (n, _) => n -> 1.0 }.toMap
+    val clusters = base.map { case (n, _) => n -> 0 }.toMap // one mega-cluster
+    val shards = Bench.costBalancedShards(base, costs, Map.empty, 30,
+      2.0, clusters)
+    val hardCap = 30 + 30 / 2
+    assert(shards.forall(_.size <= hardCap))
+    assert(shards.flatten == base)
+  }
+
   test("repMult reweights query seconds against build seconds") {
     // two expensive-query regions; under repMult=10 the query seconds
     // dominate the single big build and boundaries shift accordingly
