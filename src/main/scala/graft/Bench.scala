@@ -192,14 +192,17 @@ object Bench {
   }
 
   /** Stage-affinity pairs (view → touching query) from the latest
-    * committed round record: the `stage_touches` map (complete signal,
-    * r21+), falling back to the build log's (view, charged_to) pairs
-    * for records that predate it — those name exactly the consumers
-    * whose shard placement caused rebuilds, which is the bootstrap
-    * that matters. Absent/unparseable records degrade to no affinity
-    * (identity order) — never a crash.
+    * committed round record, plus each view's build cost (max over its
+    * stage_builds entries) so the clusterer can prioritize co-locating
+    * the EXPENSIVE stages when the size cap forces a choice. Pairs come
+    * from the `stage_touches` map (complete signal, r21+), falling back
+    * to the build log's (view, charged_to) pairs for records that
+    * predate it — those name exactly the consumers whose shard
+    * placement caused rebuilds, which is the bootstrap that matters.
+    * Absent/unparseable records degrade to no affinity (identity
+    * order) — never a crash.
     */
-  private[graft] def latestRoundTouches(prefix: String): Seq[(String, String)] = {
+  private[graft] def latestRoundTouches(prefix: String): (Seq[(String, String)], Map[String, Double]) = {
     val re = (java.util.regex.Pattern.quote(prefix) + "_r(\\d+)\\.json").r
     val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .toSeq.flatMap { f =>
@@ -213,6 +216,18 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readString(f.toPath))
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val costs = scala.collection.mutable.Map.empty[String, Double]
+        val bNode = root.get("stage_builds")
+        if (bNode != null && bNode.isArray) {
+          val it = bNode.elements()
+          while (it.hasNext) {
+            val b = it.next()
+            if (b.get("view") != null && b.get("sec") != null) {
+              val v = b.get("view").asText()
+              costs(v) = math.max(costs.getOrElse(v, 0.0), b.get("sec").asDouble())
+            }
+          }
+        }
         val tNode = root.get("stage_touches")
         if (tNode != null && tNode.isObject) {
           val it = tNode.properties().iterator()
@@ -224,20 +239,17 @@ object Bench {
               while (qit.hasNext) out += (e.getKey -> qit.next().asText())
             }
           }
-        } else {
-          val bNode = root.get("stage_builds")
-          if (bNode != null && bNode.isArray) {
-            val it = bNode.elements()
-            while (it.hasNext) {
-              val b = it.next()
-              if (b.get("view") != null && b.get("charged_to") != null)
-                out += (b.get("view").asText() -> b.get("charged_to").asText())
-            }
+        } else if (bNode != null && bNode.isArray) {
+          val it = bNode.elements()
+          while (it.hasNext) {
+            val b = it.next()
+            if (b.get("view") != null && b.get("charged_to") != null)
+              out += (b.get("view").asText() -> b.get("charged_to").asText())
           }
         }
-        out.toVector
-      } catch { case _: Exception => Seq.empty[(String, String)] }
-    }.getOrElse(Seq.empty)
+        (out.toVector, costs.toMap)
+      } catch { case _: Exception => (Seq.empty[(String, String)], Map.empty[String, Double]) }
+    }.getOrElse((Seq.empty, Map.empty))
   }
 
   /** Reorder the sorted catalog so queries sharing cached/stored stage
@@ -262,11 +274,29 @@ object Bench {
   /** [[affinityOrder]] plus the cluster id of every query, so the
     * shard cutter can prefer cluster boundaries (same-cluster cuts are
     * exactly the cross-shard rebuilds the ordering exists to remove).
+    *
+    * `maxClusterSize` bounds how many queries one cluster may hold:
+    * the raw touch relation chains the ANN/retrieval/dedup families
+    * into one 42-query component (q_hybrid_retrieval legitimately
+    * consumes both bm25 and ann stages, …), and a cluster-sized shard
+    * at sf1 re-created exactly the accumulated-cache inflation
+    * sharding exists to prevent (SF1 probe: shard-0 wall 120.8 s vs
+    * the 51–69 s band, co-resident q1_pricing_summary swept 8× its
+    * iso). Views are therefore unioned GREEDILY IN BUILD-COST ORDER
+    * (`viewCosts`, from the record's stage_builds) and a union that
+    * would push a cluster past the cap is skipped — so when the cap
+    * forces a choice, the cheapest spanning views are the ones that
+    * rebuild (measured: only sh_v 0.52 s + sz_v 0.28 s span the split
+    * of the 42-component at cap 30). With no cap and no costs this
+    * degrades to plain connected components.
     */
   private[graft] def affinityPlan[T](items: Seq[(String, T)],
-      touches: Seq[(String, String)]): (Seq[(String, T)], Map[String, Int]) = {
+      touches: Seq[(String, String)],
+      viewCosts: Map[String, Double] = Map.empty,
+      maxClusterSize: Int = Int.MaxValue): (Seq[(String, T)], Map[String, Int]) = {
     val idx = items.map(_._1).zipWithIndex.toMap
     val parent = Array.tabulate(items.size)(identity)
+    val csize = Array.fill(items.size)(1)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -274,14 +304,21 @@ object Bench {
       while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    // union by SMALLEST index so a cluster's root is its first member
-    def union(a: Int, b: Int): Unit = {
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    touches.groupBy(_._1).values.foreach { ps =>
-      val qs = ps.map(_._2).distinct.flatMap(idx.get)
-      qs.zip(qs.drop(1)).foreach { case (a, b) => union(a, b) }
+    val byView = touches.groupBy(_._1)
+    // expensive views first; name tiebreak keeps the plan deterministic
+    byView.keys.toSeq.sortBy(v => (-viewCosts.getOrElse(v, 0.0), v)).foreach { v =>
+      val roots = byView(v).map(_._2).distinct.sorted
+        .flatMap(idx.get).map(find).distinct
+      if (roots.size > 1) {
+        val combined = roots.map(csize).sum
+        if (combined <= maxClusterSize) {
+          // union to the SMALLEST root so a cluster's root stays its
+          // first member (deterministic emission order below)
+          val rmin = roots.min
+          roots.foreach { r => if (r != rmin) parent(r) = rmin }
+          csize(rmin) = combined
+        }
+      }
     }
     val ordered = items.indices.groupBy(find).toSeq.sortBy(_._1)
       .flatMap(_._2.sorted).map(items).toVector
@@ -483,9 +520,11 @@ object Bench {
     // affinity-clustered order (r21): co-locate queries that share
     // cached/stored stage views so the stage channel stops rebuilding
     // the same relations once per consuming shard; cuts prefer cluster
-    // boundaries for the same reason
+    // boundaries; clusters size-capped at ShardSize so no shard is
+    // forced past the balance target by a mega-component
+    val (touchPairs0, viewCosts0) = latestRoundTouches("BENCH_FULL")
     val (ordered, clusterIds) = affinityPlan(
-      SparkEntry.queries.toSeq.sortBy(_._1), latestRoundTouches("BENCH_FULL"))
+      SparkEntry.queries.toSeq.sortBy(_._1), touchPairs0, viewCosts0, ShardSize)
     val shards = costBalancedShards(ordered, qCosts, bCosts, ShardSize,
       clusters = clusterIds)
     System.err.println(s"[bench] shard plan: ${shards.size} shards, " +

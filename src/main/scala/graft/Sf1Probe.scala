@@ -281,9 +281,21 @@ object Sf1Probe {
         // Affinity order (r21): co-locate stage-sharing families like
         // Bench, reusing the bench channel's touch signal (the view
         // consumer sets are scale-independent); cuts prefer cluster
-        // boundaries.
+        // boundaries; clusters size-capped at ShardSize (the first sf1
+        // probe under an uncapped plan put a 45-query component in
+        // shard 0 — wall 120.8 s vs the 51-69 s band, co-resident
+        // queries inflated up to 8x their iso by its accumulated
+        // caches).
+        val (touchPairs0, viewCostsBench) = Bench.latestRoundTouches("BENCH_FULL")
+        // view costs from THIS channel's record when available: which
+        // spanning view is cheapest to rebuild is scale-dependent
+        // (sh_v is 0.5 s at sf0.1 but multi-second at sf1), and the
+        // greedy size-capped union skips the cheapest links
+        val viewCostsSf1 = Bench.latestRoundTouches("SF1")._2
+        val viewCosts0 =
+          if (viewCostsSf1.nonEmpty) viewCostsSf1 else viewCostsBench
         val (ordered, clusterIds) = Bench.affinityPlan(
-          sorted.map(q => q.name -> q), Bench.latestRoundTouches("BENCH_FULL"))
+          sorted.map(q => q.name -> q), touchPairs0, viewCosts0, ShardSize)
         val shards = Bench.costBalancedShards(
           ordered, qCosts, bCosts, ShardSize, Reps.toDouble, clusterIds)
           .map(_.map(_._2))

@@ -68,6 +68,22 @@ class BenchShardSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("q000", "q001", "q004", "q002", "q003", "q005"))
   }
 
+  test("cluster size cap skips the cheapest spanning view") {
+    // expensive view E binds q000..q005; cheap view C would chain that
+    // cluster on through q009 (combined 10 > cap 8), so C is the union
+    // that gets skipped — its rebuild is the cheap one
+    val base = items(10)
+    val touches =
+      (0 to 5).map(i => "E" -> f"q$i%03d") ++
+        (5 to 9).map(i => "C" -> f"q$i%03d")
+    val costs = Map("E" -> 2.0, "C" -> 0.1)
+    val (_, clusters) = Bench.affinityPlan(base, touches, costs, 8)
+    val eCluster = (0 to 5).map(i => clusters(f"q$i%03d")).toSet
+    assert(eCluster.size == 1, "expensive view's members must stay together")
+    assert((6 to 9).forall(i => clusters(f"q$i%03d") != eCluster.head),
+      "cheap spanning view must not merge past the cap")
+  }
+
   test("cost cuts defer to cluster boundaries") {
     // uniform costs would cut 30|30 — but q029/q030 share a cluster,
     // so the cut slides to the next boundary and the cluster stays
